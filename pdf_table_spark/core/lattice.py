@@ -1,0 +1,283 @@
+"""Ruled ("lattice") table reconstruction from vector ruling lines.
+
+Re-expresses the deterministic decoder family of the reference:
+  * table region discovery from ruling segments — semantics of
+    LineCellPdf (``table_cell_extract_from_pdf.py:41-484``) / lattice
+    contour+joint detection (``table_extractor_lattice.py:186-231``)
+  * axis inference via merge_close_lines —
+    ``table_extractor_lattice.py:233-258``
+  * grid edge marking / border / span flags — ``table_core.py:544-718``
+    (set_edges / set_border / set_span)
+  * logical-cell merge sweeps — ``table_extractor_pdf.py:769-905``
+  * text→cell placement — ``pdf_utils.py:1041-1139`` (get_table_index)
+    + spanning-cell shift ``table_extractor_lattice.py:321-364``
+
+This is a clean-room re-derivation on a different data model (vector
+spans, not raster images): no OpenCV, no contours — joints come from
+exact segment intersections.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from . import geometry as G
+
+MIN_JOINTS = 4  # a table needs at least a 2x2 joint grid (contour gate F8)
+
+
+@dataclass
+class LogicalCell:
+    row: int
+    col: int
+    row_span: int
+    col_span: int
+    x0: float
+    y0: float
+    x1: float
+    y1: float
+    texts: list = field(default_factory=list)
+
+    @property
+    def text(self) -> str:
+        return "\n".join(self.texts)
+
+
+@dataclass
+class RuledTable:
+    bbox: tuple  # (x0, y0, x1, y1) PDF coords
+    n_rows: int
+    n_cols: int
+    rows: list  # row y-intervals top-down: [(y_top, y_bottom), ...]
+    cols: list  # col x-intervals left-right: [(x_left, x_right), ...]
+    cells: list  # list[LogicalCell]
+    cell_of: dict  # (base_r, base_c) -> LogicalCell
+
+
+def find_table_regions(horizontal, vertical, tol: float = G.JOINT_TOL):
+    """Group ruling segments into table regions by joint connectivity.
+
+    Returns list of (bbox, h_segs, v_segs, joints) sorted top-down then
+    left-right (reading order, reference O3).
+    """
+    segs = [("h", s) for s in horizontal] + [("v", s) for s in vertical]
+    edges = []
+    joints_all = []
+    for i, (di, si) in enumerate(segs):
+        if di != "h":
+            continue
+        for j, (dj, sj) in enumerate(segs):
+            if dj != "v":
+                continue
+            pt = G.segment_intersection(si, sj, tol)
+            if pt is not None:
+                edges.append((i, j))
+                joints_all.append((i, j, pt))
+    comp = G.connected_components(len(segs), edges)
+
+    groups: dict[int, dict] = {}
+    for idx, (d, s) in enumerate(segs):
+        c = comp[idx]
+        g = groups.setdefault(c, {"h": [], "v": [], "joints": []})
+        g[d].append(s)
+    for i, j, pt in joints_all:
+        groups[comp[i]]["joints"].append(pt)
+
+    regions = []
+    for g in groups.values():
+        if len(g["joints"]) < MIN_JOINTS or not g["h"] or not g["v"]:
+            continue
+        xs = [s[0] for s in g["h"]] + [s[2] for s in g["h"]] + [s[0] for s in g["v"]]
+        ys = [s[1] for s in g["v"]] + [s[3] for s in g["v"]] + [s[1] for s in g["h"]]
+        bbox = (min(xs), min(ys), max(xs), max(ys))
+        # dedup joints on rounded key (reference A8 joint normalization)
+        seen, joints = set(), []
+        for x, y in sorted(g["joints"]):
+            k = (round(x), round(y))
+            if k not in seen:
+                seen.add(k)
+                joints.append((x, y))
+        regions.append((bbox, sorted(g["h"]), sorted(g["v"]), joints))
+    # reading order: top of page first (PDF y grows up), then left
+    regions.sort(key=lambda r: (-r[0][3], r[0][0]))
+    return regions
+
+
+def build_grid(bbox, joints, line_tol: float = G.LINE_TOL):
+    """Infer row/col axes from joint coordinates.
+
+    cols ascending, rows *descending* (top-down), each collapsed with
+    merge_close_lines, then paired into consecutive intervals —
+    semantics of ``_generate_columns_and_rows``.
+    """
+    cols_pts = sorted([x for x, _ in joints] + [bbox[0], bbox[2]])
+    rows_pts = sorted([y for _, y in joints] + [bbox[1], bbox[3]], reverse=True)
+    cols_m = G.merge_close_lines(cols_pts, line_tol)
+    rows_m = G.merge_close_lines(rows_pts, line_tol)
+    cols = [(cols_m[i], cols_m[i + 1]) for i in range(len(cols_m) - 1)]
+    rows = [(rows_m[i], rows_m[i + 1]) for i in range(len(rows_m) - 1)]
+    return cols, rows
+
+
+def mark_edges(cols, rows, v_segs, h_segs, joint_tol: float = G.JOINT_TOL):
+    """Edge booleans per base cell: (left, right, top, bottom) arrays.
+
+    Same decision procedure as Table.set_edges + set_border
+    (``table_core.py:544-680``): a vertical segment at column boundary
+    ``i`` marks left edges of column i (and right edges of column i-1)
+    for the rows its y-extent covers; symmetric for horizontal.
+    """
+    nr, nc = len(rows), len(cols)
+    left = [[False] * nc for _ in range(nr)]
+    right = [[False] * nc for _ in range(nr)]
+    top = [[False] * nc for _ in range(nr)]
+    bottom = [[False] * nc for _ in range(nr)]
+
+    for x, y0, _, y1 in v_segs:
+        ci = [i for i, c in enumerate(cols) if G.isclose(x, c[0], joint_tol)]
+        at_right_border = G.isclose(x, cols[-1][1], joint_tol)
+        # rows covered: row r has y-interval (top=rows[r][0], bottom=rows[r][1])
+        j = [r for r, rv in enumerate(rows) if G.isclose(y1, rv[0], joint_tol)]
+        k = [r for r, rv in enumerate(rows) if G.isclose(y0, rv[0], joint_tol)]
+        if not j:
+            continue
+        J = j[0]
+        K = k[0] if k else nr
+        while J < K:
+            if ci:
+                left[J][ci[0]] = True
+                if ci[0] > 0:
+                    right[J][ci[0] - 1] = True
+            elif at_right_border:
+                right[J][nc - 1] = True
+            J += 1
+
+    for x0, y, x1, _ in h_segs:
+        ri = [r for r, rv in enumerate(rows) if G.isclose(y, rv[0], joint_tol)]
+        at_bottom_border = G.isclose(y, rows[-1][1], joint_tol)
+        j = [c for c, cv in enumerate(cols) if G.isclose(x0, cv[0], joint_tol)]
+        k = [c for c, cv in enumerate(cols) if G.isclose(x1, cv[0], joint_tol)]
+        if not j:
+            continue
+        J = j[0]
+        K = k[0] if k else nc
+        while J < K:
+            if ri:
+                top[ri[0]][J] = True
+                if ri[0] > 0:
+                    bottom[ri[0] - 1][J] = True
+            elif at_bottom_border:
+                bottom[nr - 1][J] = True
+            J += 1
+
+    # set_border
+    for r in range(nr):
+        left[r][0] = True
+        right[r][nc - 1] = True
+    for c in range(nc):
+        top[0][c] = True
+        bottom[nr - 1][c] = True
+    return left, right, top, bottom
+
+
+def merge_logical_cells(cols, rows, left, right, top, bottom):
+    """Region-grow base cells into logical cells across missing rulings.
+
+    Equivalent outcome to the reference's horizontal + vertical merge
+    sweeps (merge_column_cell / merge_row_cell,
+    ``table_extractor_pdf.py:769-905``) followed by row/col-span
+    assignment (modify_cell_info ``:708-743``): a logical cell is the
+    maximal rectangle of base cells with no interior ruling.
+    Deterministic scan order: top-down, left-right.
+    """
+    nr, nc = len(rows), len(cols)
+    taken = [[False] * nc for _ in range(nr)]
+    cells: list[LogicalCell] = []
+    cell_of: dict[tuple, LogicalCell] = {}
+    for r in range(nr):
+        for c in range(nc):
+            if taken[r][c]:
+                continue
+            # grow right while no ruling between column c2 and c2+1
+            c2 = c
+            while c2 + 1 < nc and not right[r][c2] and not left[r][c2 + 1] \
+                    and not taken[r][c2 + 1]:
+                c2 += 1
+            # grow down while every column in [c, c2] lacks a bottom ruling
+            r2 = r
+            while r2 + 1 < nr and all(
+                    not bottom[r2][cc] and not top[r2 + 1][cc] and not taken[r2 + 1][cc]
+                    for cc in range(c, c2 + 1)):
+                r2 += 1
+            cell = LogicalCell(
+                row=r, col=c, row_span=r2 - r + 1, col_span=c2 - c + 1,
+                x0=cols[c][0], y0=rows[r2][1], x1=cols[c2][1], y1=rows[r][0])
+            cells.append(cell)
+            for rr in range(r, r2 + 1):
+                for cc in range(c, c2 + 1):
+                    taken[rr][cc] = True
+                    cell_of[(rr, cc)] = cell
+    return cells, cell_of
+
+
+def place_text(table: RuledTable, text_lines):
+    """Assign text lines to logical cells — get_table_index semantics:
+    row by y-center containment, column by max x-overlap ratio; then the
+    spanning-cell mapping collapses the base index to its logical cell.
+    Reading order inside a cell: sort by (-y0, x0), join with newline.
+    """
+    ordered = sorted(text_lines, key=lambda t: (-t["y0"], t["x0"]))
+    for t in ordered:
+        yc = (t["y0"] + t["y1"]) / 2.0
+        r_idx = -1
+        for r, (ytop, ybot) in enumerate(table.rows):
+            if ybot < yc < ytop:
+                r_idx = r
+                break
+        if r_idx == -1:
+            continue
+        best_c, best_ov = -1, -1.0
+        for c, (cx0, cx1) in enumerate(table.cols):
+            if cx0 <= t["x1"] and cx1 >= t["x0"]:
+                lo = max(cx0, t["x0"])
+                hi = min(cx1, t["x1"])
+                ov = abs(hi - lo) / abs(cx1 - cx0)
+            else:
+                ov = -1.0
+            if ov > best_ov:
+                best_ov, best_c = ov, c
+        if best_c == -1:
+            continue
+        cell = table.cell_of[(r_idx, best_c)]
+        txt = t["text"].strip("\n")
+        if txt:
+            cell.texts.append(txt)
+    return table
+
+
+def extract_ruled_tables(rects, text_lines, line_tol: float = G.LINE_TOL,
+                         joint_tol: float = G.JOINT_TOL):
+    """Full ruled pipeline for one page: rects → segments → regions →
+    grid → logical cells → text placement. Returns (tables,
+    consumed_text_ids) where consumed ids index into ``text_lines``.
+    """
+    horizontal, vertical = G.rects_to_segments(rects)
+    regions = find_table_regions(horizontal, vertical, joint_tol)
+    tables: list[RuledTable] = []
+    consumed: set[int] = set()
+    for bbox, h_segs, v_segs, joints in regions:
+        cols, rows = build_grid(bbox, joints, line_tol)
+        if len(cols) < 1 or len(rows) < 1 or (len(cols) == 1 and len(rows) == 1):
+            continue  # single-cell-table filter (F7)
+        left, right, top, bottom = mark_edges(cols, rows, v_segs, h_segs, joint_tol)
+        cells, cell_of = merge_logical_cells(cols, rows, left, right, top, bottom)
+        table = RuledTable(bbox=bbox, n_rows=len(rows), n_cols=len(cols),
+                           rows=rows, cols=cols, cells=cells, cell_of=cell_of)
+        in_table = [
+            (i, t) for i, t in enumerate(text_lines)
+            if G.bbox_contains_center(bbox, t["x0"], t["y0"], t["x1"], t["y1"])
+        ]
+        place_text(table, [t for _, t in in_table])
+        consumed.update(i for i, _ in in_table)
+        tables.append(table)
+    return tables, consumed

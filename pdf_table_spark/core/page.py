@@ -1,0 +1,132 @@
+"""Per-span extraction dispatch — the single deterministic function both
+the Spark Arrow stage (``pdf_table_spark.spark.stages``) and the golden
+oracle (``pdf_table_spark.fixtures``) execute, guaranteeing
+span-sequence equality by construction and testing only the distributed
+plumbing on the Spark side.
+
+Input span kinds (FIXTURES.md §1):
+  text        plain prose line → one 'paragraph' fragment
+  html_table  PubTabNet-style fragment → canonicalized 'table_html'
+  pdf_page    JSON page object model → full extraction pipeline:
+              ruled tables (lattice) → stream tables → paragraphs →
+              image passthrough, in reading order
+  image       embedded figure → 'image' fragment (media_ref passthrough)
+
+Output fragments: (frag_idx, kind, text, media_ref) per input span;
+kinds 'paragraph' | 'table_html' | 'image'. Global output offsets are
+assigned after reassembly by (span offset, frag_idx) order.
+
+Pipeline stage mapping (reference lifecycle ocr_system_task.py:549-734):
+  decode → lattice/stream structure decode → text assignment →
+  false-table suppression (F6: table bbox matching an image, IoU>=0.5,
+  is dropped) → remainder anti-join (U1) → paragraph merge (W1) →
+  reading-order serialization (O1-O3) → HTML (X9).
+"""
+
+from __future__ import annotations
+
+import json
+
+from . import geometry as G
+from . import html as H
+from . import lattice as L
+from . import paragraph as P
+from . import stream as S
+from .textproc import ocr_post_process
+
+FALSE_TABLE_IOU = 0.5  # reference check_table_match_images threshold
+
+
+def extract_pdf_page(page_json: str, media_ref: str):
+    """Run the full deterministic extraction pipeline on one page.
+
+    Returns list of (kind, text, media_ref) in reading order.
+    """
+    page = json.loads(page_json)
+    text_lines = page.get("text_lines") or []
+    rects = page.get("rects") or []
+    images = page.get("images") or []
+
+    # --- ruled (lattice) tables -------------------------------------
+    tables, consumed = L.extract_ruled_tables(rects, text_lines)
+
+    # F6 false-table suppression: a "table" whose bbox coincides with an
+    # embedded image (IoU >= 0.5) is a mis-detected figure → drop it and
+    # release its text.
+    kept_tables = []
+    for t in tables:
+        img_boxes = [(im["x0"], im["y0"], im["x1"], im["y1"]) for im in images]
+        if any(G.iou(t.bbox, ib) >= FALSE_TABLE_IOU for ib in img_boxes):
+            for i, tl in enumerate(text_lines):
+                if G.bbox_contains_center(
+                        t.bbox, tl["x0"], tl["y0"], tl["x1"], tl["y1"]):
+                    consumed.discard(i)
+            continue
+        kept_tables.append(t)
+
+    # --- remainder text (U1 anti-join) --------------------------------
+    remainder = [t for i, t in enumerate(text_lines) if i not in consumed]
+
+    # --- stream tables over the remainder -----------------------------
+    rows = S.group_rows(remainder)
+    blocks, prose_rows = S.detect_stream_blocks(rows)
+    stream_tables = []
+    for run in blocks:
+        cells, bbox = S.build_stream_table(rows, run)
+        for c in cells:
+            c.texts = [ocr_post_process(x) for x in c.texts]
+        stream_tables.append((cells, bbox))
+    prose_lines = [t for i in prose_rows for t in rows[i]]
+
+    # --- paragraphs ----------------------------------------------------
+    paragraphs = P.merge_paragraphs(prose_lines)
+
+    # --- assemble fragments in reading order ---------------------------
+    frags = []
+    for t in kept_tables:
+        for c in t.cells:
+            c.texts = [ocr_post_process(x) for x in c.texts]
+        html = H.cells_to_html(t.cells, table_width=t.bbox[2] - t.bbox[0])
+        frags.append((t.bbox[3], t.bbox[0], "table_html", html, ""))
+    for cells, bbox in stream_tables:
+        html = H.cells_to_html(cells, table_width=None)
+        frags.append((bbox[3], bbox[0], "table_html", html, ""))
+    for p in paragraphs:
+        frags.append((p["y1"], p["x0"], "paragraph", p["text"], ""))
+    for im in images:
+        frags.append((im["y1"], im["x0"], "image", "",
+                      im.get("name") or media_ref))
+    # top of page first (-y_top), then left-to-right
+    frags.sort(key=lambda f: (-f[0], f[1]))
+    return [(k, txt, ref) for _, _, k, txt, ref in frags]
+
+
+def extract_span(kind: str, text: str, media_ref: str):
+    """Dispatch one input span → list of (kind, text, media_ref)."""
+    if kind == "text":
+        return [("paragraph", text.replace("\n", ""), "")] if text else []
+    if kind == "html_table":
+        return [("table_html", H.canonicalize_table_html(text), "")]
+    if kind == "image":
+        return [("image", "", media_ref)]
+    if kind == "pdf_page":
+        return extract_pdf_page(text, media_ref)
+    return []  # unknown kinds are dropped (forward compatibility)
+
+
+def extract_document(spans):
+    """Single-process whole-document extraction — the golden oracle.
+
+    ``spans``: iterable of dicts with kind/text/media_ref/offset.
+    Returns list of output span dicts with dense offsets, identical to
+    what the Spark pipeline reassembles.
+    """
+    ordered = sorted(spans, key=lambda s: s["offset"])
+    out, off = [], 0
+    for s in ordered:
+        for kind, text, ref in extract_span(
+                s["kind"], s.get("text") or "", s.get("media_ref") or ""):
+            out.append({"kind": kind, "text": text,
+                        "media_ref": ref, "offset": off})
+            off += 1
+    return out

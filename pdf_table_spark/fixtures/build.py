@@ -1,0 +1,93 @@
+"""Build fixture parquet: interleaved documents corpus + golden outputs.
+
+Written with pyarrow directly (no Spark needed) so the DuckDB oracle
+and pytest can consume the same files. Layout:
+
+    <root>/sf<SF>/documents_spans.parquet   (doc_id, spans[])
+    <root>/sf<SF>/golden_flat.parquet       (doc_id, offset, kind,
+                                             text, media_ref)
+
+Scale knobs per FIXTURES.md §3: sf0.001→50 docs, sf0.01→500,
+sf0.1→5000. Deterministic (seed 42): rebuilding bit-identical files is
+always safe; build is skipped when files already exist unless
+``force``.
+
+Usage: python -m pdf_table_spark.fixtures.build [root] [sf ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..core.page import extract_document
+from .generator import gen_corpus
+
+DOC_COUNTS = {"0.001": 50, "0.01": 500, "0.1": 5000}
+
+SPAN_TYPE = pa.struct([
+    ("kind", pa.string()), ("text", pa.string()),
+    ("media_ref", pa.string()), ("offset", pa.int32())])
+
+DOCS_SCHEMA = pa.schema([
+    ("doc_id", pa.string()), ("spans", pa.list_(SPAN_TYPE))])
+
+GOLDEN_SCHEMA = pa.schema([
+    ("doc_id", pa.string()), ("offset", pa.int32()), ("kind", pa.string()),
+    ("text", pa.string()), ("media_ref", pa.string())])
+
+
+def fixture_dir(root: str, sf: str) -> str:
+    return os.path.join(root, f"sf{sf}")
+
+
+def build_sf(root: str, sf: str, force: bool = False) -> dict:
+    out_dir = fixture_dir(root, sf)
+    docs_path = os.path.join(out_dir, "documents_spans.parquet")
+    golden_path = os.path.join(out_dir, "golden_flat.parquet")
+    if not force and os.path.exists(docs_path) and os.path.exists(golden_path):
+        return {"sf": sf, "skipped": True}
+    os.makedirs(out_dir, exist_ok=True)
+
+    n_docs = DOC_COUNTS[sf]
+    doc_ids, span_lists = [], []
+    g_doc, g_off, g_kind, g_text, g_ref = [], [], [], [], []
+    n_pages = 0
+    for doc_id, spans, _family in gen_corpus(n_docs):
+        doc_ids.append(doc_id)
+        span_lists.append(spans)
+        n_pages += sum(1 for s in spans if s["kind"] == "pdf_page")
+        for o in extract_document(spans):
+            g_doc.append(doc_id)
+            g_off.append(o["offset"])
+            g_kind.append(o["kind"])
+            g_text.append(o["text"])
+            g_ref.append(o["media_ref"])
+
+    docs_tbl = pa.Table.from_pydict(
+        {"doc_id": doc_ids, "spans": span_lists}, schema=DOCS_SCHEMA)
+    pq.write_table(docs_tbl, docs_path)
+    golden_tbl = pa.Table.from_pydict(
+        {"doc_id": g_doc, "offset": g_off, "kind": g_kind,
+         "text": g_text, "media_ref": g_ref}, schema=GOLDEN_SCHEMA)
+    pq.write_table(golden_tbl, golden_path)
+    return {"sf": sf, "docs": n_docs, "pages": n_pages,
+            "golden_rows": len(g_doc), "skipped": False}
+
+
+def ensure_fixtures(root: str, sfs=("0.001", "0.01", "0.1")):
+    return [build_sf(root, sf) for sf in sfs]
+
+
+DEFAULT_ROOT = os.path.join(os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "fixtures")
+
+
+if __name__ == "__main__":
+    root = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_ROOT
+    sfs = sys.argv[2:] or ["0.001", "0.01", "0.1"]
+    for info in ensure_fixtures(root, sfs):
+        print(info)

@@ -1,0 +1,245 @@
+"""Deterministic generator for the interleaved documents table.
+
+Implements FIXTURES.md §3's families (seed 42, no I/O):
+  F-A ruled table page        F-B spanning-cell table
+  F-C unruled aligned table   F-D prose page
+  F-E mixed page (+false table)  F-F html_table doc
+  F-G skew doc (many pages)   F-H multi-table page
+
+Geometry: PDF space, page 612x792, origin bottom-left. Rulings are thin
+rects (thickness 1) emitted per cell edge so spanning-cell merges (F-B)
+are representable by *omitting* individual edge segments.
+
+The generator is pure: ``gen_corpus(n_docs)`` returns plain python
+rows; writers live in ``build.py``. Seeded ``random.Random`` only — no
+global state, stable across runs and machines.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+
+PAGE_W, PAGE_H = 612.0, 792.0
+FONT = 10.0
+LINE_H = 14.0
+
+VOCAB = [
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+    "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+    "oscar", "papa", "quebec", "romeo", "sierra", "tango", "uniform",
+    "victor", "whiskey", "xray", "yankee", "zulu", "total", "sum",
+    "rate", "count",
+]
+
+FAMILIES = ["F-A", "F-B", "F-C", "F-D", "F-E", "F-F", "F-G", "F-H"]
+# skew family is rare: one heavy doc among many small ones
+WEIGHTS = [18, 14, 14, 18, 12, 14, 2, 8]
+
+
+def _words(rng, lo=1, hi=3):
+    return " ".join(rng.choice(VOCAB) for _ in range(rng.randint(lo, hi)))
+
+
+def _num(rng):
+    return f"{rng.randint(0, 9999)}.{rng.randint(0, 99):02d}"
+
+
+def _ruled_table(rng, x0, y_top, n_rows, n_cols, drop_edges=0):
+    """Emit (rects, text_lines) for a ruled table with per-cell-edge
+    rulings; ``drop_edges`` interior edges are omitted → merged cells."""
+    col_w = rng.choice([70.0, 80.0, 90.0])
+    row_h = rng.choice([22.0, 26.0])
+    xs = [x0 + i * col_w for i in range(n_cols + 1)]
+    ys = [y_top - i * row_h for i in range(n_rows + 1)]
+
+    h_edges = {(r, c): True for r in range(n_rows + 1) for c in range(n_cols)}
+    v_edges = {(r, c): True for r in range(n_rows) for c in range(n_cols + 1)}
+    interior = (
+        [("h", r, c) for r in range(1, n_rows) for c in range(n_cols)]
+        + [("v", r, c) for r in range(n_rows) for c in range(1, n_cols)]
+    )
+    rng.shuffle(interior)
+    for kind, r, c in interior[:drop_edges]:
+        if kind == "h":
+            h_edges[(r, c)] = False
+        else:
+            v_edges[(r, c)] = False
+
+    rects = []
+    for (r, c), on in sorted(h_edges.items()):
+        if on:
+            rects.append({"x0": xs[c], "y0": ys[r] - 0.5,
+                          "x1": xs[c + 1], "y1": ys[r] + 0.5})
+    for (r, c), on in sorted(v_edges.items()):
+        if on:
+            rects.append({"x0": xs[c] - 0.5, "y0": ys[r + 1],
+                          "x1": xs[c] + 0.5, "y1": ys[r]})
+
+    texts = []
+    for r in range(n_rows):
+        for c in range(n_cols):
+            # skip text in cells hidden behind a dropped edge sometimes;
+            # keep most so merged cells accumulate multi-texts
+            content = _num(rng) if rng.random() < 0.5 else _words(rng, 1, 2)
+            tx = xs[c] + 4.0
+            ty = ys[r] - row_h / 2.0 - FONT / 2.0
+            texts.append({"x0": tx, "y0": ty, "x1": tx + 6.0 * len(content),
+                          "y1": ty + FONT, "text": content, "dir": "h"})
+    bbox = (xs[0], ys[-1], xs[-1], ys[0])
+    return rects, texts, bbox
+
+
+def _stream_table(rng, x0, y_top, n_rows, n_cols):
+    """Aligned whitespace table: no rects, fixed column x-starts."""
+    col_w = 110.0
+    texts = []
+    for r in range(n_rows):
+        ty = y_top - r * LINE_H - FONT
+        for c in range(n_cols):
+            content = _num(rng) if c > 0 else rng.choice(VOCAB)
+            tx = x0 + c * col_w
+            texts.append({"x0": tx, "y0": ty, "x1": tx + 6.0 * len(content),
+                          "y1": ty + FONT, "text": content, "dir": "h"})
+    return texts
+
+
+def _prose(rng, x0, y_top, n_paras, width=440.0):
+    """Paragraph lines: first line indented by 2*FONT, full-width
+    middles, short last line — exercises the line-type classifier."""
+    texts = []
+    y = y_top
+    for _ in range(n_paras):
+        n_lines = rng.randint(2, 4)
+        for li in range(n_lines):
+            indent = 2.0 * FONT if li == 0 else 0.0
+            last = li == n_lines - 1
+            w = width * rng.uniform(0.45, 0.7) if last else width
+            line = _words(rng, 4, 7) + " "
+            texts.append({
+                "x0": x0 + indent, "y0": y - FONT, "x1": x0 + indent + w,
+                "y1": y, "text": line, "dir": "h"})
+            y -= LINE_H
+        y -= LINE_H  # blank line between paragraphs
+    return texts, y
+
+
+def _page_json(text_lines, rects=None, images=None):
+    return json.dumps({
+        "width": PAGE_W, "height": PAGE_H,
+        "text_lines": text_lines, "rects": rects or [],
+        "images": images or []}, sort_keys=True)
+
+
+def _html_table_fragment(rng):
+    n_rows, n_cols = rng.randint(2, 4), rng.randint(2, 4)
+    parts = ["<table>"]
+    r = 0
+    while r < n_rows:
+        parts.append("<tr>")
+        c = 0
+        while c < n_cols:
+            span = 1
+            if c + 1 < n_cols and rng.random() < 0.2:
+                span = 2
+            attr = f' colspan="{span}"' if span > 1 else ""
+            body = _words(rng, 1, 2) if rng.random() < 0.8 else ""
+            parts.append(f"<td{attr}>{body}</td>")
+            c += span
+        parts.append("</tr>")
+        r += 1
+    parts.append("</table>")
+    return "".join(parts)
+
+
+def gen_page(rng, family):
+    """One pdf_page span payload (JSON string) plus any sibling spans."""
+    if family == "F-A":
+        rects, texts, _ = _ruled_table(
+            rng, 80.0, 700.0, rng.randint(2, 8), rng.randint(2, 6))
+        return _page_json(texts, rects)
+    if family == "F-B":
+        rects, texts, _ = _ruled_table(
+            rng, 80.0, 700.0, rng.randint(3, 6), rng.randint(3, 5),
+            drop_edges=rng.randint(1, 3))
+        return _page_json(texts, rects)
+    if family == "F-C":
+        texts = _stream_table(rng, 90.0, 680.0, rng.randint(5, 9),
+                              rng.randint(2, 4))
+        return _page_json(texts)
+    if family == "F-D":
+        texts, _ = _prose(rng, 72.0, 720.0, rng.randint(2, 6))
+        return _page_json(texts)
+    if family == "F-E":
+        rects, ttexts, _ = _ruled_table(rng, 80.0, 720.0, 3, 3)
+        # a fake table (rulings) drawn exactly over an image → suppressed
+        fx0, fy_top = 360.0, 720.0
+        frects, ftexts, fbbox = _ruled_table(rng, fx0, fy_top, 2, 2)
+        image = {"x0": fbbox[0], "y0": fbbox[1], "x1": fbbox[2],
+                 "y1": fbbox[3], "name": f"img://{rng.randint(0, 1 << 30)}"}
+        prose, _ = _prose(rng, 72.0, 560.0, rng.randint(1, 3))
+        return _page_json(ttexts + ftexts + prose, rects + frects, [image])
+    if family == "F-H":
+        rects1, t1, b1 = _ruled_table(rng, 80.0, 720.0,
+                                      rng.randint(2, 4), rng.randint(2, 4))
+        rects2, t2, b2 = _ruled_table(rng, 80.0, 430.0,
+                                      rng.randint(2, 4), rng.randint(2, 4))
+        extra = []
+        if rng.random() < 0.5:
+            rects3, t3, _ = _ruled_table(rng, 360.0, 430.0, 2, 2)
+            rects2 += rects3
+            t2 += t3
+        return _page_json(t1 + t2 + extra, rects1 + rects2)
+    raise ValueError(family)
+
+
+def gen_doc(doc_idx: int, seed: int = 42):
+    """Generate one document: (doc_id, spans). Deterministic per
+    (seed, doc_idx) so generation parallelizes / resumes trivially."""
+    rng = random.Random((seed << 20) ^ doc_idx)
+    family = rng.choices(FAMILIES, weights=WEIGHTS, k=1)[0]
+    doc_id = f"doc_{doc_idx:07d}"
+    spans = []
+
+    def add(kind, text="", media_ref=""):
+        spans.append({"kind": kind, "text": text, "media_ref": media_ref,
+                      "offset": len(spans)})
+
+    if family == "F-F":
+        for _ in range(rng.randint(1, 3)):
+            if rng.random() < 0.4:
+                add("text", _words(rng, 8, 20))
+            add("html_table", _html_table_fragment(rng))
+        return doc_id, spans, family
+
+    n_pages = rng.randint(200, 500) if family == "F-G" else rng.randint(1, 3)
+    page_families = (
+        [rng.choice(["F-A", "F-B", "F-C", "F-D"]) for _ in range(n_pages)]
+        if family == "F-G" else [family] * n_pages)
+    for p, fam in enumerate(page_families):
+        if rng.random() < 0.2:
+            add("text", _words(rng, 8, 20))
+        add("pdf_page", gen_page(rng, fam), f"page://{doc_id}/{p}")
+        if rng.random() < 0.15:
+            add("image", "", f"blob://{doc_id}/{rng.randint(0, 1 << 30)}")
+    return doc_id, spans, family
+
+
+def gen_corpus(n_docs: int, seed: int = 42, skew_doc: bool = True):
+    """Yield (doc_id, spans, family) rows. When ``skew_doc`` and the
+    weighted draw never produced an F-G, force doc 0 to be one at
+    n_docs >= 200 so partition-skew handling is always exercised."""
+    got_skew = False
+    for i in range(n_docs):
+        doc_id, spans, family = gen_doc(i, seed)
+        if family == "F-G":
+            if got_skew or n_docs < 200:
+                # cap corpus weight: regenerate as a small doc variant
+                doc_id, spans, family = gen_doc(i, seed ^ 0x5F5E100)
+                if family == "F-G":
+                    _, spans, family = gen_doc(i, seed ^ 0x3ADE68B1)
+                    if family == "F-G":
+                        spans = spans[:4]
+            else:
+                got_skew = True
+        yield doc_id, spans, family

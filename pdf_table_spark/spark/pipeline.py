@@ -1,0 +1,120 @@
+"""The distributed extraction pipeline.
+
+Plan shape (and why it scales):
+
+    scan documents(doc_id, spans)                 -- columnar parquet/Iceberg
+      → explode(spans)                            -- narrow: 1 row per span;
+                                                     a 500-page doc becomes
+                                                     500 independent work units
+      → repartition(doc_id, offset)               -- shuffle #1: breaks the
+                                                     "one giant doc in one file
+                                                     split" skew BEFORE the
+                                                     expensive stage, so every
+                                                     core gets an even page mix
+      → mapInPandas(extract)                      -- the only Python stage;
+                                                     Arrow batches, numpy inside
+      → groupBy(doc_id).collect_list + array_sort -- shuffle #2: reassemble
+                                                     ordered span sequences;
+                                                     payloads here are small
+                                                     output strings
+
+Both shuffles move each byte exactly once; the heavy compute runs on
+balanced partitions. AQE cannot fix UDF-compute skew (SURVEY §4), hence
+the explicit pre-stage repartition. Everything else is DataFrame-native
+and stays in whole-stage codegen.
+
+Reference lifecycle being re-expressed: ``ocr_system_task.py:549-734``
+(the per-page 9-stage pipeline) + the sequential batch driver
+``ocr_system_task.py:736-791`` which this plan replaces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .stages import run_extract_stage
+
+SPAN_STRUCT = ("struct<kind:string,text:string,media_ref:string,"
+               "offset:int>")
+
+
+def explode_spans(docs: DataFrame) -> DataFrame:
+    """documents(doc_id, spans[]) → one row per span (page-level work
+    units). Narrow transformation — no shuffle."""
+    return docs.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.offset").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+
+def reassemble(frags: DataFrame) -> DataFrame:
+    """fragments(doc_id, offset, frag_idx, kind, text, media_ref) →
+    (doc_id, out_spans) with dense output offsets.
+
+    array_sort over struct(offset, frag_idx, ...) gives the total
+    order; transform() re-indexes to dense offsets — all JVM-side.
+    """
+    return (
+        frags.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct(
+            "offset", "frag_idx", "kind", "text", "media_ref"))).alias("a"))
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(a, (x, i) -> struct("
+                "x.kind as kind, x.text as text, "
+                "x.media_ref as media_ref, cast(i as int) as offset))"
+            ).alias("out_spans"),
+        )
+    )
+
+
+def extract_documents(docs: DataFrame,
+                      balance_partitions: int | None = None) -> DataFrame:
+    """Full pipeline: documents(doc_id, spans) → (doc_id, out_spans).
+
+    ``balance_partitions``: width of the pre-stage repartition. Default
+    2x the session's shuffle parallelism. Pass 0 to skip rebalancing
+    (only sensible for tiny unit tests).
+    """
+    spark = docs.sparkSession
+    sp = explode_spans(docs)
+    if balance_partitions != 0:
+        n = balance_partitions or int(
+            spark.conf.get("spark.sql.shuffle.partitions"))
+        sp = sp.repartition(n, "doc_id", "offset")
+    frags = run_extract_stage(sp)
+    out = reassemble(frags)
+    # Docs whose spans produced no fragments (or were empty) must still
+    # appear with an empty out_spans — lineage completeness: every input
+    # doc_id is accounted for downstream.
+    all_ids = docs.select("doc_id")
+    return (
+        all_ids.join(out, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                "out_spans",
+                F.expr(f"cast(array() as array<{SPAN_STRUCT}>)"),
+            ).alias("out_spans"),
+        )
+    )
+
+
+def flatten_output(out: DataFrame) -> DataFrame:
+    """(doc_id, out_spans) → flat rows for sinks / correctness compare."""
+    return out.select(
+        "doc_id", F.explode("out_spans").alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.offset").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )

@@ -1,0 +1,45 @@
+"""SparkSession helpers tuned for the extraction workload.
+
+Scale rationale (local[32] today, 1000 executors tomorrow):
+  * AQE on — runtime coalescing + skew-join splitting for the ops
+    queries; the extraction pipeline's skew is handled explicitly by
+    page-explode + repartition (see pipeline.py).
+  * Arrow batches capped: one batch must hold whole page payloads
+    (tens of KB each) without blowing the Python worker on a
+    500-page-doc partition — 256 rows/batch keeps batches ~10 MB.
+  * shuffle partitions default to 2x cores locally; on a real cluster
+    AQE coalesces, so oversizing is safe, undersizing is not.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+ARROW_BATCH_ROWS = 256
+
+
+def build_session(app: str = "pdf_table_spark", master: str | None = None,
+                  shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        n = cpus * 2 if master.startswith("local") else 256
+    else:
+        n = shuffle_partitions
+    return (
+        SparkSession.builder.master(master)
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                str(ARROW_BATCH_ROWS))
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .getOrCreate()
+    )
