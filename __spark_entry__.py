@@ -1,38 +1,532 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``   — flagship extraction run on the sf0.001 fixture
+                     corpus (interleaved spans → ordered output spans).
+``queries()``      — one entry per implemented operator family
+                     (SURVEY.md §2 + the training-data ops).
+``oracle_sql()``   — DuckDB twins. Extraction queries are checked
+                     against the committed golden parquet (computed by
+                     the single-process reference implementation of the
+                     same decoders — the span-sequence-equality gate);
+                     ops queries are re-derived in pure SQL from the
+                     same md5-based hash formulas so values match
+                     bit-for-bit.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+FIXTURE_ROOT = os.path.join(REPO, "fixtures")
+
+# --------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------
+
+
+def _fixture_dir(sf_dir: str) -> str:
+    """Map the driver's testdata dir (…/sf0.01) to our interleaved
+    fixture corpus of the same scale, generating it if absent."""
+    sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    import sys
+    sys.path.insert(0, REPO)
+    from pdf_table_spark.fixtures.build import ensure_fixtures
+    ensure_fixtures(FIXTURE_ROOT, (sf,))
+    return os.path.join(FIXTURE_ROOT, f"sf{sf}")
+
+
+def _spans_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(
+        os.path.join(_fixture_dir(sf_dir), "documents_spans.parquet"))
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _extract_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import sys
+    sys.path.insert(0, REPO)
+    from pdf_table_spark.spark.pipeline import extract_documents, flatten_output
+    return flatten_output(extract_documents(_spans_df(spark, sf_dir)))
+
+
+GOLDEN_001 = os.path.join(FIXTURE_ROOT, "sf0.01", "golden_flat.parquet")
+SPANS_001 = os.path.join(FIXTURE_ROOT, "sf0.01", "documents_spans.parquet")
+
+# DuckDB-side shared formulas (must mirror pdf_table_spark.ops exactly)
+DK_TOKENS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+DK_TOKENS_CASED = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+DK_SHINGLES = (
+    "list_distinct(list_transform("
+    "generate_series(1, greatest(len(toks) - 2, 1)),"
+    " i -> array_to_string(list_slice(toks, i, i + 2), ' ')))"
+)
+DK_H60 = "cast('0x' || substr(md5({s}), 1, 15) as bigint)"
+
+P = 2_147_483_647
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction pipeline on the sf0.001 fixtures."""
+    return _extract_flat(spark, "/root/testdata/sf0.001")
+
+
+# --------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    import sys
+    sys.path.insert(0, REPO)
+    from pdf_table_spark.ops import dedup, multimodal, similarity, text
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+    def q_extract_spans(spark, sf_dir):
+        return _extract_flat(spark, sf_dir)
+
+    def q_extract_kind_stats(spark, sf_dir):
+        return (
+            _extract_flat(spark, sf_dir)
+            .groupBy("kind").agg(
+                F.count("*").alias("n_spans"),
+                F.sum(F.length("text")).alias("total_chars"))
+        )
+
+    def q_extract_tables_per_doc(spark, sf_dir):
+        return (
+            _extract_flat(spark, sf_dir)
+            .filter(F.col("kind") == "table_html")
+            .groupBy("doc_id").agg(F.count("*").alias("n_tables"))
+        )
+
+    def q_imaged_doc_classifier(spark, sf_dir):
+        # S6: any-media-and-no-text predicate, pure array aggregates
+        return _spans_df(spark, sf_dir).select(
+            "doc_id",
+            F.expr("exists(spans, s -> s.kind = 'image')").alias("has_media"),
+            F.expr(
+                "exists(spans, s -> s.kind in ('text', 'pdf_page'))"
+            ).alias("has_text"),
+            F.expr(
+                "exists(spans, s -> s.kind = 'image') and "
+                "not exists(spans, s -> s.kind in ('text', 'pdf_page'))"
+            ).alias("is_imaged"),
+        )
+
+    def q_span_inventory(spark, sf_dir):
+        # input-side scan sanity: spans per kind (S2 explode semantics)
+        return (
+            _spans_df(spark, sf_dir)
+            .select(F.explode("spans").alias("s"))
+            .groupBy(F.col("s.kind").alias("kind"))
+            .agg(F.count("*").alias("n"),
+                 F.max(F.col("s.offset")).alias("max_offset"))
+        )
+
+    # ---- training-data ops ----
+    def q_token_stats(spark, sf_dir):
+        return text.token_stats(_t(spark, sf_dir, "documents"))
+
+    def q_quality_score(spark, sf_dir):
+        return text.quality_score(_t(spark, sf_dir, "documents"))
+
+    def q_lang_id(spark, sf_dir):
+        return text.lang_id(_t(spark, sf_dir, "documents"))
+
+    def q_fingerprint(spark, sf_dir):
+        return text.fingerprint(_t(spark, sf_dir, "documents"))
+
+    def q_exact_dedup(spark, sf_dir):
+        return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+    def q_ngram_jaccard(spark, sf_dir):
+        return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), 0.5)
+
+    def q_minhash_signatures(spark, sf_dir):
+        return dedup.minhash_signatures(_t(spark, sf_dir, "documents")).select(
+            "doc_id", *[f"s{i}" for i in range(8)])  # first 8 perms checked
+
+    def q_minhash_lsh_pairs(spark, sf_dir):
+        return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+    def q_simhash(spark, sf_dir):
+        return dedup.simhash(_t(spark, sf_dir, "documents"))
+
+    def q_cosine_topk(spark, sf_dir):
+        return similarity.cosine_topk(_t(spark, sf_dir, "embeddings"), k=5)
+
+    def q_ann_topk_lsh(spark, sf_dir):
+        return similarity.ann_topk_lsh(_t(spark, sf_dir, "embeddings"), k=5)
+
+    def q_embedding_neardup(spark, sf_dir):
+        return similarity.embedding_neardup_pairs(
+            _t(spark, sf_dir, "embeddings"), threshold=0.95)
+
+    def q_media_features(spark, sf_dir):
+        return multimodal.decode_media(
+            multimodal.media_refs_with_payloads(_spans_df(spark, sf_dir)))
+
+    # ---- relational / window coverage on the star schema ----
+    def q_pricing_summary(spark, sf_dir):
+        li = _t(spark, sf_dir, "lineitem")
+        return (
+            li.filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").alias("sum_qty"),
+                F.sum("l_extendedprice").alias("sum_base_price"),
+                F.sum(F.col("l_extendedprice")
+                      * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+                F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                F.count("*").alias("count_order"))
+        )
+
+    def q_top_revenue_orders(spark, sf_dir):
+        li = _t(spark, sf_dir, "lineitem")
+        od = _t(spark, sf_dir, "orders")
+        cu = _t(spark, sf_dir, "customer")
+        rev = (
+            li.groupBy("l_orderkey")
+            .agg(F.round(F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6)
+                .alias("revenue"))
+        )
+        return (
+            od.join(F.broadcast(cu.filter(F.col("c_mktsegment") == "BUILDING")),
+                    od.o_custkey == F.col("c_custkey"))
+            .join(rev, od.o_orderkey == rev.l_orderkey)
+            .select("o_orderkey", "revenue", "o_orderdate")
+            .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+            .limit(10)
+        )
+
+    def q_event_sessions(spark, sf_dir):
+        # W1's SQL analogue on a real event stream: 30-min-gap
+        # sessionization via lag + running sum of boundary flags.
+        ev = _t(spark, sf_dir, "events")
+        from pyspark.sql.window import Window
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        epoch = F.col("ts").cast("timestamp").cast("double")
+        flagged = ev.withColumn(
+            "new_session",
+            F.when(
+                epoch - F.lag(epoch, 1).over(w) > 1800, 1).otherwise(0))
+        sess = flagged.withColumn(
+            "session_id", F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)))
+        return (
+            sess.groupBy("user_id")
+            .agg((F.max("session_id") + 1).alias("n_sessions"),
+                 F.count("*").alias("n_events"))
+        )
+
+    return {
+        "extract_spans": q_extract_spans,
+        "extract_kind_stats": q_extract_kind_stats,
+        "extract_tables_per_doc": q_extract_tables_per_doc,
+        "imaged_doc_classifier": q_imaged_doc_classifier,
+        "span_inventory": q_span_inventory,
+        "token_stats": q_token_stats,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "cosine_topk": q_cosine_topk,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "embedding_neardup": q_embedding_neardup,
+        "media_features": q_media_features,
+        "pricing_summary": q_pricing_summary,
+        "top_revenue_orders": q_top_revenue_orders,
+        "event_sessions": q_event_sessions,
+    }
+
+
+# --------------------------------------------------------------------
+# oracles (DuckDB SQL, sf0.01 views pre-registered by the driver)
+# --------------------------------------------------------------------
+
+
+def _dk_minhash_sig_sql(n_perms: int) -> str:
+    import sys
+    sys.path.insert(0, REPO)
+    from pdf_table_spark.ops.dedup import PERM_CONSTS
+    mins = ", ".join(
+        f"min(({a} * h % {P} + {b}) % {P}) as s{i}"
+        for i, (a, b) in enumerate(PERM_CONSTS[:n_perms]))
+    return f"""
+        with toks as (
+          select doc_id, {DK_TOKENS} as toks from documents
+        ), sh as (
+          select doc_id, unnest({DK_SHINGLES}) as shingle from toks
+        ), hashed as (
+          select doc_id, {DK_H60.format(s='shingle')} % {P} as h from sh
+        )
+        select doc_id, {mins} from hashed group by doc_id
     """
-    return {}
+
+
+def _dk_minhash_bands_cte() -> str:
+    import sys
+    sys.path.insert(0, REPO)
+    from pdf_table_spark.ops.dedup import BANDS, PERM_CONSTS, ROWS_PER_BAND
+    mins = ", ".join(
+        f"min(({a} * h % {P} + {b}) % {P}) as s{i}"
+        for i, (a, b) in enumerate(PERM_CONSTS))
+    band_rows = " union all ".join(
+        "select doc_id, {b} as band, md5({cols}) as bh from sig".format(
+            b=b,
+            cols=" || ',' || ".join(
+                f"cast(s{b * ROWS_PER_BAND + j} as varchar)"
+                for j in range(ROWS_PER_BAND)))
+        for b in range(BANDS))
+    return f"""
+        with toks as (
+          select doc_id, {DK_TOKENS} as toks from documents
+        ), sh as (
+          select doc_id, unnest({DK_SHINGLES}) as shingle from toks
+        ), hashed as (
+          select doc_id, {DK_H60.format(s='shingle')} % {P} as h from sh
+        ), sig as (
+          select doc_id, {mins} from hashed group by doc_id
+        ), bands as ({band_rows})
+    """
+
+
+def _dk_simhash_sql(n_bits: int = 60) -> str:
+    votes = ", ".join(
+        f"sum(case when (h // {1 << b}) % 2 = 1 then 1 else -1 end) as v{b}"
+        for b in range(n_bits))
+    bits = " + ".join(
+        f"case when v{b} > 0 then cast({1 << b} as bigint) else 0 end"
+        for b in range(n_bits))
+    return f"""
+        with toks as (
+          select doc_id, unnest(list_distinct({DK_TOKENS})) as tok
+          from documents
+        ), hashed as (
+          select doc_id, {DK_H60.format(s='tok')} as h from toks
+        ), votes as (
+          select doc_id, {votes} from hashed group by doc_id
+        )
+        select doc_id, {bits} as simhash from votes
+    """
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    import sys
+    sys.path.insert(0, REPO)
+    from pdf_table_spark.ops.text import LANG_STOPWORDS
+
+    golden = f"read_parquet('{GOLDEN_001}')"
+    spans = f"read_parquet('{SPANS_001}')"
+
+    langs = sorted(LANG_STOPWORDS)
+    lang_scores = ", ".join(
+        "len(list_filter(toks, t -> list_contains([{w}], t))) as score_{la}"
+        .format(w=", ".join(f"'{x}'" for x in LANG_STOPWORDS[la]), la=la)
+        for la in langs)
+    lang_pick = (
+        "case when greatest({gs}) = 0 then 'und' else "
+        "list_min(list_transform([{pairs}], x -> x)) end"
+    )  # placeholder, built below
+
+    # winner by (score desc, lang asc) == min over (-score, lang) structs;
+    # duckdb compares structs lexicographically like spark
+    pairs = ", ".join(
+        f"{{'neg': -score_{la}, 'lang': '{la}'}}" for la in langs)
+    gs = ", ".join(f"score_{la}" for la in langs)
+    lang_sql = f"""
+        with scored as (
+          select doc_id, {lang_scores}
+          from (select doc_id, {DK_TOKENS} as toks from documents)
+        )
+        select doc_id,
+               case when greatest({gs}) = 0 then 'und'
+                    else list_min([{pairs}]).lang end as pred_lang,
+               {gs}
+        from scored
     """
-    return {}
+
+    jacc = """
+        with toks as (
+          select doc_id, {DK_TOKENS} as toks from documents
+        ), sh as (
+          select distinct doc_id, unnest({DK_SHINGLES}) as shingle from toks
+        ), sizes as (
+          select doc_id, count(*) as n_sh from sh group by doc_id
+        ), inter as (
+          select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_inter
+          from sh a join sh b on a.shingle = b.shingle and a.doc_id < b.doc_id
+          group by 1, 2
+        )
+        select doc_a, doc_b,
+               round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) as jaccard
+        from inter
+        join sizes sa on sa.doc_id = doc_a
+        join sizes sb on sb.doc_id = doc_b
+        where round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
+    """.format(DK_TOKENS=DK_TOKENS, DK_SHINGLES=DK_SHINGLES)
+
+    cosine = """
+        with q as (
+          select vec_id as query_id, embedding::DOUBLE[] as q_emb
+          from embeddings where vec_id < 10
+        ), pairs as (
+          select q.query_id, e.vec_id as neighbor_id,
+                 round(list_dot_product(q.q_emb, e.embedding::DOUBLE[]) /
+                       (sqrt(list_dot_product(q.q_emb, q.q_emb)) *
+                        sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[]))), 9)
+                   as cosine
+          from embeddings e, q where e.vec_id <> q.query_id
+        ), ranked as (
+          select *, row_number() over (
+            partition by query_id order by cosine desc, neighbor_id
+          ) as rank from pairs
+        )
+        select query_id, neighbor_id, cosine, cast(rank as int) as rank
+        from ranked where rank <= 5
+    """
+
+    return {
+        "extract_spans": (
+            f'select doc_id, "offset" as offset, kind, text, media_ref '
+            f"from {golden}"),
+        "extract_kind_stats": (
+            f"select kind, count(*) as n_spans, sum(length(text)) as "
+            f"total_chars from {golden} group by kind"),
+        "extract_tables_per_doc": (
+            f"select doc_id, count(*) as n_tables from {golden} "
+            f"where kind = 'table_html' group by doc_id"),
+        "imaged_doc_classifier": f"""
+            select doc_id,
+                   len(list_filter(spans, s -> s.kind = 'image')) > 0
+                     as has_media,
+                   len(list_filter(spans,
+                       s -> s.kind in ('text', 'pdf_page'))) > 0 as has_text,
+                   len(list_filter(spans, s -> s.kind = 'image')) > 0 and
+                   len(list_filter(spans,
+                       s -> s.kind in ('text', 'pdf_page'))) = 0 as is_imaged
+            from {spans}
+        """,
+        "span_inventory": f"""
+            select s.kind as kind, count(*) as n, max(s.offset) as max_offset
+            from (select unnest(spans) as s from {spans})
+            group by s.kind
+        """,
+        "token_stats": f"""
+            select doc_id,
+                   len(toks) as n_tokens,
+                   len(list_distinct(toks)) as n_distinct_tokens,
+                   length(text) as n_chars_seen,
+                   round(list_sum(list_transform(toks, t -> length(t)))
+                         / greatest(len(toks), 1), 4) as mean_token_len,
+                   cast(list_sum(list_transform(toks,
+                        t -> ceil(length(t) / 4.0))) as bigint)
+                     as n_subword_units
+            from (select doc_id, text, {DK_TOKENS_CASED} as toks
+                  from documents)
+        """,
+        "quality_score": f"""
+            with base as (
+              select doc_id, text, {DK_TOKENS_CASED} as toks,
+                     length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g'))
+                       as punct
+              from documents
+            ), m as (
+              select doc_id,
+                     len(toks) as n_tokens,
+                     punct / greatest(length(text), 1) as punct_ratio,
+                     len(list_distinct(toks)) / greatest(len(toks), 1)
+                       as diversity,
+                     least(len(toks) / 20.0, 1.0) as length_ok
+              from base
+            )
+            select doc_id, n_tokens,
+                   round(punct_ratio, 4) as punct_ratio,
+                   round(diversity, 4) as lexical_diversity,
+                   round(length_ok * (1 - punct_ratio) * (0.5 + diversity / 2),
+                         4) as quality
+            from m
+        """,
+        "lang_id": lang_sql,
+        "fingerprint": f"""
+            select doc_id,
+                   md5(array_to_string({DK_TOKENS}, ' ')) as fingerprint
+            from documents
+        """,
+        "exact_dedup": """
+            select md5(text) as text_hash, min(doc_id) as keeper_doc_id,
+                   count(*) as n_docs
+            from documents group by md5(text) having count(*) > 1
+        """,
+        "ngram_jaccard": jacc,
+        "minhash_signatures": _dk_minhash_sig_sql(8),
+        "minhash_lsh_pairs": _dk_minhash_bands_cte() + """
+            select distinct x.doc_id as doc_a, y.doc_id as doc_b
+            from bands x join bands y
+              on x.band = y.band and x.bh = y.bh and x.doc_id < y.doc_id
+        """,
+        "simhash": _dk_simhash_sql(),
+        "cosine_topk": cosine,
+        "pricing_summary": """
+            select l_returnflag, l_linestatus,
+                   sum(l_quantity) as sum_qty,
+                   sum(l_extendedprice) as sum_base_price,
+                   sum(l_extendedprice * (1 - l_discount)) as sum_disc_price,
+                   round(avg(l_quantity), 6) as avg_qty,
+                   count(*) as count_order
+            from lineitem
+            where l_shipdate <= timestamp '1998-09-02'
+            group by l_returnflag, l_linestatus
+        """,
+        "top_revenue_orders": """
+            with rev as (
+              select l_orderkey,
+                     round(sum(l_extendedprice * (1 - l_discount)), 6)
+                       as revenue
+              from lineitem group by l_orderkey
+            )
+            select o_orderkey, revenue, o_orderdate
+            from orders
+            join customer on o_custkey = c_custkey
+              and c_mktsegment = 'BUILDING'
+            join rev on o_orderkey = l_orderkey
+            order by revenue desc, o_orderkey
+            limit 10
+        """,
+        "event_sessions": """
+            with flagged as (
+              select user_id, ts, event_id,
+                     case when epoch(ts) - lag(epoch(ts)) over (
+                       partition by user_id order by ts, event_id) > 1800
+                       then 1 else 0 end as new_session
+              from events
+            ), sess as (
+              select user_id,
+                     sum(new_session) over (
+                       partition by user_id
+                       order by ts, event_id
+                       rows between unbounded preceding and current row)
+                       as session_id
+              from flagged
+            )
+            select user_id, max(session_id) + 1 as n_sessions,
+                   count(*) as n_events
+            from sess group by user_id
+        """,
+        # ann_topk_lsh / embedding_neardup / media_features: rows-only
+        # checks (LSH bucket layout and the stubbed media decode are
+        # non-SQL-expressible); their exactness is covered by pytest
+        # (ANN vs brute-force recall, decode determinism).
+    }

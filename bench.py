@@ -1,0 +1,95 @@
+"""Benchmark harness — one JSON line on stdout.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. The extraction
+pipeline runs over the interleaved fixture corpus of the same scale
+(committed under fixtures/, generated deterministically if absent).
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR  testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    cores for local master (default 32)
+  BENCH_QUERIES       comma-separated subset to run
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    "extract_spans",        # the flagship pipeline
+    "extract_kind_stats",
+    "token_stats",
+    "quality_score",
+    "lang_id",
+    "exact_dedup",
+    "ngram_jaccard",
+    "minhash_lsh_pairs",
+    "simhash",
+    "cosine_topk",
+    "ann_topk_lsh",
+    "pricing_summary",
+    "top_revenue_orders",
+    "event_sessions",
+]
+
+
+def main():
+    import __spark_entry__ as entrymod
+    from pdf_table_spark.spark.session import build_session
+
+    only = os.environ.get("BENCH_QUERIES")
+    names = only.split(",") if only else HEADLINE
+
+    spark = build_session("bench", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    # corpus stats for docs/sec + pages/sec
+    fdir = entrymod._fixture_dir(SF_DIR)
+    docs_df = spark.read.parquet(
+        os.path.join(fdir, "documents_spans.parquet"))
+    n_docs = docs_df.count()
+    n_pages = docs_df.selectExpr(
+        "sum(size(filter(spans, s -> s.kind = 'pdf_page'))) as p"
+    ).collect()[0]["p"]
+
+    # warm the JVM/Python workers once so per-query numbers measure the
+    # pipeline, not session spin-up
+    qs["extract_kind_stats"](spark, SF_DIR).count()
+
+    per_query, total = {}, 0.0
+    for name in names:
+        t0 = time.perf_counter()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        dt = round(time.perf_counter() - t0, 3)
+        per_query[name] = dt
+        total += dt
+
+    extract_sec = per_query.get("extract_spans", 0.0) or 1e-9
+    sf = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf),
+        "cpus": CPUS,
+        "extract_docs_per_sec": round(n_docs / extract_sec, 2),
+        "extract_pages_per_sec": round(n_pages / extract_sec, 2),
+        "n_docs": n_docs,
+        "n_pages": int(n_pages),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

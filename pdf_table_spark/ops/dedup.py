@@ -1,0 +1,180 @@
+"""Deduplication operators over ``documents(doc_id, text)``.
+
+Four tiers, all shuffle-aware:
+
+  exact         md5 hash-groupBy — one shuffle on a 32-byte key; the
+                100 TB plan: hash early, never shuffle raw text.
+  ngram_jaccard exact n-gram (shingle) Jaccard via shingle-explode +
+                self-equi-join on shingle hash + pair aggregation. The
+                join key is the *shingle hash*, so Catalyst plans a
+                shuffled hash join on small keys; AQE splits skewed
+                common-shingle buckets.
+  minhash_lsh   the scale path: 64-perm MinHash signatures (universal
+                hashing over a shared md5-derived 60-bit base hash,
+                mod p=2^31-1 so int64 math is overflow-free and
+                DuckDB-reproducible), banded 16x4 → candidate pairs
+                join on (band, band-hash) — no quadratic blowup.
+  simhash       64 32-bit-safe per-bit votes aggregated as plain sums
+                (map-side combinable); hamming-close pairs are then a
+                cheap band join (not materialized here).
+
+Every op returns stable, alias-named columns so the DuckDB oracle
+twins hash-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+P = 2_147_483_647  # 2^31 - 1, Mersenne prime for universal hashing
+N_PERM = 64
+BANDS = 16
+ROWS_PER_BAND = 4
+SHINGLE_K = 3
+
+# deterministic per-permutation constants (seeded LCG, stated inline so
+# the oracle SQL can embed the identical values)
+
+
+def _perm_consts(n: int = N_PERM):
+    a, consts = 1_103_515_245, []
+    x = 42
+    for _ in range(n):
+        x = (a * x + 12_345) % P
+        a_i = x or 1
+        x = (a * x + 12_345) % P
+        b_i = x
+        consts.append((a_i, b_i))
+    return consts
+
+
+PERM_CONSTS = _perm_consts()
+
+# shared 60-bit hash both Spark and DuckDB can compute identically:
+#   spark:  cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)
+#   duckdb: cast('0x' || substr(md5(s), 1, 15) as bigint)
+H60_SPARK = "cast(conv(substring(md5({s}), 1, 15), 16, 10) as bigint)"
+
+TOKENS = "filter(split(lower(text), '\\\\s+'), t -> t <> '')"
+SHINGLES = (
+    f"array_distinct(transform("
+    f"  sequence(1, greatest(size({TOKENS}) - {SHINGLE_K - 1}, 1)),"
+    f"  i -> array_join(slice({TOKENS}, i, {SHINGLE_K}), ' ')))"
+)
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact duplicate groups: md5(text) → (hash, keeper, n_dups).
+    Only groups with >1 member are duplicates; keeper = min doc_id."""
+    return (
+        docs.select(F.col("doc_id"), F.md5("text").alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keeper_doc_id"),
+             F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def shingle_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) distinct rows — the dedup workhorse layout."""
+    return docs.select(
+        "doc_id", F.explode(F.expr(SHINGLES)).alias("shingle"))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard-similar pairs (doc_a < doc_b, jaccard >= t).
+
+    Plan: shingles → self-join on shingle → pair intersection counts →
+    join per-doc shingle counts → |A∩B| / (|A|+|B|-|A∩B|).
+    """
+    sh = shingle_rows(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """64-perm MinHash signature per doc: sig_i = min over shingles of
+    (a_i * h60(shingle) % P + b_i) % P. One groupBy, 64 min() aggs —
+    map-side combinable, JVM-only."""
+    sh = shingle_rows(docs).select(
+        "doc_id",
+        F.expr(H60_SPARK.format(s="shingle")).alias("h"))
+    sh = sh.select("doc_id", (F.col("h") % P).alias("h"))
+    aggs = [
+        F.min(((F.lit(a) * F.col("h")) % P + F.lit(b)) % P).alias(f"s{i}")
+        for i, (a, b) in enumerate(PERM_CONSTS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
+    """LSH candidate pairs: band signature = md5 over 4 consecutive sig
+    values; pairs sharing any (band_idx, band_hash) bucket. Output
+    distinct (doc_a, doc_b). The 100 TB plan: the band join groups only
+    colliding docs — no cross join ever materializes."""
+    sig = minhash_signatures(docs)
+    band_cols = []
+    for bidx in range(BANDS):
+        cols = [f"s{bidx * ROWS_PER_BAND + j}" for j in range(ROWS_PER_BAND)]
+        band_cols.append(F.struct(
+            F.lit(bidx).alias("band"),
+            F.md5(F.concat_ws(",", *cols)).alias("bh")))
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("b")
+    ).select("doc_id", F.col("b.band").alias("band"),
+             F.col("b.bh").alias("bh"))
+    x = bands.alias("x")
+    y = bands.alias("y")
+    return (
+        x.join(y, (F.col("x.band") == F.col("y.band"))
+               & (F.col("x.bh") == F.col("y.bh"))
+               & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, n_bits: int = 60) -> DataFrame:
+    """Per-doc SimHash over distinct tokens: bit b set iff
+    sum(+1 if bit b of h60(token) else -1) > 0. Returns the fingerprint
+    as a bigint. All built-in expressions: explode → 60 conditional
+    sums → bit assembly."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.expr(f"array_distinct({TOKENS})")).alias("tok"))
+    h = toks.select(
+        "doc_id", F.expr(H60_SPARK.format(s="tok")).alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.expr(f"(h div {1 << b}) % 2 = 1"), 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(n_bits)
+    ]
+    agg = h.groupBy("doc_id").agg(*votes)
+    bit_terms = " + ".join(
+        f"if(v{b} > 0, cast({1 << b} as bigint), 0L)" for b in range(n_bits))
+    return agg.select("doc_id", F.expr(bit_terms).alias("simhash"))

@@ -1,0 +1,107 @@
+"""Text-analysis ops over a plain ``documents(doc_id, text, ...)`` table.
+
+All JVM-side (built-in functions; no Python in the hot path):
+  * token counting      — whitespace split (+ a BPE-ish subword count)
+  * quality scoring     — length / punctuation / stopword / repetition
+  * language ID         — stopword-hit n-gram heuristic
+  * document fingerprint— md5 of the normalized token stream
+
+Scale notes: every op is a narrow map over the scan (no shuffle); the
+expressions push column pruning down to the parquet reader — at 100 TB
+these run at scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny deterministic stopword sets for the language-ID heuristic
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "for", "on"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "un", "une", "dans"],
+    "es": ["el", "la", "los", "que", "y", "es", "un", "una", "para"],
+}
+
+_TOKENS = "filter(split(text, '\\\\s+'), t -> t <> '')"
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Tokens, distinct tokens, chars, mean token length, and a BPE-ish
+    subword-unit estimate (tokens + extra units for long words: a word
+    of length L costs ceil(L/4) units, the classic ~4-chars/token
+    heuristic)."""
+    toks = F.expr(_TOKENS)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length("text").alias("n_chars_seen"),
+        F.round(
+            F.expr(
+                f"aggregate({_TOKENS}, 0L, (a, t) -> a + length(t))"
+                f" / greatest(size({_TOKENS}), 1)"), 4
+        ).alias("mean_token_len"),
+        F.expr(
+            f"aggregate({_TOKENS}, 0L,"
+            f" (a, t) -> a + cast(ceil(length(t) / 4.0) as bigint))"
+        ).alias("n_subword_units"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality features + a composite score in [0, 1]:
+    penalize very short docs, high punctuation density, low lexical
+    diversity, and heavy single-token repetition."""
+    toks = F.expr(_TOKENS)
+    n_tok = F.size(toks)
+    punct = F.length(F.regexp_replace("text", "[^!-/:-@\\[-`{-~]", ""))
+    diversity = F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1))
+    length_ok = F.least(n_tok / F.lit(20.0), F.lit(1.0))
+    punct_ratio = punct / F.greatest(F.length("text"), F.lit(1))
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(diversity, 4).alias("lexical_diversity"),
+        F.round(
+            length_ok * (1 - punct_ratio) * (0.5 + diversity / 2), 4
+        ).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-hit language ID: score = hits per language's stopword
+    list; winner by (score desc, language asc); 'und' when all zero."""
+    toks = "filter(split(lower(text), '\\\\s+'), t -> t <> '')"
+    scores = [
+        F.expr(
+            "size(filter({toks}, t -> array_contains(array({words}), t)))"
+            .format(toks=toks,
+                    words=", ".join(f"'{w}'" for w in words))
+        ).alias(f"score_{lang}")
+        for lang, words in sorted(LANG_STOPWORDS.items())
+    ]
+    scored = docs.select("doc_id", *scores)
+    langs = sorted(LANG_STOPWORDS)
+    pairs = ", ".join(
+        f"struct(-score_{lang} as neg, '{lang}' as lang)" for lang in langs)
+    return scored.select(
+        "doc_id",
+        F.expr(
+            f"if(greatest({', '.join('score_' + la for la in langs)}) = 0, "
+            f"'und', array_min(array({pairs})).lang)"
+        ).alias("pred_lang"),
+        *[F.col(f"score_{lang}") for lang in langs],
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Deterministic document fingerprint: md5 over the space-joined
+    lowercase token stream (normalization-stable content hash)."""
+    toks = "filter(split(lower(text), '\\\\s+'), t -> t <> '')"
+    return docs.select(
+        "doc_id",
+        F.expr(f"md5(array_join({toks}, ' '))").alias("fingerprint"),
+    )

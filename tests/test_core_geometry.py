@@ -1,0 +1,57 @@
+"""Hand-computed parity cases for the geometry core (SURVEY §2 A1, F2,
+X6, A3/U4, J5)."""
+
+from pdf_table_spark.core import geometry as G
+
+
+def test_merge_close_lines_moving_mean():
+    # the moving mean drifts: 0, 1.5 merge to 0.75; 3.0 is within 2 of
+    # 0.75+... sequential semantics, mirroring the reference sweep
+    assert G.merge_close_lines([0.0, 1.5, 10.0]) == [0.75, 10.0]
+    # moving-mean drift blocks the chain: 0,2 → mean 1.0; |1-4|=3 > tol
+    assert G.merge_close_lines([0.0, 2.0, 4.0]) == [1.0, 4.0]
+    # but 0,2,3 chains: mean 1.0, then |1-3|=2 <= tol → (1+3)/2
+    assert G.merge_close_lines([0.0, 2.0, 3.0]) == [2.0]
+    # far-apart values stay separate
+    assert G.merge_close_lines([0.0, 5.0, 10.0]) == [0.0, 5.0, 10.0]
+    assert G.merge_close_lines([]) == []
+
+
+def test_rects_to_segments_classification():
+    rects = [
+        {"x0": 0, "y0": 10, "x1": 100, "y1": 11},    # thin horizontal
+        {"x0": 50, "y0": 0, "x1": 51, "y1": 80},     # thin vertical
+        {"x0": 0, "y0": 0, "x1": 30, "y1": 30},      # fat box → 4 lines
+    ]
+    h, v = G.rects_to_segments(rects)
+    assert (0.0, 10.5, 100.0, 10.5) in h
+    assert (50.5, 0.0, 50.5, 80.0) in v
+    assert len(h) == 3 and len(v) == 3  # box adds 2 h + 2 v
+
+
+def test_segment_intersection_with_tip_tolerance():
+    h = (0.0, 10.0, 100.0, 10.0)
+    v = (100.5, 0.0, 100.5, 50.0)  # just past the h tip, within tol 2
+    assert G.segment_intersection(h, v) == (100.5, 10.0)
+    v_far = (104.0, 0.0, 104.0, 50.0)
+    assert G.segment_intersection(h, v_far) is None
+
+
+def test_iou_and_distance():
+    a = (0, 0, 10, 10)
+    b = (5, 5, 15, 15)
+    assert abs(G.iou(a, b) - (25 / 175)) < 1e-12
+    assert G.iou(a, (20, 20, 30, 30)) == 0.0
+    assert G.l1_center_distance(a, b) == 10.0
+
+
+def test_merge_intervals_with_gap():
+    ivs = [(0, 5), (6, 10), (20, 25)]
+    assert G.merge_intervals(ivs, gap=2) == [(0.0, 10.0), (20.0, 25.0)]
+    assert G.merge_intervals(ivs, gap=0) == [(0.0, 5.0), (6.0, 10.0),
+                                             (20.0, 25.0)]
+
+
+def test_connected_components_smallest_id():
+    comp = G.connected_components(5, [(0, 1), (1, 2), (3, 4)])
+    assert comp == [0, 0, 0, 3, 3]

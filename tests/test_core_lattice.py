@@ -1,0 +1,117 @@
+"""Lattice decoder unit tests: grid reconstruction, edge marking,
+spanning-cell merges, text placement, HTML serialization (SURVEY §2
+M11/M12, W3-W5, J1-like placement, X9)."""
+
+import json
+
+from pdf_table_spark.core import html as H
+from pdf_table_spark.core import lattice as L
+from pdf_table_spark.core.page import extract_pdf_page
+
+
+def grid_rects(xs, ys, drop=()):
+    """Per-edge thin rects for a full grid minus dropped edges.
+    drop entries: ('h', r, c) or ('v', r, c) — same convention as the
+    fixture generator."""
+    rects = []
+    n_rows, n_cols = len(ys) - 1, len(xs) - 1
+    for r in range(n_rows + 1):
+        for c in range(n_cols):
+            if ("h", r, c) not in drop:
+                rects.append({"x0": xs[c], "y0": ys[r] - 0.5,
+                              "x1": xs[c + 1], "y1": ys[r] + 0.5})
+    for r in range(n_rows):
+        for c in range(n_cols + 1):
+            if ("v", r, c) not in drop:
+                rects.append({"x0": xs[c] - 0.5, "y0": ys[r + 1],
+                              "x1": xs[c] + 0.5, "y1": ys[r]})
+    return rects
+
+
+XS = [100.0, 200.0, 300.0]
+YS = [700.0, 650.0, 600.0]  # top-down
+
+
+def text_at(x, y, s):
+    return {"x0": x, "y0": y, "x1": x + 6.0 * len(s), "y1": y + 10.0,
+            "text": s, "dir": "h"}
+
+
+def test_full_grid_2x2():
+    tables, consumed = L.extract_ruled_tables(
+        grid_rects(XS, YS),
+        [text_at(110, 670, "a"), text_at(210, 670, "b"),
+         text_at(110, 620, "c"), text_at(210, 620, "d")])
+    assert len(tables) == 1
+    t = tables[0]
+    assert t.n_rows == 2 and t.n_cols == 2
+    assert len(t.cells) == 4
+    assert consumed == {0, 1, 2, 3}
+    grid = {(c.row, c.col): c.text for c in t.cells}
+    assert grid == {(0, 0): "a", (0, 1): "b", (1, 0): "c", (1, 1): "d"}
+
+
+def test_colspan_merge():
+    # drop the vertical edge between (row 0, col 0) and (row 0, col 1)
+    tables, _ = L.extract_ruled_tables(
+        grid_rects(XS, YS, drop={("v", 0, 1)}),
+        [text_at(110, 670, "wide")])
+    t = tables[0]
+    spans = {(c.row, c.col): (c.row_span, c.col_span) for c in t.cells}
+    assert spans[(0, 0)] == (1, 2)
+    assert (0, 1) not in spans          # absorbed into the wide cell
+    assert spans[(1, 0)] == (1, 1)
+    html = H.cells_to_html(t.cells)
+    assert '<td colspan="2">wide</td>' in html
+
+
+def test_rowspan_merge():
+    tables, _ = L.extract_ruled_tables(
+        grid_rects(XS, YS, drop={("h", 1, 0)}),
+        [text_at(110, 670, "tall")])
+    t = tables[0]
+    spans = {(c.row, c.col): (c.row_span, c.col_span) for c in t.cells}
+    assert spans[(0, 0)] == (2, 1)
+    assert (1, 0) not in spans
+    assert 'rowspan="2"' in H.cells_to_html(t.cells)
+
+
+def test_text_multiline_cell_reading_order():
+    tables, _ = L.extract_ruled_tables(
+        grid_rects(XS, YS),
+        [text_at(110, 660, "lower"), text_at(110, 680, "upper")])
+    t = tables[0]
+    cell = t.cell_of[(0, 0)]
+    assert cell.text == "upper\nlower"
+    assert "<td" in H.cells_to_html(t.cells)
+    assert "upper<br/>lower" in H.cells_to_html(t.cells)
+
+
+def test_single_cell_table_filtered():
+    xs, ys = [100.0, 200.0], [700.0, 650.0]
+    tables, consumed = L.extract_ruled_tables(
+        grid_rects(xs, ys), [text_at(110, 670, "x")])
+    assert tables == [] and consumed == set()
+
+
+def test_two_tables_reading_order():
+    rects = grid_rects(XS, YS) + grid_rects(
+        [100.0, 200.0, 300.0], [400.0, 350.0, 300.0])
+    tables, _ = L.extract_ruled_tables(rects, [])
+    assert len(tables) == 2
+    assert tables[0].bbox[3] > tables[1].bbox[3]  # top table first
+
+
+def test_false_table_suppression_via_page():
+    rects = grid_rects(XS, YS)
+    bbox = (XS[0], YS[-1], XS[-1], YS[0])
+    page = {"width": 612, "height": 792,
+            "text_lines": [text_at(110, 670, "cap")],
+            "rects": rects,
+            "images": [{"x0": bbox[0], "y0": bbox[1], "x1": bbox[2],
+                        "y1": bbox[3], "name": "img://1"}]}
+    frags = extract_pdf_page(json.dumps(page), "page://d/0")
+    kinds = [f[0] for f in frags]
+    assert "table_html" not in kinds        # suppressed (F6)
+    assert "image" in kinds                  # passthrough survives
+    assert any(f[0] == "paragraph" and "cap" in f[1] for f in frags)

@@ -1,0 +1,102 @@
+"""Training-data ops: properties the SQL oracle can't express.
+
+* MinHash-LSH candidates must cover all high-Jaccard pairs (recall on
+  the exact n-gram pairs).
+* ANN (LSH-bucketed) results are a subset of brute-force rankings and
+  achieve reasonable top-k recall.
+* Media decode plumbing is deterministic with the declared schema.
+"""
+
+import os
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+
+
+def test_exact_dedup_self_duplicates(spark, docs):
+    from pdf_table_spark.ops.dedup import exact_dedup
+    from pyspark.sql import functions as F
+    doubled = docs.union(docs.withColumn("doc_id", F.col("doc_id") + 100000))
+    groups = exact_dedup(doubled)
+    assert groups.count() == docs.select("text").distinct().count()
+    assert groups.agg({"n_docs": "min"}).collect()[0][0] >= 2
+
+
+def test_minhash_lsh_covers_high_jaccard_pairs(spark, docs):
+    from pdf_table_spark.ops.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+    exact = {(r.doc_a, r.doc_b)
+             for r in ngram_jaccard_pairs(docs, 0.8).collect()}
+    lsh = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs).collect()}
+    # 16 bands x 4 rows: P(candidate | j=0.8) = 1-(1-0.8^4)^16 ≈ 0.9998
+    missed = exact - lsh
+    assert not missed, f"LSH missed high-jaccard pairs: {missed}"
+
+
+def test_simhash_identical_docs_equal(spark, docs):
+    from pdf_table_spark.ops.dedup import simhash
+    from pyspark.sql import functions as F
+    dup = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 100000)
+    sh = simhash(docs.limit(5).union(dup))
+    rows = {r.doc_id: r.simhash for r in sh.collect()}
+    for base_id in list(rows):
+        if base_id < 100000 and base_id + 100000 in rows:
+            assert rows[base_id] == rows[base_id + 100000]
+
+
+def test_ann_lsh_equals_bucket_restricted_bruteforce(spark, emb):
+    """ANN must be *exactly* the brute-force ranking restricted to the
+    query's LSH bucket — same cosines, same order."""
+    import numpy as np
+    from pdf_table_spark.ops.similarity import ann_topk_lsh, lsh_bucket
+
+    rows = lsh_bucket(emb).collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    bucket = {r.vec_id: r.bucket for r in rows}
+    expected = []
+    for q in sorted(v for v in vecs if v < 10):
+        cands = []
+        for n in vecs:
+            if n == q or bucket[n] != bucket[q]:
+                continue
+            a, b = vecs[q], vecs[n]
+            cos = float(a @ b / (np.sqrt(a @ a) * np.sqrt(b @ b)))
+            cands.append((round(cos, 9), n))
+        cands.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (cos, n) in enumerate(cands[:5], 1):
+            expected.append((q, n, rank))
+    got = [(r.query_id, r.neighbor_id, r.rank)
+           for r in ann_topk_lsh(emb, k=5).collect()]
+    assert sorted(got) == sorted(expected)
+
+
+def test_media_decode_deterministic_schema(spark, fixture_root):
+    from pdf_table_spark.ops.multimodal import (
+        decode_media, media_refs_with_payloads)
+    spans = spark.read.parquet(os.path.join(
+        fixture_root, "sf0.001", "documents_spans.parquet"))
+    media = media_refs_with_payloads(spans)
+    a = sorted(map(tuple, decode_media(media).collect()))
+    b = sorted(map(tuple, decode_media(media).collect()))
+    assert a == b and len(a) > 0
+    row = a[0]
+    assert len(row) == 6 and len(row[5]) == 16  # feature dim
+
+
+def test_lang_id_has_und_for_stopwordless(spark):
+    from pdf_table_spark.ops.text import lang_id
+    df = spark.createDataFrame(
+        [(1, "zzz qqq xxx"), (2, "the cat and the hat is on it")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.pred_lang for r in lang_id(df).collect()}
+    assert got[1] == "und" and got[2] == "en"
