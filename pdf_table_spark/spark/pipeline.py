@@ -43,7 +43,7 @@ def explode_spans(docs: DataFrame) -> DataFrame:
     """documents(doc_id, spans[]) → one row per span (page-level work
     units). Narrow transformation — no shuffle."""
     return docs.select(
-        "doc_id", F.explode("spans").alias("s")
+        "doc_id", F.explode_outer("spans").alias("s")
     ).select(
         "doc_id",
         F.col("s.offset").alias("offset"),
@@ -67,9 +67,11 @@ def reassemble(frags: DataFrame) -> DataFrame:
         .select(
             "doc_id",
             F.expr(
-                "transform(a, (x, i) -> struct("
-                "x.kind as kind, x.text as text, "
-                "x.media_ref as media_ref, cast(i as int) as offset))"
+                "transform("
+                "  filter(a, x -> x.kind != '__empty__'),"
+                "  (x, i) -> struct("
+                "    x.kind as kind, x.text as text, "
+                "    x.media_ref as media_ref, cast(i as int) as offset))"
             ).alias("out_spans"),
         )
     )
@@ -90,21 +92,11 @@ def extract_documents(docs: DataFrame,
             spark.conf.get("spark.sql.shuffle.partitions"))
         sp = sp.repartition(n, "doc_id", "offset")
     frags = run_extract_stage(sp)
-    out = reassemble(frags)
-    # Docs whose spans produced no fragments (or were empty) must still
-    # appear with an empty out_spans — lineage completeness: every input
-    # doc_id is accounted for downstream.
-    all_ids = docs.select("doc_id")
-    return (
-        all_ids.join(out, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(
-                "out_spans",
-                F.expr(f"cast(array() as array<{SPAN_STRUCT}>)"),
-            ).alias("out_spans"),
-        )
-    )
+    # Every doc survives reassembly: the Arrow stage emits a sentinel
+    # fragment for fragment-less spans (and explode_outer emits a null
+    # span for zero-span docs), so no join back to the doc_id universe
+    # is needed — at 10^12 docs that join would be the bottleneck.
+    return reassemble(frags)
 
 
 def flatten_output(out: DataFrame) -> DataFrame:

@@ -21,6 +21,9 @@ FRAG_SCHEMA = ("doc_id string, offset int, frag_idx int, "
                "kind string, text string, media_ref string")
 
 
+EMPTY_SENTINEL = "__empty__"
+
+
 def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         doc_ids, offsets, frag_idxs = [], [], []
@@ -29,10 +32,21 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 pdf["doc_id"].values, pdf["offset"].values,
                 pdf["kind"].values, pdf["text"].values,
                 pdf["media_ref"].values):
-            frags = extract_span(kind, text or "", ref or "")
+            if kind is None or (isinstance(kind, float) and pd.isna(kind)):
+                frags = []
+            else:
+                frags = extract_span(kind, text or "", ref or "")
+            if not frags:
+                # sentinel keeps the doc alive through the groupBy —
+                # covers zero-span docs (explode_outer null row),
+                # unknown kinds, and pages that decode to nothing;
+                # filtered out JVM-side during reassembly. Avoids the
+                # alternative (a join back to all doc_ids) which would
+                # broadcast/shuffle every doc_id at 10^12 scale.
+                frags = [(EMPTY_SENTINEL, "", "")]
             for i, (k, t, r) in enumerate(frags):
                 doc_ids.append(doc_id)
-                offsets.append(int(offset))
+                offsets.append(-1 if pd.isna(offset) else int(offset))
                 frag_idxs.append(i)
                 kinds.append(k)
                 texts.append(t)

@@ -1,0 +1,77 @@
+"""Checkpoint/resume semantics: idempotent re-runs, manifest-gated
+skipping, corruption recovery, lineage metrics."""
+
+import json
+import os
+import shutil
+
+import pytest
+
+from pdf_table_spark.spark.checkpoint import (
+    read_manifests, run_checkpointed)
+from pdf_table_spark.spark.metrics import (
+    content_metrics, lineage_metrics, lineage_rollup)
+
+
+@pytest.fixture()
+def docs(spark, fixture_root):
+    return spark.read.parquet(
+        os.path.join(fixture_root, "sf0.001", "documents_spans.parquet"))
+
+
+def _golden_count(fixture_root):
+    import pyarrow.parquet as pq
+    return pq.read_table(os.path.join(
+        fixture_root, "sf0.001", "golden_flat.parquet")).num_rows
+
+
+def test_run_resume_and_rerun(spark, docs, fixture_root, tmp_path):
+    out = str(tmp_path / "out")
+    s1 = run_checkpointed(spark, docs, out, n_buckets=4, run_id="r1")
+    assert len(s1["done"]) == 4 and not s1["skipped"]
+    total = spark.read.parquet(out).count()
+    assert total == _golden_count(fixture_root)
+
+    # full re-run: everything skipped, output unchanged
+    s2 = run_checkpointed(spark, docs, out, n_buckets=4, run_id="r2")
+    assert not s2["done"] and len(s2["skipped"]) == 4
+    assert spark.read.parquet(out).count() == total
+
+    # simulate a crash mid-bucket: delete one manifest → only that
+    # bucket recomputes; rows don't duplicate (overwrite semantics)
+    manifests = read_manifests(out)
+    victim = manifests[1]["partition_id"]
+    os.remove(os.path.join(out, "_manifests", f"{victim}.json"))
+    s3 = run_checkpointed(spark, docs, out, n_buckets=4, run_id="r3")
+    assert s3["done"] == [victim]
+    assert spark.read.parquet(out).count() == total
+
+
+def test_changed_input_invalidates_bucket(spark, docs, tmp_path):
+    out = str(tmp_path / "out")
+    run_checkpointed(spark, docs, out, n_buckets=4, run_id="r1")
+    # stale manifest with wrong fingerprint → recompute
+    mpath = os.path.join(out, "_manifests")
+    name = sorted(os.listdir(mpath))[0]
+    with open(os.path.join(mpath, name)) as f:
+        m = json.load(f)
+    m["input_fingerprint"] = 0
+    with open(os.path.join(mpath, name), "w") as f:
+        json.dump(m, f)
+    s = run_checkpointed(spark, docs, out, n_buckets=4, run_id="r2")
+    assert s["done"] == [m["partition_id"]]
+
+
+def test_lineage_and_content_metrics(spark, docs, tmp_path):
+    out = str(tmp_path / "out")
+    run_checkpointed(spark, docs, out, n_buckets=2, run_id="r1")
+    lin = lineage_metrics(spark, out)
+    assert lin.count() == 2
+    roll = lineage_rollup(lin).collect()[0]
+    assert roll["docs"] == docs.count()
+    assert roll["n_partitions"] == 2
+
+    flat = spark.read.parquet(out)
+    cm = {r["kind"]: r for r in content_metrics(flat).collect()}
+    assert set(cm) == {"table_html", "paragraph", "image"}
+    assert all(r["n_spans"] > 0 for r in cm.values())
