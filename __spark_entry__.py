@@ -328,7 +328,7 @@ def oracle_sql() -> dict[str, str]:
     from pdf_table_spark.ops.text import LANG_STOPWORDS
 
     golden = f"read_parquet('{GOLDEN_001}')"
-    spans = f"read_parquet('{SPANS_001}')"
+    spans = f"read_parquet('{SPANS_001}/*.parquet')"
 
     langs = sorted(LANG_STOPWORDS)
     lang_scores = ", ".join(

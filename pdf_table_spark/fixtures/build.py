@@ -28,6 +28,12 @@ from .generator import gen_corpus
 
 DOC_COUNTS = {"0.001": 50, "0.01": 500, "0.1": 5000}
 
+# documents_spans.parquet is a DIRECTORY of part files: a 100 TB corpus
+# is thousands of files, and Spark's scan parallelism comes from file
+# splits — a single small file caps the scan at one task no matter the
+# cluster size, which poisons the N→4N scaling measurement.
+N_SHARDS = {"0.001": 8, "0.01": 16, "0.1": 64}
+
 SPAN_TYPE = pa.struct([
     ("kind", pa.string()), ("text", pa.string()),
     ("media_ref", pa.string()), ("offset", pa.int32())])
@@ -48,8 +54,10 @@ def build_sf(root: str, sf: str, force: bool = False) -> dict:
     out_dir = fixture_dir(root, sf)
     docs_path = os.path.join(out_dir, "documents_spans.parquet")
     golden_path = os.path.join(out_dir, "golden_flat.parquet")
-    if not force and os.path.exists(docs_path) and os.path.exists(golden_path):
+    if not force and os.path.isdir(docs_path) and os.path.exists(golden_path):
         return {"sf": sf, "skipped": True}
+    if os.path.isfile(docs_path):  # migrate old single-file layout
+        os.remove(docs_path)
     os.makedirs(out_dir, exist_ok=True)
 
     n_docs = DOC_COUNTS[sf]
@@ -67,9 +75,18 @@ def build_sf(root: str, sf: str, force: bool = False) -> dict:
             g_text.append(o["text"])
             g_ref.append(o["media_ref"])
 
-    docs_tbl = pa.Table.from_pydict(
-        {"doc_id": doc_ids, "spans": span_lists}, schema=DOCS_SCHEMA)
-    pq.write_table(docs_tbl, docs_path)
+    n_shards = N_SHARDS[sf]
+    os.makedirs(docs_path, exist_ok=True)
+    per = (n_docs + n_shards - 1) // n_shards
+    for shard in range(n_shards):
+        lo, hi = shard * per, min((shard + 1) * per, n_docs)
+        if lo >= hi:
+            break
+        tbl = pa.Table.from_pydict(
+            {"doc_id": doc_ids[lo:hi], "spans": span_lists[lo:hi]},
+            schema=DOCS_SCHEMA)
+        pq.write_table(tbl, os.path.join(
+            docs_path, f"part-{shard:05d}.parquet"))
     golden_tbl = pa.Table.from_pydict(
         {"doc_id": g_doc, "offset": g_off, "kind": g_kind,
          "text": g_text, "media_ref": g_ref}, schema=GOLDEN_SCHEMA)

@@ -152,23 +152,35 @@ def _html_table_fragment(rng):
     return "".join(parts)
 
 
-def gen_page(rng, family):
-    """One pdf_page span payload (JSON string) plus any sibling spans."""
+def gen_page(rng, family, heavy=False):
+    """One pdf_page span payload (JSON string) plus any sibling spans.
+
+    ``heavy`` = realistic page density (the scaling-bench corpus):
+    dense multi-table pages approximating real document pages, so the
+    compute-per-byte ratio matches production rather than the tiny
+    correctness fixtures. heavy=False draws are byte-identical to the
+    original fixtures."""
     if family == "F-A":
-        rects, texts, _ = _ruled_table(
-            rng, 80.0, 700.0, rng.randint(2, 8), rng.randint(2, 6))
+        r, c = ((rng.randint(10, 18), rng.randint(4, 8)) if heavy
+                else (rng.randint(2, 8), rng.randint(2, 6)))
+        rects, texts, _ = _ruled_table(rng, 80.0, 700.0, r, c)
         return _page_json(texts, rects)
     if family == "F-B":
-        rects, texts, _ = _ruled_table(
-            rng, 80.0, 700.0, rng.randint(3, 6), rng.randint(3, 5),
-            drop_edges=rng.randint(1, 3))
+        r, c, d = ((rng.randint(8, 14), rng.randint(4, 7),
+                    rng.randint(4, 10)) if heavy
+                   else (rng.randint(3, 6), rng.randint(3, 5),
+                         rng.randint(1, 3)))
+        rects, texts, _ = _ruled_table(rng, 80.0, 700.0, r, c, drop_edges=d)
         return _page_json(texts, rects)
     if family == "F-C":
-        texts = _stream_table(rng, 90.0, 680.0, rng.randint(5, 9),
-                              rng.randint(2, 4))
+        r, c = ((rng.randint(14, 24), rng.randint(3, 6)) if heavy
+                else (rng.randint(5, 9), rng.randint(2, 4)))
+        texts = _stream_table(rng, 90.0, 680.0, r, c)
         return _page_json(texts)
     if family == "F-D":
-        texts, _ = _prose(rng, 72.0, 720.0, rng.randint(2, 6))
+        texts, _ = _prose(rng, 72.0, 720.0,
+                          rng.randint(6, 10) if heavy
+                          else rng.randint(2, 6))
         return _page_json(texts)
     if family == "F-E":
         rects, ttexts, _ = _ruled_table(rng, 80.0, 720.0, 3, 3)
@@ -193,9 +205,13 @@ def gen_page(rng, family):
     raise ValueError(family)
 
 
-def gen_doc(doc_idx: int, seed: int = 42):
+def gen_doc(doc_idx: int, seed: int = 42, heavy: bool = False):
     """Generate one document: (doc_id, spans). Deterministic per
-    (seed, doc_idx) so generation parallelizes / resumes trivially."""
+    (seed, doc_idx) so generation parallelizes / resumes trivially.
+
+    ``heavy`` = scaling-bench profile: 6-10 dense pages per doc (see
+    gen_page). Default draws are byte-identical to the original
+    fixtures."""
     rng = random.Random((seed << 20) ^ doc_idx)
     family = rng.choices(FAMILIES, weights=WEIGHTS, k=1)[0]
     doc_id = f"doc_{doc_idx:07d}"
@@ -204,6 +220,13 @@ def gen_doc(doc_idx: int, seed: int = 42):
     def add(kind, text="", media_ref=""):
         spans.append({"kind": kind, "text": text, "media_ref": media_ref,
                       "offset": len(spans)})
+
+    if heavy:
+        for p in range(rng.randint(6, 10)):
+            fam = rng.choice(["F-A", "F-B", "F-C", "F-D"])
+            add("pdf_page", gen_page(rng, fam, heavy=True),
+                f"page://{doc_id}/{p}")
+        return doc_id, spans, "heavy"
 
     if family == "F-F":
         for _ in range(rng.randint(1, 3)):

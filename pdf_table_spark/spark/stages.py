@@ -1,18 +1,21 @@
-"""Arrow (mapInPandas) stages — the Python compute islands.
+"""Arrow (mapInArrow) stages — the Python compute islands.
 
-One stage: per-span extraction. Input batches arrive as pandas
-DataFrames (Arrow transfer); inside a batch we loop *documents' spans*,
-not Spark rows — the sanctioned vectorization pattern (SURVEY §1.3).
-The per-span work itself (json decode, numpy sweeps) is exactly
-``pdf_table_spark.core.page.extract_span``, shared with the golden
-oracle.
+One stage: per-span extraction. Batches arrive as raw
+``pyarrow.RecordBatch`` (``mapInArrow``), NOT pandas — profiling showed
+the pandas block-manager round trip (Arrow→pandas object columns →
+pandas→Arrow) cost ~2-3x the actual page-decode CPU at 32 cores, and
+was the scaling bottleneck between local[8] and local[32]. Inside a
+batch we loop the documents' spans — the sanctioned vectorization
+pattern (SURVEY §1.3); the per-span work (json decode, numpy sweeps) is
+exactly ``pdf_table_spark.core.page.extract_span``, shared with the
+golden oracle.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
-import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 
 from ..core.page import extract_span
@@ -20,22 +23,26 @@ from ..core.page import extract_span
 FRAG_SCHEMA = ("doc_id string, offset int, frag_idx int, "
                "kind string, text string, media_ref string")
 
+ARROW_SCHEMA = pa.schema([
+    ("doc_id", pa.string()), ("offset", pa.int32()),
+    ("frag_idx", pa.int32()), ("kind", pa.string()),
+    ("text", pa.string()), ("media_ref", pa.string())])
 
 EMPTY_SENTINEL = "__empty__"
 
 
-def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
+def _extract_batches(
+        batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    for batch in batches:
+        cols = {name: batch.column(i).to_pylist()
+                for i, name in enumerate(batch.schema.names)}
         doc_ids, offsets, frag_idxs = [], [], []
         kinds, texts, refs = [], [], []
         for doc_id, offset, kind, text, ref in zip(
-                pdf["doc_id"].values, pdf["offset"].values,
-                pdf["kind"].values, pdf["text"].values,
-                pdf["media_ref"].values):
-            if kind is None or (isinstance(kind, float) and pd.isna(kind)):
-                frags = []
-            else:
-                frags = extract_span(kind, text or "", ref or "")
+                cols["doc_id"], cols["offset"], cols["kind"],
+                cols["text"], cols["media_ref"]):
+            frags = [] if kind is None else extract_span(
+                kind, text or "", ref or "")
             if not frags:
                 # sentinel keeps the doc alive through the groupBy —
                 # covers zero-span docs (explode_outer null row),
@@ -46,22 +53,22 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 frags = [(EMPTY_SENTINEL, "", "")]
             for i, (k, t, r) in enumerate(frags):
                 doc_ids.append(doc_id)
-                offsets.append(-1 if pd.isna(offset) else int(offset))
+                offsets.append(-1 if offset is None else offset)
                 frag_idxs.append(i)
                 kinds.append(k)
                 texts.append(t)
                 refs.append(r)
-        yield pd.DataFrame({
-            "doc_id": pd.Series(doc_ids, dtype="object"),
-            "offset": pd.Series(offsets, dtype="int32"),
-            "frag_idx": pd.Series(frag_idxs, dtype="int32"),
-            "kind": pd.Series(kinds, dtype="object"),
-            "text": pd.Series(texts, dtype="object"),
-            "media_ref": pd.Series(refs, dtype="object"),
-        })
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(doc_ids, pa.string()),
+             pa.array(offsets, pa.int32()),
+             pa.array(frag_idxs, pa.int32()),
+             pa.array(kinds, pa.string()),
+             pa.array(texts, pa.string()),
+             pa.array(refs, pa.string())],
+            schema=ARROW_SCHEMA)
 
 
 def run_extract_stage(span_rows: DataFrame) -> DataFrame:
     """span rows (doc_id, offset, kind, text, media_ref) → fragment rows
     (doc_id, offset, frag_idx, kind, text, media_ref)."""
-    return span_rows.mapInPandas(_extract_batches, schema=FRAG_SCHEMA)
+    return span_rows.mapInArrow(_extract_batches, schema=FRAG_SCHEMA)
