@@ -172,6 +172,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return multimodal.decode_media(
             multimodal.media_refs_with_payloads(_spans_df(spark, sf_dir)))
 
+    # ---- §2 operator families exposed on the extraction output ----
+    def q_doc_metrics(spark, sf_dir):
+        # A9/A10 metrics rollup over the pipeline output
+        import sys
+        sys.path.insert(0, REPO)
+        from pdf_table_spark.spark.metrics import doc_metrics
+        return doc_metrics(_extract_flat(spark, sf_dir))
+
+    def q_paragraph_rank(spark, sf_dir):
+        # W-family window: rank paragraphs by length within a doc
+        from pyspark.sql.window import Window
+        flat = _extract_flat(spark, sf_dir).filter(
+            F.col("kind") == "paragraph")
+        w = Window.partitionBy("doc_id").orderBy(
+            F.length("text").desc(), F.col("offset").asc())
+        return flat.select(
+            "doc_id", "offset", F.length("text").alias("n_chars"),
+            F.row_number().over(w).cast("int").alias("para_rank"))
+
+    def q_top_docs_by_tables(spark, sf_dir):
+        # O-family top-k: docs with the most extracted tables
+        return (
+            _extract_flat(spark, sf_dir)
+            .filter(F.col("kind") == "table_html")
+            .groupBy("doc_id").agg(F.count("*").alias("n_tables"))
+            .orderBy(F.col("n_tables").desc(), F.col("doc_id"))
+            .limit(20)
+        )
+
+    def q_lsh_dedup_keep(spark, sf_dir):
+        # U1-style anti-join: survivors after MinHash-LSH dedup (drop
+        # the lexicographically-larger member of every candidate pair)
+        docs = _t(spark, sf_dir, "documents")
+        dupes = (dedup.minhash_lsh_pairs(docs)
+                 .select(F.col("doc_b").alias("doc_id")).distinct())
+        return docs.join(dupes, "doc_id", "left_anti").select("doc_id")
+
+    def q_text_normalize(spark, sf_dir):
+        # X1/X2 scalar family: punct strip + numberish/OCR-zero token
+        # classification, all JVM-side regexes
+        toks = "filter(split(text, '\\\\s+'), t -> t <> '')"
+        return _t(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.length(F.regexp_replace("text", "[!-/:-@\\[-`{-~]", ""))
+            .alias("n_chars_no_punct"),
+            F.expr(
+                f"size(filter({toks}, t -> t rlike '^[0-9.,%+-]+$' "
+                f"and t rlike '[0-9]'))").alias("n_numberish_tokens"),
+            F.expr(
+                f"size(filter({toks}, t -> t in ('O', 'o')))"
+            ).alias("n_ocr_zero_tokens"),
+        )
+
     # ---- relational / window coverage on the star schema ----
     def q_pricing_summary(spark, sf_dir):
         li = _t(spark, sf_dir, "lineitem")
@@ -245,6 +298,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": q_ann_topk_lsh,
         "embedding_neardup": q_embedding_neardup,
         "media_features": q_media_features,
+        "doc_metrics": q_doc_metrics,
+        "paragraph_rank": q_paragraph_rank,
+        "top_docs_by_tables": q_top_docs_by_tables,
+        "lsh_dedup_keep": q_lsh_dedup_keep,
+        "text_normalize": q_text_normalize,
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
         "event_sessions": q_event_sessions,
@@ -471,6 +529,48 @@ def oracle_sql() -> dict[str, str]:
             from documents group by md5(text) having count(*) > 1
         """,
         "ngram_jaccard": jacc,
+        "doc_metrics": f"""
+            select doc_id, count(*) as n_spans,
+                   sum(case when kind = 'table_html' then 1 else 0 end)
+                     as n_tables,
+                   sum(case when kind = 'paragraph' then 1 else 0 end)
+                     as n_paragraphs,
+                   sum(length(text)) as total_chars
+            from {golden} group by doc_id
+        """,
+        "paragraph_rank": f"""
+            select doc_id, "offset" as offset, length(text) as n_chars,
+                   cast(row_number() over (
+                     partition by doc_id
+                     order by length(text) desc, "offset" asc
+                   ) as int) as para_rank
+            from {golden} where kind = 'paragraph'
+        """,
+        "top_docs_by_tables": f"""
+            select doc_id, count(*) as n_tables from {golden}
+            where kind = 'table_html' group by doc_id
+            order by n_tables desc, doc_id limit 20
+        """,
+        "lsh_dedup_keep": _dk_minhash_bands_cte() + """
+            select d.doc_id from documents d
+            where d.doc_id not in (
+              select distinct y.doc_id
+              from bands x join bands y
+                on x.band = y.band and x.bh = y.bh
+               and x.doc_id < y.doc_id)
+        """,
+        "text_normalize": f"""
+            select doc_id,
+                   length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g'))
+                     as n_chars_no_punct,
+                   len(list_filter({DK_TOKENS_CASED},
+                       t -> regexp_matches(t, '^[0-9.,%+-]+$')
+                        and regexp_matches(t, '[0-9]')))
+                     as n_numberish_tokens,
+                   len(list_filter({DK_TOKENS_CASED},
+                       t -> t in ('O', 'o'))) as n_ocr_zero_tokens
+            from documents
+        """,
         "minhash_signatures": _dk_minhash_sig_sql(8),
         "minhash_lsh_pairs": _dk_minhash_bands_cte() + """
             select distinct x.doc_id as doc_a, y.doc_id as doc_b
