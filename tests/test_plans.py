@@ -1,0 +1,84 @@
+"""Physical-plan hygiene: the properties that make these queries hold
+up at 100 TB must be visible in the plan, not assumed.
+
+  * filters reach the parquet scan (PushedFilters)
+  * scans read only referenced columns (ReadSchema pruning)
+  * small dimensions broadcast (no sort-merge shuffle join)
+  * top-k compiles to TakeOrderedAndProject / WindowGroupLimit,
+    never a global sort
+  * exactly ONE Python boundary in the extraction pipeline; trivial
+    span kinds stay in whole-stage codegen
+"""
+
+import os
+import re
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+
+
+def n_nodes(plan: str, name: str) -> int:
+    """Count physical nodes by their detail header '(k) Name' — the
+    tree rendering repeats each node name, so substring counts lie."""
+    return len(re.findall(rf"^\(\d+\) {name}\b", plan, re.MULTILINE))
+
+
+@pytest.fixture(scope="module")
+def queries():
+    import __spark_entry__ as entrymod
+    return entrymod.queries()
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata absent")
+class TestPlans:
+    def test_pricing_summary_pushdown_and_partial_agg(self, spark, queries):
+        plan = plan_of(queries["pricing_summary"](spark, SF_DIR))
+        assert "LessThanOrEqual(l_shipdate" in plan   # filter at the scan
+        assert "l_comment" not in plan                # column pruning
+        # map-side combine: partial + final HashAggregate pair
+        assert n_nodes(plan, "HashAggregate") >= 2
+
+    def test_top_revenue_orders_broadcasts_dims(self, spark, queries):
+        plan = plan_of(queries["top_revenue_orders"](spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "TakeOrderedAndProject" in plan        # top-k, no full sort
+        assert "EqualTo(c_mktsegment,BUILDING)" in plan
+
+    def test_cosine_topk_broadcasts_queries_and_limits_window(
+            self, spark, queries):
+        plan = plan_of(queries["cosine_topk"](spark, SF_DIR))
+        assert "BroadcastNestedLoopJoin" in plan      # tiny query side
+        assert "WindowGroupLimit" in plan             # rank<=k pushed down
+        assert "LessThan(vec_id,10)" in plan          # query filter at scan
+
+    def test_token_stats_prunes_scan(self, spark, queries):
+        plan = plan_of(queries["token_stats"](spark, SF_DIR))
+        # documents has (doc_id, text, lang, source, n_chars); only two
+        # referenced columns may be read
+        for unused in ("lang", "source", "n_chars:"):
+            assert unused not in plan
+
+    def test_extraction_has_single_python_boundary(self, spark, queries):
+        plan = plan_of(queries["extract_spans"](spark, SF_DIR))
+        # one mapInArrow stage; trivial kinds must not add a second
+        assert n_nodes(plan, "MapInArrow") == 1
+        assert "MapInPandas" not in plan
+        assert "BatchEvalPython" not in plan          # no row-wise UDFs
+        # reassembly is JVM-side
+        assert "ObjectHashAggregate" in plan or "SortAggregate" in plan
+
+    def test_event_sessions_single_shuffle_for_window_and_agg(
+            self, spark, queries):
+        plan = plan_of(queries["event_sessions"](spark, SF_DIR))
+        # lag + running sum + final groupBy all share the user_id
+        # hash partitioning: one data shuffle (plus AQE readers at most)
+        assert n_nodes(plan, "Exchange") <= 2
