@@ -169,8 +169,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf_dir, "embeddings"), threshold=0.95)
 
     def q_media_features(spark, sf_dir):
+        # feature (float32 vector) is pytest-checked; the md5-derived
+        # metadata is oracle-checked exactly
         return multimodal.decode_media(
-            multimodal.media_refs_with_payloads(_spans_df(spark, sf_dir)))
+            multimodal.media_refs_with_payloads(_spans_df(spark, sf_dir))
+        ).select("media_ref", "n_bytes", "width", "height", "format")
 
     # ---- §2 operator families exposed on the extraction output ----
     def q_doc_metrics(spark, sf_dir):
@@ -380,6 +383,70 @@ def _dk_simhash_sql(n_bits: int = 60) -> str:
     """
 
 
+def _dk_plane_literal(dim: int, plane_idx: int) -> str:
+    import sys
+    sys.path.insert(0, REPO)
+    from pdf_table_spark.ops.similarity import hyperplane
+    return "[" + ", ".join(
+        "1.0" if c > 0 else "-1.0"
+        for c in hyperplane(dim, plane_idx)) + "]"
+
+
+def _dk_bucket_expr(dim: int, n_planes: int, emb: str = "emb") -> str:
+    bits = []
+    for p in range(n_planes):
+        bits.append(
+            f"case when list_dot_product({emb}, {_dk_plane_literal(dim, p)})"
+            f" > 0 then {1 << p}::bigint else 0 end")
+    return " + ".join(bits)
+
+
+def _dk_ann_lsh_sql(k: int = 5, dim: int = 64, n_planes: int = 8) -> str:
+    return f"""
+        with bucketed as (
+          select vec_id, embedding::DOUBLE[] as emb,
+                 {_dk_bucket_expr(dim, n_planes)} as bucket
+          from embeddings
+        ), q as (
+          select vec_id as query_id, emb as q_emb, bucket as q_bucket
+          from bucketed where vec_id < 10
+        ), pairs as (
+          select q.query_id, b.vec_id as neighbor_id,
+                 round(list_dot_product(q.q_emb, b.emb) /
+                       (sqrt(list_dot_product(q.q_emb, q.q_emb)) *
+                        sqrt(list_dot_product(b.emb, b.emb))), 9) as cosine
+          from bucketed b, q
+          where b.bucket = q.q_bucket and b.vec_id <> q.query_id
+        ), ranked as (
+          select *, row_number() over (
+            partition by query_id order by cosine desc, neighbor_id
+          ) as rank from pairs
+        )
+        select query_id, neighbor_id, cosine, cast(rank as int) as rank
+        from ranked where rank <= {k}
+    """
+
+
+def _dk_neardup_sql(threshold: float = 0.95, dim: int = 64,
+                    n_planes: int = 6) -> str:
+    return f"""
+        with bucketed as (
+          select vec_id, embedding::DOUBLE[] as emb,
+                 {_dk_bucket_expr(dim, n_planes)} as bucket
+          from embeddings
+        )
+        select a.vec_id as vec_a, b.vec_id as vec_b,
+               round(list_dot_product(a.emb, b.emb) /
+                     (sqrt(list_dot_product(a.emb, a.emb)) *
+                      sqrt(list_dot_product(b.emb, b.emb))), 9) as cosine
+        from bucketed a join bucketed b
+          on a.bucket = b.bucket and a.vec_id < b.vec_id
+        where round(list_dot_product(a.emb, b.emb) /
+                    (sqrt(list_dot_product(a.emb, a.emb)) *
+                     sqrt(list_dot_product(b.emb, b.emb))), 9) >= {threshold}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     import sys
     sys.path.insert(0, REPO)
@@ -579,6 +646,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash": _dk_simhash_sql(),
         "cosine_topk": cosine,
+        "ann_topk_lsh": _dk_ann_lsh_sql(),
+        "embedding_neardup": _dk_neardup_sql(),
+        "media_features": f"""
+            with refs as (
+              select distinct s.media_ref as media_ref
+              from (select unnest(spans) as s from {spans})
+              where s.kind = 'image'
+            )
+            select media_ref,
+                   cast(length(media_ref) as bigint) as n_bytes,
+                   64 + cast('0x' || substr(md5(media_ref), 1, 2) as int) * 8
+                     as width,
+                   64 + cast('0x' || substr(md5(media_ref), 3, 2) as int) * 8
+                     as height,
+                   (['png', 'jpeg', 'webp'])[
+                     cast('0x' || substr(md5(media_ref), 5, 2) as int) % 3 + 1]
+                     as format
+            from refs
+        """,
         "pricing_summary": """
             select l_returnflag, l_linestatus,
                    sum(l_quantity) as sum_qty,
@@ -625,8 +711,4 @@ def oracle_sql() -> dict[str, str]:
                    count(*) as n_events
             from sess group by user_id
         """,
-        # ann_topk_lsh / embedding_neardup / media_features: rows-only
-        # checks (LSH bucket layout and the stubbed media decode are
-        # non-SQL-expressible); their exactness is covered by pytest
-        # (ANN vs brute-force recall, decode determinism).
     }

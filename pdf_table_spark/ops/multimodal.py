@@ -71,6 +71,73 @@ def decode_media(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_media_batches, schema=MEDIA_META_SCHEMA)
 
 
+RESIZE_SCHEMA = ("media_ref string, width int, height int, "
+                 "src_width int, src_height int, format string")
+
+
+def resize_media(media: DataFrame, max_w: int = 256,
+                 max_h: int = 256) -> DataFrame:
+    """Aspect-preserving resize of image payloads into a max_w x max_h
+    box. The pixel resample itself is the stubbed codec step (PIL
+    ``Image.thumbnail`` in production); the decode of source dims, the
+    fit arithmetic, the Arrow batch shape and the output schema are the
+    real, tested plumbing."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("media_ref", "width", "height",
+                                    "src_width", "src_height", "format")}
+            for ref, payload in zip(pdf["media_ref"].values,
+                                    pdf["payload"].values):
+                data = bytes(payload) if payload is not None else b""
+                sw, sh, fmt, _feat = _decode_image(data)
+                scale = min(max_w / sw, max_h / sh, 1.0)
+                rows["media_ref"].append(ref)
+                rows["width"].append(int(sw * scale))
+                rows["height"].append(int(sh * scale))
+                rows["src_width"].append(sw)
+                rows["src_height"].append(sh)
+                rows["format"].append(fmt)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = ("media_ref string, frame_idx int, ts_sec double, "
+                "frame_feature array<float>")
+
+
+def sample_frames(videos: DataFrame, every_n: int = 5) -> DataFrame:
+    """Frame sampling over video rows (media_ref, n_frames, fps):
+    the frame *enumeration* (which frames, at which timestamps) is pure
+    JVM SQL — sequence + explode, no Python — and only the sampled
+    frames reach the Arrow feature stage (the decode stub; ffmpeg seek
+    + decode in production). At 100 TB this ordering matters: enumerate
+    cheap, decode only the kept frames."""
+    frames = videos.select(
+        "media_ref", "fps",
+        F.explode(F.expr(
+            f"sequence(0, greatest(cast(n_frames as int) - 1, 0), {every_n})"
+        )).alias("frame_idx"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"media_ref": [], "frame_idx": [], "ts_sec": [],
+                    "frame_feature": []}
+            for ref, fps, idx in zip(pdf["media_ref"].values,
+                                     pdf["fps"].values,
+                                     pdf["frame_idx"].values):
+                key = f"{ref}#frame{int(idx)}".encode()
+                _w, _h, _fmt, feat = _decode_image(key)
+                rows["media_ref"].append(ref)
+                rows["frame_idx"].append(int(idx))
+                rows["ts_sec"].append(float(idx) / float(fps or 1.0))
+                rows["frame_feature"].append(feat)
+            yield pd.DataFrame(rows)
+
+    return frames.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
 def media_refs_with_payloads(docs_spans: DataFrame) -> DataFrame:
     """Pull media refs out of an interleaved spans table and attach a
     deterministic synthetic payload (the blob store is out of scope in

@@ -100,3 +100,43 @@ def test_lang_id_has_und_for_stopwordless(spark):
         "doc_id long, text string")
     got = {r.doc_id: r.pred_lang for r in lang_id(df).collect()}
     assert got[1] == "und" and got[2] == "en"
+
+
+def test_resize_media_fits_box_preserving_aspect(spark, fixture_root):
+    from pdf_table_spark.ops.multimodal import (
+        media_refs_with_payloads, resize_media)
+    spans = spark.read.parquet(os.path.join(
+        fixture_root, "sf0.001", "documents_spans.parquet"))
+    media = media_refs_with_payloads(spans)
+    rows = resize_media(media, max_w=128, max_h=128).collect()
+    assert rows
+    for r in rows:
+        assert r.width <= 128 and r.height <= 128
+        assert r.width <= r.src_width and r.height <= r.src_height
+        # aspect preserved within integer truncation
+        if r.src_width >= r.src_height:
+            assert r.width >= r.height - 1
+        # no upscaling
+        if r.src_width <= 128 and r.src_height <= 128:
+            assert (r.width, r.height) == (r.src_width, r.src_height)
+
+
+def test_sample_frames_enumeration_and_determinism(spark):
+    from pdf_table_spark.ops.multimodal import sample_frames
+    vids = spark.createDataFrame(
+        [("vid://a", 23, 10.0), ("vid://b", 1, 24.0), ("vid://c", 0, 30.0)],
+        "media_ref string, n_frames int, fps double")
+    got = sample_frames(vids, every_n=5).collect()
+    by_ref = {}
+    for r in got:
+        by_ref.setdefault(r.media_ref, []).append(r)
+    assert [r.frame_idx for r in sorted(by_ref["vid://a"],
+            key=lambda r: r.frame_idx)] == [0, 5, 10, 15, 20]
+    assert [r.ts_sec for r in sorted(by_ref["vid://a"],
+            key=lambda r: r.frame_idx)] == [0.0, 0.5, 1.0, 1.5, 2.0]
+    assert [r.frame_idx for r in by_ref["vid://b"]] == [0]
+    assert [r.frame_idx for r in by_ref["vid://c"]] == [0]
+    for r in got:
+        assert len(r.frame_feature) == 16
+    again = sample_frames(vids, every_n=5).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, got))
