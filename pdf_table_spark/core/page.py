@@ -102,15 +102,25 @@ def extract_pdf_page(page_json: str, media_ref: str):
 
 
 def extract_span(kind: str, text: str, media_ref: str):
-    """Dispatch one input span → list of (kind, text, media_ref)."""
+    """Dispatch one input span → list of (kind, text, media_ref).
+
+    Poison containment: at 10^12 documents some page payloads WILL be
+    malformed; a decode exception must quarantine the span, never kill
+    the job. Failures become an 'error' output span carrying the
+    exception class and the input media_ref, so bad inputs stay
+    visible, greppable, and re-driveable — the distributed analogue of
+    the reference's per-page try/except logging."""
     if kind == "text":
         return [("paragraph", text.replace("\n", ""), "")] if text else []
-    if kind == "html_table":
-        return [("table_html", H.canonicalize_table_html(text), "")]
     if kind == "image":
         return [("image", "", media_ref)]
-    if kind == "pdf_page":
-        return extract_pdf_page(text, media_ref)
+    try:
+        if kind == "html_table":
+            return [("table_html", H.canonicalize_table_html(text), "")]
+        if kind == "pdf_page":
+            return extract_pdf_page(text, media_ref)
+    except Exception as exc:  # noqa: BLE001 — quarantine, don't crash
+        return [("error", f"{kind}:{exc.__class__.__name__}", media_ref)]
     return []  # unknown kinds are dropped (forward compatibility)
 
 

@@ -1,0 +1,50 @@
+"""Poison containment: malformed payloads must quarantine to 'error'
+spans, never kill the job or disturb neighboring documents."""
+
+
+def test_malformed_pages_quarantine_not_crash(spark):
+    from pdf_table_spark.spark.pipeline import (
+        extract_documents, flatten_output)
+
+    rows = [
+        ("good", [("text", "hello world", "", 0)]),
+        ("bad_json", [("pdf_page", "{not json at all", "page://bad/0", 0),
+                      ("text", "survivor line", "", 1)]),
+        ("bad_html", [("html_table", "<table><tr><td colspan='x'>",
+                       "", 0)]),
+        ("bad_types", [("pdf_page",
+                        '{"text_lines": [{"x0": "NaNstr"}]}',
+                        "page://bad/1", 0)]),
+    ]
+    docs = spark.createDataFrame(
+        [(d, [{"kind": k, "text": t, "media_ref": m, "offset": o}
+              for k, t, m, o in spans]) for d, spans in rows],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>")
+
+    flat = flatten_output(extract_documents(docs, balance_partitions=4))
+    by_doc = {}
+    for r in flat.collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+
+    assert [ (r.kind, r.text) for r in by_doc["good"] ] == [
+        ("paragraph", "hello world")]
+    kinds = [r.kind for r in sorted(by_doc["bad_json"],
+                                    key=lambda r: r.offset)]
+    assert kinds == ["error", "paragraph"]        # doc survives partially
+    assert by_doc["bad_json"][0].media_ref == "page://bad/0"
+    assert by_doc["bad_html"][0].kind in ("error", "table_html")
+    assert all(r.kind == "error" for r in by_doc["bad_types"]) or \
+        by_doc["bad_types"][0].kind in ("paragraph", "table_html")
+
+
+def test_error_spans_match_single_process_oracle(spark):
+    # the golden oracle path quarantines identically (shared function)
+    from pdf_table_spark.core.page import extract_document
+    out = extract_document([
+        {"kind": "pdf_page", "text": "{broken", "media_ref": "m0",
+         "offset": 0},
+        {"kind": "text", "text": "ok", "media_ref": "", "offset": 1},
+    ])
+    assert [(o["kind"], o["offset"]) for o in out] == [
+        ("error", 0), ("paragraph", 1)]
