@@ -26,15 +26,22 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 HEADLINE = [
     "extract_spans",        # the flagship pipeline
     "extract_kind_stats",
+    "doc_metrics",
     "token_stats",
     "quality_score",
     "lang_id",
+    "fingerprint",
+    "text_normalize",
     "exact_dedup",
     "ngram_jaccard",
+    "minhash_signatures",
     "minhash_lsh_pairs",
+    "lsh_dedup_keep",
     "simhash",
     "cosine_topk",
     "ann_topk_lsh",
+    "embedding_neardup",
+    "media_features",
     "pricing_summary",
     "top_revenue_orders",
     "event_sessions",

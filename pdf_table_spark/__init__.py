@@ -9,7 +9,7 @@ CycloneBoy/pdf_table (arXiv 2409.05125) on Spark's execution model:
 * output: per-document ordered span sequences
   ``(kind, text, media_ref, offset)`` holding merged paragraphs,
   reconstructed ``<table>`` HTML and passthrough media refs,
-* engine: DataFrame ops + vectorized Arrow (``mapInPandas``) stages —
+* engine: DataFrame ops + vectorized Arrow (``mapInArrow``) stages —
   no per-row Python UDFs, no RDDs.
 
 Layout
@@ -25,6 +25,8 @@ Layout
               tables: dedup (exact / MinHash-LSH / SimHash / n-gram
               Jaccard), ANN similarity search, text analysis, multimodal
               plumbing.
+``streaming`` incremental Structured Streaming ingest of the same
+              pipeline (exactly-once per corpus file).
 """
 
 __version__ = "0.1.0"

@@ -56,9 +56,16 @@ def run_once(cores: int, zip_path: str, input_path: str) -> dict:
 
 def run_best(cores: int, zip_path: str, input_path: str,
              trials: int) -> dict:
-    """Best-of-N: sandbox noise is one-sided (background load only ever
-    slows a run), so max throughput estimates capability."""
-    results = [run_once(cores, zip_path, input_path) for _ in range(trials)]
+    """Best-of-N: sandbox noise is one-sided (background load and the
+    previous JVM's teardown only ever slow a run), so max throughput
+    estimates capability. A settle pause between trials lets the OS
+    reclaim the prior JVM's pages."""
+    import time
+    results = []
+    for i in range(trials):
+        if i:
+            time.sleep(10)
+        results.append(run_once(cores, zip_path, input_path))
     best = max(results, key=lambda r: r["pages_per_sec"])
     best["trials_pages_per_sec"] = [r["pages_per_sec"] for r in results]
     return best
