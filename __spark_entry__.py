@@ -228,6 +228,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("n_ocr_zero_tokens"),
         )
 
+    def q_doc_html(spark, sf_dir):
+        # S7 merged multi-page HTML: per doc, spans in offset order
+        # rendered and concatenated — all JVM array expressions
+        # (reference: make_pdf_output_html, cli/main.py:154-226)
+        out = _extract_flat(spark, sf_dir)
+        return (
+            out.groupBy("doc_id")
+            .agg(F.array_sort(F.collect_list(F.struct(
+                "offset", "kind", "text", "media_ref"))).alias("a"))
+            .select(
+                "doc_id",
+                F.expr(
+                    "array_join(transform(a, s -> case"
+                    "  when s.kind = 'paragraph'"
+                    "    then concat('<p>', s.text, '</p>')"
+                    "  when s.kind = 'table_html' then s.text"
+                    "  when s.kind = 'image'"
+                    "    then concat('<img src=\"', s.media_ref, '\"/>')"
+                    "  else '' end), '\\n')"
+                ).alias("html"),
+            )
+        )
+
     # ---- relational / window coverage on the star schema ----
     def q_pricing_summary(spark, sf_dir):
         li = _t(spark, sf_dir, "lineitem")
@@ -306,6 +329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_docs_by_tables": q_top_docs_by_tables,
         "lsh_dedup_keep": q_lsh_dedup_keep,
         "text_normalize": q_text_normalize,
+        "doc_html": q_doc_html,
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
         "event_sessions": q_event_sessions,
@@ -637,6 +661,18 @@ def oracle_sql() -> dict[str, str]:
                    len(list_filter({DK_TOKENS_CASED},
                        t -> t in ('O', 'o'))) as n_ocr_zero_tokens
             from documents
+        """,
+        "doc_html": f"""
+            select doc_id,
+                   string_agg(
+                     case when kind = 'paragraph'
+                            then '<p>' || text || '</p>'
+                          when kind = 'table_html' then text
+                          when kind = 'image'
+                            then '<img src="' || media_ref || '"/>'
+                          else '' end,
+                     chr(10) order by "offset") as html
+            from {golden} group by doc_id
         """,
         "minhash_signatures": _dk_minhash_sig_sql(8),
         "minhash_lsh_pairs": _dk_minhash_bands_cte() + """

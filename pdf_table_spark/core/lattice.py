@@ -220,15 +220,43 @@ def merge_logical_cells(cols, rows, left, right, top, bottom):
     return cells, cell_of
 
 
-def place_text(table: RuledTable, text_lines):
+def split_text_at_cuts(t, cuts):
+    """X4 char-level re-bucketing (reference ``split_textline``,
+    ``pdf_utils.py:923-1038``): split a text line at column-cut
+    x-coordinates. Char geometry is derived deterministically from the
+    line extent (uniform width = (x1-x0)/len); each char goes to the
+    segment containing its center. Returns piece dicts with clipped
+    x-extents; empty pieces are dropped."""
+    text = t["text"]
+    if not text or not cuts:
+        return [t]
+    w = (t["x1"] - t["x0"]) / len(text)
+    bounds = [t["x0"]] + sorted(cuts) + [t["x1"]]
+    pieces = []
+    for b0, b1 in zip(bounds, bounds[1:]):
+        chars = "".join(
+            ch for i, ch in enumerate(text)
+            if b0 <= t["x0"] + (i + 0.5) * w < b1)
+        if chars.strip():
+            pieces.append({**t, "x0": b0, "x1": b1, "text": chars})
+    return pieces or [t]
+
+
+def place_text(table: RuledTable, text_lines,
+               cut_tol: float = G.LINE_TOL):
     """Assign text lines to logical cells — get_table_index semantics:
-    row by y-center containment, column by max x-overlap ratio; then the
+    row by y-center containment, column by max x-overlap ratio; the
     spanning-cell mapping collapses the base index to its logical cell.
-    Reading order inside a cell: sort by (-y0, x0), join with newline.
+
+    A line whose x-extent crosses a *logical* cell boundary (a column
+    cut where the two neighboring base cells belong to different
+    logical cells — never inside a merged cell) is first char-split at
+    those cuts (X4). Reading order inside a cell: sort by (-y0, x0),
+    join with newline.
     """
     ordered = sorted(text_lines, key=lambda t: (-t["y0"], t["x0"]))
-    for t in ordered:
-        yc = (t["y0"] + t["y1"]) / 2.0
+    for t0 in ordered:
+        yc = (t0["y0"] + t0["y1"]) / 2.0
         r_idx = -1
         for r, (ytop, ybot) in enumerate(table.rows):
             if ybot < yc < ytop:
@@ -236,22 +264,30 @@ def place_text(table: RuledTable, text_lines):
                 break
         if r_idx == -1:
             continue
-        best_c, best_ov = -1, -1.0
-        for c, (cx0, cx1) in enumerate(table.cols):
-            if cx0 <= t["x1"] and cx1 >= t["x0"]:
-                lo = max(cx0, t["x0"])
-                hi = min(cx1, t["x1"])
-                ov = abs(hi - lo) / abs(cx1 - cx0)
-            else:
-                ov = -1.0
-            if ov > best_ov:
-                best_ov, best_c = ov, c
-        if best_c == -1:
-            continue
-        cell = table.cell_of[(r_idx, best_c)]
-        txt = t["text"].strip("\n")
-        if txt:
-            cell.texts.append(txt)
+        cuts = []
+        for c in range(1, len(table.cols)):
+            cx = table.cols[c][0]
+            if (t0["x0"] + cut_tol < cx < t0["x1"] - cut_tol
+                    and table.cell_of[(r_idx, c - 1)]
+                    is not table.cell_of[(r_idx, c)]):
+                cuts.append(cx)
+        for t in split_text_at_cuts(t0, cuts):
+            best_c, best_ov = -1, -1.0
+            for c, (cx0, cx1) in enumerate(table.cols):
+                if cx0 <= t["x1"] and cx1 >= t["x0"]:
+                    lo = max(cx0, t["x0"])
+                    hi = min(cx1, t["x1"])
+                    ov = abs(hi - lo) / abs(cx1 - cx0)
+                else:
+                    ov = -1.0
+                if ov > best_ov:
+                    best_ov, best_c = ov, c
+            if best_c == -1:
+                continue
+            cell = table.cell_of[(r_idx, best_c)]
+            txt = t["text"].strip("\n").strip()
+            if txt:
+                cell.texts.append(txt)
     return table
 
 

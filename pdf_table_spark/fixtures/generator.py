@@ -45,9 +45,12 @@ def _num(rng):
     return f"{rng.randint(0, 9999)}.{rng.randint(0, 99):02d}"
 
 
-def _ruled_table(rng, x0, y_top, n_rows, n_cols, drop_edges=0):
+def _ruled_table(rng, x0, y_top, n_rows, n_cols, drop_edges=0,
+                 straddle=False):
     """Emit (rects, text_lines) for a ruled table with per-cell-edge
-    rulings; ``drop_edges`` interior edges are omitted → merged cells."""
+    rulings; ``drop_edges`` interior edges are omitted → merged cells.
+    ``straddle`` sometimes adds a line crossing a column boundary —
+    exercises X4 char-splitting."""
     col_w = rng.choice([70.0, 80.0, 90.0])
     row_h = rng.choice([22.0, 26.0])
     xs = [x0 + i * col_w for i in range(n_cols + 1)]
@@ -86,6 +89,16 @@ def _ruled_table(rng, x0, y_top, n_rows, n_cols, drop_edges=0):
             ty = ys[r] - row_h / 2.0 - FONT / 2.0
             texts.append({"x0": tx, "y0": ty, "x1": tx + 6.0 * len(content),
                           "y1": ty + FONT, "text": content, "dir": "h"})
+    if straddle and n_cols >= 2 and rng.random() < 0.5:
+        # a wide line crossing one column boundary (X4 split target)
+        r = rng.randint(0, n_rows - 1)
+        c = rng.randint(0, n_cols - 2)
+        content = rng.choice(VOCAB) + " " + rng.choice(VOCAB)
+        tx0 = xs[c] + 8.0
+        tx1 = xs[c + 2] - 8.0
+        ty = ys[r] - row_h / 2.0 - FONT / 2.0 + 2.0
+        texts.append({"x0": tx0, "y0": ty, "x1": tx1,
+                      "y1": ty + FONT, "text": content, "dir": "h"})
     bbox = (xs[0], ys[-1], xs[-1], ys[0])
     return rects, texts, bbox
 
@@ -158,19 +171,20 @@ def gen_page(rng, family, heavy=False):
     ``heavy`` = realistic page density (the scaling-bench corpus):
     dense multi-table pages approximating real document pages, so the
     compute-per-byte ratio matches production rather than the tiny
-    correctness fixtures. heavy=False draws are byte-identical to the
-    original fixtures."""
+    correctness fixtures."""
     if family == "F-A":
         r, c = ((rng.randint(10, 18), rng.randint(4, 8)) if heavy
                 else (rng.randint(2, 8), rng.randint(2, 6)))
-        rects, texts, _ = _ruled_table(rng, 80.0, 700.0, r, c)
+        rects, texts, _ = _ruled_table(rng, 80.0, 700.0, r, c,
+                                       straddle=True)
         return _page_json(texts, rects)
     if family == "F-B":
         r, c, d = ((rng.randint(8, 14), rng.randint(4, 7),
                     rng.randint(4, 10)) if heavy
                    else (rng.randint(3, 6), rng.randint(3, 5),
                          rng.randint(1, 3)))
-        rects, texts, _ = _ruled_table(rng, 80.0, 700.0, r, c, drop_edges=d)
+        rects, texts, _ = _ruled_table(rng, 80.0, 700.0, r, c, drop_edges=d,
+                                       straddle=True)
         return _page_json(texts, rects)
     if family == "F-C":
         r, c = ((rng.randint(14, 24), rng.randint(3, 6)) if heavy

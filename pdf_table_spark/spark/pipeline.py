@@ -127,12 +127,15 @@ def trivial_fragments(span_rows: DataFrame) -> DataFrame:
 
 
 def extract_documents(docs: DataFrame,
-                      balance_partitions: int | None = None) -> DataFrame:
+                      balance_partitions: int | None = None,
+                      metrics=None) -> DataFrame:
     """Full pipeline: documents(doc_id, spans) → (doc_id, out_spans).
 
     ``balance_partitions``: width of the pre-stage repartition. Default
     2x the session's shuffle parallelism. Pass 0 to skip rebalancing
     (only sensible for tiny unit tests).
+    ``metrics``: optional ``stages.ExtractionMetrics`` — executor-side
+    span/fragment/error/wall counters, readable after any action.
     """
     spark = docs.sparkSession
     sp = explode_spans(docs)
@@ -143,7 +146,8 @@ def extract_documents(docs: DataFrame,
         n = balance_partitions or int(
             spark.conf.get("spark.sql.shuffle.partitions"))
         heavy = heavy.repartition(n, "doc_id", "offset")
-    frags = run_extract_stage(heavy).unionByName(trivial_fragments(light))
+    frags = run_extract_stage(heavy, metrics).unionByName(
+        trivial_fragments(light))
     # Every doc survives reassembly: both routes emit a sentinel
     # fragment for fragment-less spans (and explode_outer emits a null
     # span for zero-span docs), so no join back to the doc_id universe

@@ -13,15 +13,45 @@ golden oracle.
 
 from __future__ import annotations
 
+import time
 from collections.abc import Iterator
+from dataclasses import dataclass
 
 import pyarrow as pa
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 from ..core.page import extract_span
 
 FRAG_SCHEMA = ("doc_id string, offset int, frag_idx int, "
                "kind string, text string, media_ref string")
+
+
+@dataclass
+class ExtractionMetrics:
+    """Executor-side counters for the Arrow stage — the distributed
+    form of the reference's per-stage timing dict
+    (``ocr_system_task.py:646-660``). Spark accumulators: incremented
+    inside workers, merged on the driver, readable after any action."""
+
+    spans_in: object
+    frags_out: object
+    errors: object
+    decode_ms: object
+
+    @classmethod
+    def create(cls, spark: SparkSession) -> "ExtractionMetrics":
+        sc = spark.sparkContext
+        return cls(sc.accumulator(0), sc.accumulator(0),
+                   sc.accumulator(0), sc.accumulator(0.0))
+
+    def snapshot(self) -> dict:
+        return {
+            "spans_in": self.spans_in.value,
+            "frags_out": self.frags_out.value,
+            "errors": self.errors.value,
+            "decode_ms": round(self.decode_ms.value, 1),
+        }
+
 
 ARROW_SCHEMA = pa.schema([
     ("doc_id", pa.string()), ("offset", pa.int32()),
@@ -31,44 +61,62 @@ ARROW_SCHEMA = pa.schema([
 EMPTY_SENTINEL = "__empty__"
 
 
-def _extract_batches(
-        batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-    for batch in batches:
-        cols = {name: batch.column(i).to_pylist()
-                for i, name in enumerate(batch.schema.names)}
-        doc_ids, offsets, frag_idxs = [], [], []
-        kinds, texts, refs = [], [], []
-        for doc_id, offset, kind, text, ref in zip(
-                cols["doc_id"], cols["offset"], cols["kind"],
-                cols["text"], cols["media_ref"]):
-            frags = [] if kind is None else extract_span(
-                kind, text or "", ref or "")
-            if not frags:
-                # sentinel keeps the doc alive through the groupBy —
-                # covers zero-span docs (explode_outer null row),
-                # unknown kinds, and pages that decode to nothing;
-                # filtered out JVM-side during reassembly. Avoids the
-                # alternative (a join back to all doc_ids) which would
-                # broadcast/shuffle every doc_id at 10^12 scale.
-                frags = [(EMPTY_SENTINEL, "", "")]
-            for i, (k, t, r) in enumerate(frags):
-                doc_ids.append(doc_id)
-                offsets.append(-1 if offset is None else offset)
-                frag_idxs.append(i)
-                kinds.append(k)
-                texts.append(t)
-                refs.append(r)
-        yield pa.RecordBatch.from_arrays(
-            [pa.array(doc_ids, pa.string()),
-             pa.array(offsets, pa.int32()),
-             pa.array(frag_idxs, pa.int32()),
-             pa.array(kinds, pa.string()),
-             pa.array(texts, pa.string()),
-             pa.array(refs, pa.string())],
-            schema=ARROW_SCHEMA)
+def _make_extract_batches(metrics: ExtractionMetrics | None):
+    def _extract_batches(
+            batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            t0 = time.perf_counter()
+            out = _process_batch(batch, metrics)
+            if metrics is not None:
+                metrics.spans_in.add(batch.num_rows)
+                metrics.frags_out.add(out.num_rows)
+                metrics.decode_ms.add(
+                    (time.perf_counter() - t0) * 1000.0)
+            yield out
+    return _extract_batches
 
 
-def run_extract_stage(span_rows: DataFrame) -> DataFrame:
+def _process_batch(batch: pa.RecordBatch,
+                   metrics: ExtractionMetrics | None) -> pa.RecordBatch:
+    cols = {name: batch.column(i).to_pylist()
+            for i, name in enumerate(batch.schema.names)}
+    doc_ids, offsets, frag_idxs = [], [], []
+    kinds, texts, refs = [], [], []
+    for doc_id, offset, kind, text, ref in zip(
+            cols["doc_id"], cols["offset"], cols["kind"],
+            cols["text"], cols["media_ref"]):
+        frags = [] if kind is None else extract_span(
+            kind, text or "", ref or "")
+        if metrics is not None and frags and frags[0][0] == "error":
+            metrics.errors.add(1)
+        if not frags:
+            # sentinel keeps the doc alive through the groupBy —
+            # covers zero-span docs (explode_outer null row),
+            # unknown kinds, and pages that decode to nothing;
+            # filtered out JVM-side during reassembly. Avoids the
+            # alternative (a join back to all doc_ids) which would
+            # broadcast/shuffle every doc_id at 10^12 scale.
+            frags = [(EMPTY_SENTINEL, "", "")]
+        for i, (k, t, r) in enumerate(frags):
+            doc_ids.append(doc_id)
+            offsets.append(-1 if offset is None else offset)
+            frag_idxs.append(i)
+            kinds.append(k)
+            texts.append(t)
+            refs.append(r)
+    return pa.RecordBatch.from_arrays(
+        [pa.array(doc_ids, pa.string()),
+         pa.array(offsets, pa.int32()),
+         pa.array(frag_idxs, pa.int32()),
+         pa.array(kinds, pa.string()),
+         pa.array(texts, pa.string()),
+         pa.array(refs, pa.string())],
+        schema=ARROW_SCHEMA)
+
+
+def run_extract_stage(span_rows: DataFrame,
+                      metrics: ExtractionMetrics | None = None) -> DataFrame:
     """span rows (doc_id, offset, kind, text, media_ref) → fragment rows
     (doc_id, offset, frag_idx, kind, text, media_ref)."""
-    return span_rows.mapInArrow(_extract_batches, schema=FRAG_SCHEMA)
+    return span_rows.mapInArrow(
+        _make_extract_batches(metrics), schema=FRAG_SCHEMA)

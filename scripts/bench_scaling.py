@@ -54,17 +54,49 @@ def run_once(cores: int, zip_path: str, input_path: str) -> dict:
     raise RuntimeError(f"no result line from local[{cores}] run")
 
 
+_PROBE_BEST = [0.0]
+
+
+def _cpu_probe(seconds: float = 0.6) -> float:
+    """Single-thread hash rate — a load canary. Background activity on
+    the shared box depresses it proportionally."""
+    import hashlib
+    import time
+    t0 = time.perf_counter()
+    n, x = 0, b"x" * 1000
+    while time.perf_counter() - t0 < seconds:
+        hashlib.md5(x).digest()
+        n += 1
+    return n / seconds
+
+
+def _wait_quiet(max_wait: float = 120.0, threshold: float = 0.93) -> float:
+    """Block until the load canary reads within ``threshold`` of the
+    best rate seen this session (or max_wait expires). Measuring
+    through a background burst only ever understates throughput."""
+    import time
+    waited = 0.0
+    while True:
+        rate = _cpu_probe()
+        _PROBE_BEST[0] = max(_PROBE_BEST[0], rate)
+        if rate >= threshold * _PROBE_BEST[0] or waited >= max_wait:
+            return rate
+        time.sleep(10)
+        waited += 10
+
+
 def run_best(cores: int, zip_path: str, input_path: str,
              trials: int) -> dict:
     """Best-of-N: sandbox noise is one-sided (background load and the
     previous JVM's teardown only ever slow a run), so max throughput
-    estimates capability. A settle pause between trials lets the OS
-    reclaim the prior JVM's pages."""
+    estimates capability. Each trial waits for a quiet window first
+    (load canary) and settles after the previous JVM's teardown."""
     import time
     results = []
     for i in range(trials):
         if i:
             time.sleep(10)
+        _wait_quiet()
         results.append(run_once(cores, zip_path, input_path))
     best = max(results, key=lambda r: r["pages_per_sec"])
     best["trials_pages_per_sec"] = [r["pages_per_sec"] for r in results]

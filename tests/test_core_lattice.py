@@ -115,3 +115,62 @@ def test_false_table_suppression_via_page():
     assert "table_html" not in kinds        # suppressed (F6)
     assert "image" in kinds                  # passthrough survives
     assert any(f[0] == "paragraph" and "cap" in f[1] for f in frags)
+
+
+def test_split_text_at_cuts_char_buckets():
+    """X4: chars bucket by uniform-width centers; pieces clip to cuts."""
+    from pdf_table_spark.core.lattice import split_text_at_cuts
+    # 10 chars over x in [0, 100] → char width 10, centers 5,15,...,95
+    t = {"x0": 0.0, "y0": 0.0, "x1": 100.0, "y1": 10.0,
+         "text": "abcde fghi", "dir": "h"}
+    pieces = split_text_at_cuts(t, [55.0])
+    assert [p["text"] for p in pieces] == ["abcde", " fghi"]
+    assert pieces[0]["x0"] == 0.0 and pieces[0]["x1"] == 55.0
+    assert pieces[1]["x0"] == 55.0 and pieces[1]["x1"] == 100.0
+    # no cuts → passthrough
+    assert split_text_at_cuts(t, []) == [t]
+    # two cuts → three pieces
+    p3 = split_text_at_cuts(t, [35.0, 75.0])
+    assert [p["text"] for p in p3] == ["abc", "de f", "ghi"]
+
+
+def test_straddling_line_splits_only_at_logical_boundaries():
+    """A line over two columns splits (full rulings) but must NOT split
+    inside a merged cell (the boundary is not logical there)."""
+    from pdf_table_spark.core.lattice import extract_ruled_tables
+
+    def grid_rects(xs, ys, drop=()):
+        rects = []
+        for r in range(len(ys) - 1):
+            for c in range(len(xs) - 1):
+                if ("h", r, c) not in drop:
+                    rects.append({"x0": xs[c], "y0": ys[r] - 0.5,
+                                  "x1": xs[c + 1], "y1": ys[r] + 0.5})
+        for r in range(len(ys) - 1, len(ys)):
+            for c in range(len(xs) - 1):
+                rects.append({"x0": xs[c], "y0": ys[-1] - 0.5,
+                              "x1": xs[c + 1], "y1": ys[-1] + 0.5})
+        for c in range(len(xs)):
+            for r in range(len(ys) - 1):
+                if ("v", r, c) not in drop:
+                    rects.append({"x0": xs[c] - 0.5, "y0": ys[r + 1],
+                                  "x1": xs[c] + 0.5, "y1": ys[r]})
+        return rects
+
+    xs, ys = [0.0, 100.0, 200.0], [300.0, 250.0, 200.0]
+    # full 2x2 grid: straddling line splits at x=100
+    rects = grid_rects(xs, ys)
+    line = {"x0": 10.0, "y0": 270.0, "x1": 190.0, "y1": 280.0,
+            "text": "leftpart rightpart", "dir": "h"}
+    tables, _ = extract_ruled_tables(rects, [line])
+    assert len(tables) == 1
+    got = {(c.row, c.col): c.text for c in tables[0].cells if c.text}
+    assert got == {(0, 0): "leftpart", (0, 1): "rightpart"}
+
+    # drop the interior vertical ruling in row 0 → merged logical cell
+    # spanning both columns → NO split
+    rects_m = grid_rects(xs, ys, drop={("v", 0, 1)})
+    tables_m, _ = extract_ruled_tables(rects_m, [dict(line)])
+    got_m = {(c.row, c.col, c.col_span): c.text
+             for c in tables_m[0].cells if c.text}
+    assert got_m == {(0, 0, 2): "leftpart rightpart"}

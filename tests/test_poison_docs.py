@@ -48,3 +48,28 @@ def test_error_spans_match_single_process_oracle(spark):
     ])
     assert [(o["kind"], o["offset"]) for o in out] == [
         ("error", 0), ("paragraph", 1)]
+
+
+def test_extraction_metrics_accumulators(spark, fixture_root):
+    import os
+
+    from pdf_table_spark.spark.pipeline import (
+        extract_documents, flatten_output)
+    from pdf_table_spark.spark.stages import ExtractionMetrics
+
+    docs = spark.read.parquet(os.path.join(
+        fixture_root, "sf0.001", "documents_spans.parquet"))
+    m = ExtractionMetrics.create(spark)
+    flat = flatten_output(extract_documents(docs, metrics=m))
+    n_out = flat.count()
+    snap = m.snapshot()
+    assert snap["errors"] == 0
+    assert snap["decode_ms"] > 0
+    # only pdf_page/html_table spans reach the Python stage
+    n_py_spans = docs.selectExpr(
+        "sum(size(filter(spans, s -> s.kind in ('pdf_page', 'html_table'))))"
+    ).collect()[0][0]
+    assert snap["spans_in"] == n_py_spans
+    # frags_out counts python-route fragments (incl. sentinels) only
+    assert snap["frags_out"] >= 1
+    assert n_out > 0
