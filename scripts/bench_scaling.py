@@ -111,9 +111,11 @@ def main():
     ap.add_argument("--trials", type=int, default=3)
     args = ap.parse_args()
 
+    sys.path.insert(0, REPO)
     sys.path.insert(0, os.path.join(REPO, "scripts"))
-    from gen_scaling_corpus import ensure_corpus
     from make_pyfiles import make_zip
+
+    from pdf_table_spark.fixtures.spark_gen import ensure_corpus
     zip_path = make_zip()
     corpus = ensure_corpus(args.docs)
 
