@@ -228,6 +228,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("n_ocr_zero_tokens"),
         )
 
+    def q_page_select(spark, sf_dir):
+        # S2 page-range predicate: keep pages 2..end per doc (flattened
+        # to counts so the compare is nesting-free)
+        from pdf_table_spark.ops.pages import select_pages
+        out = select_pages(_spans_df(spark, sf_dir), "2-end")
+        return out.select(
+            "doc_id",
+            F.expr("size(filter(spans, s -> s.kind = 'pdf_page'))")
+            .alias("n_pages_kept"),
+            F.size("spans").alias("n_spans_kept"))
+
+    def q_table_exports(spark, sf_dir):
+        # S7 export fan-out: csv/markdown/json per extracted table
+        from pdf_table_spark.ops.export import export_tables
+        return export_tables(_extract_flat(spark, sf_dir))
+
     def q_doc_html(spark, sf_dir):
         # S7 merged multi-page HTML: per doc, spans in offset order
         # rendered and concatenated — all JVM array expressions
@@ -329,6 +345,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_docs_by_tables": q_top_docs_by_tables,
         "lsh_dedup_keep": q_lsh_dedup_keep,
         "text_normalize": q_text_normalize,
+        "page_select": q_page_select,
+        "table_exports": q_table_exports,
         "doc_html": q_doc_html,
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
@@ -662,6 +680,28 @@ def oracle_sql() -> dict[str, str]:
                        t -> t in ('O', 'o'))) as n_ocr_zero_tokens
             from documents
         """,
+        "page_select": f"""
+            with kept as (
+              select doc_id,
+                     list_transform(
+                       list_filter(
+                         list_transform(spans, s -> {{'s': s,
+                           'pg': len(list_filter(spans,
+                             p -> p.kind = 'pdf_page'
+                              and p."offset" <= s."offset"))}}),
+                         x -> x.s.kind != 'pdf_page' or x.pg >= 2),
+                       x -> x.s) as spans
+              from {spans}
+            )
+            select doc_id,
+                   len(list_filter(spans, s -> s.kind = 'pdf_page'))
+                     as n_pages_kept,
+                   len(spans) as n_spans_kept
+            from kept
+        """,
+        # table_exports: rows-only (HTML→grid parsing is not
+        # SQL-expressible); rendering exactness is pytest-covered
+        # (tests/test_ops.py::test_export_tables_formats)
         "doc_html": f"""
             select doc_id,
                    string_agg(

@@ -1,0 +1,99 @@
+"""Table export formats over extraction output — the reference's
+export fan-out (``TableList.export`` / ``Table.to_csv/to_markdown/
+to_json``, ``table_core.py:720-826``) re-expressed as columnar
+transforms: parse the emitted table HTML back to a cell grid
+(``core.html.parse_table_html``) and render CSV / Markdown / JSON-rows
+strings, one row per extracted table.
+
+Runs as one Arrow stage over the (doc_id, offset, text) rows of
+``kind='table_html'`` spans — the grid walk is pure python on strings
+already shuffled once; no extra shuffle.
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+import json
+from collections.abc import Iterator
+
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EXPORT_SCHEMA = ("doc_id string, offset int, n_rows int, n_cols int, "
+                 "csv string, markdown string, json_rows string")
+
+_ARROW_SCHEMA = pa.schema([
+    ("doc_id", pa.string()), ("offset", pa.int32()),
+    ("n_rows", pa.int32()), ("n_cols", pa.int32()),
+    ("csv", pa.string()), ("markdown", pa.string()),
+    ("json_rows", pa.string())])
+
+
+def _grid_matrix(cells):
+    """LogicalCells → dense text matrix; spanned slots repeat the
+    anchor text (reference copy-text semantics,
+    ``table_extractor_lattice.py:366-397``)."""
+    if not cells:
+        return []
+    nr = max(c.row + c.row_span for c in cells)
+    nc = max(c.col + c.col_span for c in cells)
+    m = [["" for _ in range(nc)] for _ in range(nr)]
+    for c in cells:
+        for r in range(c.row, c.row + c.row_span):
+            for cc in range(c.col, c.col + c.col_span):
+                m[r][cc] = c.text
+    return m
+
+
+def _render(html: str):
+    from ..core.html import parse_table_html
+    m = _grid_matrix(parse_table_html(html))
+    nr, nc = len(m), (len(m[0]) if m else 0)
+    buf = io.StringIO()
+    csv.writer(buf, lineterminator="\n").writerows(m)
+    md_lines = []
+    if m:
+        md_lines.append("| " + " | ".join(m[0]) + " |")
+        md_lines.append("|" + "---|" * nc)
+        for row in m[1:]:
+            md_lines.append("| " + " | ".join(row) + " |")
+    return (nr, nc, buf.getvalue(), "\n".join(md_lines),
+            json.dumps(m, ensure_ascii=False))
+
+
+def _export_batches(
+        batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    for batch in batches:
+        cols = {n: batch.column(i).to_pylist()
+                for i, n in enumerate(batch.schema.names)}
+        out = {k: [] for k in ("doc_id", "offset", "n_rows", "n_cols",
+                               "csv", "markdown", "json_rows")}
+        for doc_id, offset, html in zip(
+                cols["doc_id"], cols["offset"], cols["text"]):
+            nr, nc, c, md, js = _render(html or "")
+            out["doc_id"].append(doc_id)
+            out["offset"].append(offset)
+            out["n_rows"].append(nr)
+            out["n_cols"].append(nc)
+            out["csv"].append(c)
+            out["markdown"].append(md)
+            out["json_rows"].append(js)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(out["doc_id"], pa.string()),
+             pa.array(out["offset"], pa.int32()),
+             pa.array(out["n_rows"], pa.int32()),
+             pa.array(out["n_cols"], pa.int32()),
+             pa.array(out["csv"], pa.string()),
+             pa.array(out["markdown"], pa.string()),
+             pa.array(out["json_rows"], pa.string())],
+            schema=_ARROW_SCHEMA)
+
+
+def export_tables(flat_out: DataFrame) -> DataFrame:
+    """extraction output (doc_id, offset, kind, text, media_ref) →
+    one row per table with csv/markdown/json renderings."""
+    tables = flat_out.filter(F.col("kind") == "table_html") \
+        .select("doc_id", "offset", "text")
+    return tables.mapInArrow(_export_batches, schema=EXPORT_SCHEMA)

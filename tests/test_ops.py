@@ -140,3 +140,55 @@ def test_sample_frames_enumeration_and_determinism(spark):
         assert len(r.frame_feature) == 16
     again = sample_frames(vids, every_n=5).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, got))
+
+
+def test_parse_page_spec():
+    from pdf_table_spark.ops.pages import END, parse_page_spec
+    assert parse_page_spec("all") == [(1, END)]
+    assert parse_page_spec("1,3,4") == [(1, 1), (3, 3), (4, 4)]
+    assert parse_page_spec("1,4-end") == [(1, 1), (4, END)]
+    assert parse_page_spec("2-5") == [(2, 5)]
+
+
+def test_select_pages_keeps_nonpage_spans(spark):
+    from pdf_table_spark.ops.pages import select_pages
+    spans = [
+        {"kind": "text", "text": "intro", "media_ref": "", "offset": 0},
+        {"kind": "pdf_page", "text": "{}", "media_ref": "p1", "offset": 1},
+        {"kind": "image", "text": "", "media_ref": "i1", "offset": 2},
+        {"kind": "pdf_page", "text": "{}", "media_ref": "p2", "offset": 3},
+        {"kind": "pdf_page", "text": "{}", "media_ref": "p3", "offset": 4},
+    ]
+    docs = spark.createDataFrame(
+        [("d1", spans)],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>")
+
+    def refs(spec):
+        row = select_pages(docs, spec).collect()[0]
+        return [s.media_ref for s in row.spans if s.kind == "pdf_page"], \
+               [s.kind for s in row.spans if s.kind != "pdf_page"]
+
+    assert refs("all") == (["p1", "p2", "p3"], ["text", "image"])
+    assert refs("2") == (["p2"], ["text", "image"])
+    assert refs("1,3") == (["p1", "p3"], ["text", "image"])
+    assert refs("2-end") == (["p2", "p3"], ["text", "image"])
+
+
+def test_export_tables_formats(spark):
+    from pdf_table_spark.ops.export import export_tables
+    flat = spark.createDataFrame(
+        [("d1", 0, "table_html",
+          '<table border="1"><tbody><tr><td>h1</td><td>h2</td></tr>'
+          '<tr><td colspan="2">wide</td></tr></tbody></table>', ""),
+         ("d1", 1, "paragraph", "not a table", "")],
+        "doc_id string, offset int, kind string, text string, "
+        "media_ref string")
+    rows = export_tables(flat).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_rows, r.n_cols) == (2, 2)
+    assert r.csv == "h1,h2\nwide,wide\n"
+    assert r.markdown.splitlines()[0] == "| h1 | h2 |"
+    import json as _json
+    assert _json.loads(r.json_rows) == [["h1", "h2"], ["wide", "wide"]]
