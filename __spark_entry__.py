@@ -228,6 +228,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("n_ocr_zero_tokens"),
         )
 
+    def q_layout_scores(spark, sf_dir):
+        # M-family plug point: broadcast-weights batched inference
+        from pdf_table_spark.spark.model_stage import score_page_layout
+        return score_page_layout(_spans_df(spark, sf_dir))
+
     def q_page_select(spark, sf_dir):
         # S2 page-range predicate: keep pages 2..end per doc (flattened
         # to counts so the compare is nesting-free)
@@ -345,6 +350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_docs_by_tables": q_top_docs_by_tables,
         "lsh_dedup_keep": q_lsh_dedup_keep,
         "text_normalize": q_text_normalize,
+        "layout_scores": q_layout_scores,
         "page_select": q_page_select,
         "table_exports": q_table_exports,
         "doc_html": q_doc_html,
@@ -486,6 +492,39 @@ def _dk_neardup_sql(threshold: float = 0.95, dim: int = 64,
         where round(list_dot_product(a.emb, b.emb) /
                     (sqrt(list_dot_product(a.emb, a.emb)) *
                      sqrt(list_dot_product(b.emb, b.emb))), 9) >= {threshold}
+    """
+
+
+def _dk_layout_scores_sql(spans_rel: str) -> str:
+    import sys
+    sys.path.insert(0, REPO)
+    from pdf_table_spark.spark.model_stage import WEIGHTS
+    w = WEIGHTS
+    score = ("(f0 * {a} + f1 * {b} + f2 * {c} + {d})")
+    s_tab = score.format(a=w[0][0], b=w[1][0], c=w[2][0], d=w[3][0])
+    s_txt = score.format(a=w[0][1], b=w[1][1], c=w[2][1], d=w[3][1])
+    s_fig = score.format(a=w[0][2], b=w[1][2], c=w[2][2], d=w[3][2])
+    return f"""
+        with pages as (
+          select doc_id, s."offset" as "offset", s.text as text
+          from (select doc_id, unnest(spans) as s from {spans_rel})
+          where s.kind = 'pdf_page'
+        ), feats as (
+          select doc_id, "offset",
+                 json_array_length(text, '$.text_lines')::double as f0,
+                 json_array_length(text, '$.rects')::double as f1,
+                 json_array_length(text, '$.images')::double as f2
+          from pages
+        )
+        select doc_id, "offset" as offset,
+               round({s_tab}, 6) as score_table,
+               round({s_txt}, 6) as score_text,
+               round({s_fig}, 6) as score_figure,
+               case when {s_tab} >= {s_txt} and {s_tab} >= {s_fig}
+                      then 'table'
+                    when {s_txt} >= {s_fig} then 'text'
+                    else 'figure' end as layout_class
+        from feats
     """
 
 
@@ -680,6 +719,7 @@ def oracle_sql() -> dict[str, str]:
                        t -> t in ('O', 'o'))) as n_ocr_zero_tokens
             from documents
         """,
+        "layout_scores": _dk_layout_scores_sql(spans),
         "page_select": f"""
             with kept as (
               select doc_id,

@@ -1,0 +1,105 @@
+"""Broadcast-weights model stage — the M-family plug point (SURVEY
+§2.9: layout analysis / TSR models M1-M10 share one contract:
+``_preprocess → _run_model → _postprocess`` over page batches,
+``base_infer_task.py:96-126``).
+
+This module demonstrates the full distributed pattern with a
+deterministic stand-in model, so swapping in real ONNX/torch weights
+changes ONE function:
+
+  * weights live on the driver once and ship via
+    ``spark.sparkContext.broadcast`` — never captured per-task;
+  * each Python worker materializes the model ONCE (module-level
+    singleton keyed by broadcast id — the executor-side lazy init the
+    reference does per process, ``ocr_system_task.py:72-75``);
+  * inference is batched: one matrix multiply per Arrow batch, not per
+    row.
+
+The stand-in "layout model" scores each page from geometry-count
+features (n_text_lines, n_rects, n_images, bias) through a fixed
+linear head over 3 classes (table / text / figure) — deterministic and
+cheap, so the *distributed plumbing* is what gets tested and oracled.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# fixed 4x3 linear head: rows = (n_text_lines, n_rects, n_images, bias),
+# cols = (table, text, figure). Literal so the DuckDB oracle can embed
+# the identical values.
+WEIGHTS = [
+    [0.05, 0.40, -0.10],
+    [0.80, -0.20, 0.05],
+    [-0.30, -0.10, 2.00],
+    [0.10, 0.50, 0.20],
+]
+
+CLASSES = ["table", "text", "figure"]
+
+SCORE_SCHEMA = ("doc_id string, offset int, score_table double, "
+                "score_text double, score_figure double, "
+                "layout_class string")
+
+_MODEL_SINGLETON: dict = {}
+
+
+def _get_model(weights_bc):
+    """Executor-side lazy singleton: one materialized model per Python
+    worker per broadcast, regardless of task count."""
+    key = id(weights_bc)
+    model = _MODEL_SINGLETON.get(key)
+    if model is None:
+        model = np.asarray(weights_bc.value, dtype=np.float64)
+        _MODEL_SINGLETON[key] = model
+    return model
+
+
+def _make_stage(weights_bc):
+    def stage(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        w = _get_model(weights_bc)
+        for batch in batches:
+            cols = {n: batch.column(i).to_pylist()
+                    for i, n in enumerate(batch.schema.names)}
+            feats = np.empty((batch.num_rows, 4), dtype=np.float64)
+            for i, text in enumerate(cols["text"]):
+                page = json.loads(text)
+                feats[i] = (len(page.get("text_lines") or ()),
+                            len(page.get("rects") or ()),
+                            len(page.get("images") or ()), 1.0)
+            scores = feats @ w                    # one matmul per batch
+            cls = np.argmax(scores, axis=1)
+            scores = np.round(scores, 6)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols["doc_id"], pa.string()),
+                 pa.array(cols["offset"], pa.int32()),
+                 pa.array(scores[:, 0]), pa.array(scores[:, 1]),
+                 pa.array(scores[:, 2]),
+                 pa.array([CLASSES[c] for c in cls], pa.string())],
+                names=["doc_id", "offset", "score_table", "score_text",
+                       "score_figure", "layout_class"])
+    return stage
+
+
+def score_page_layout(docs_spans: DataFrame) -> DataFrame:
+    """documents(doc_id, spans) → one scored row per pdf_page span.
+
+    Plan: explode → filter to pages (codegen) → broadcast-weights Arrow
+    stage. The same shape carries a real PicoDet/SLANet/LORE model at
+    production scale — only ``_get_model``/the matmul change.
+    """
+    spark = docs_spans.sparkSession
+    weights_bc = spark.sparkContext.broadcast(WEIGHTS)
+    pages = (
+        docs_spans.select("doc_id", F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "pdf_page")
+        .select("doc_id", F.col("s.offset").alias("offset"),
+                F.col("s.text").alias("text"))
+    )
+    return pages.mapInArrow(_make_stage(weights_bc), schema=SCORE_SCHEMA)

@@ -73,3 +73,36 @@ def test_extraction_metrics_accumulators(spark, fixture_root):
     # frags_out counts python-route fragments (incl. sentinels) only
     assert snap["frags_out"] >= 1
     assert n_out > 0
+
+
+def test_broadcast_model_stage_scores(spark, fixture_root):
+    import json
+    import os
+
+    import numpy as np
+
+    from pdf_table_spark.spark.model_stage import (
+        CLASSES, WEIGHTS, score_page_layout)
+
+    docs = spark.read.parquet(os.path.join(
+        fixture_root, "sf0.001", "documents_spans.parquet"))
+    got = {(r.doc_id, r.offset):
+           (r.score_table, r.score_text, r.score_figure, r.layout_class)
+           for r in score_page_layout(docs).collect()}
+    assert got
+
+    # recompute expectations single-process
+    w = np.asarray(WEIGHTS)
+    n_checked = 0
+    for row in docs.collect():
+        for s in row.spans:
+            if s.kind != "pdf_page":
+                continue
+            page = json.loads(s.text)
+            f = np.array([len(page["text_lines"]), len(page["rects"]),
+                          len(page["images"]), 1.0])
+            scores = f @ w
+            exp = (*np.round(scores, 6), CLASSES[int(np.argmax(scores))])
+            assert got[(row.doc_id, s.offset)] == exp
+            n_checked += 1
+    assert n_checked == len(got)
