@@ -112,7 +112,8 @@ def shingle_hash_rows(docs: DataFrame) -> DataFrame:
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
-                        cache: bool = True) -> DataFrame:
+                        cache: bool = True,
+                        max_df: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard-similar pairs (doc_a < doc_b, jaccard >= t).
 
     Plan: shingle hashes → self-join on hash → pair intersection counts
@@ -121,11 +122,21 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     ``cache`` persists the shingle table, which feeds three plan
     branches (both self-join sides + the size agg) — measured ~35%
     faster than recompute at sf0.1. At 100 TB persist to a temp table
-    on disk instead (the shingle table is ~10x corpus row count) and
-    pre-drop stop-shingles above a document-frequency cap before the
-    self-join; the cap is the knob that bounds the quadratic term.
+    on disk instead (the shingle table is ~10x corpus row count).
+
+    ``max_df`` is the scale knob that bounds the quadratic term: drop
+    shingles appearing in more than max_df documents before the
+    self-join (a shingle in k docs contributes k² join rows; ubiquitous
+    boilerplate shingles dominate the blowup while carrying no dedup
+    signal). None = exact semantics (the oracle-checked default);
+    with a cap, jaccard is computed over the surviving shingles on
+    both the intersection AND size sides, the standard approximation.
     """
     sh = shingle_hash_rows(docs)
+    if max_df is not None:
+        keep = (sh.groupBy("sh").agg(F.count("*").alias("df"))
+                .filter(F.col("df") <= max_df).select("sh"))
+        sh = sh.join(keep, "sh")
     if cache:
         sh = sh.persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
@@ -169,11 +180,20 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
+def minhash_lsh_pairs(docs: DataFrame,
+                      max_bucket: int | None = None) -> DataFrame:
     """LSH candidate pairs: band signature = md5 over 4 consecutive sig
     values; pairs sharing any (band_idx, band_hash) bucket. Output
     distinct (doc_a, doc_b). The 100 TB plan: the band join groups only
-    colliding docs — no cross join ever materializes."""
+    colliding docs — no cross join ever materializes.
+
+    ``max_bucket`` caps bucket cardinality before the pair join: a
+    bucket of k docs emits k(k-1)/2 pairs, so one boilerplate cluster
+    of 10^6 near-identical docs would emit 5*10^11 rows. Buckets above
+    the cap are dropped whole (their members still pair through their
+    OTHER 15 bands unless they are pathological duplicates — which an
+    exact-dedup pass upstream should have removed). None = exhaustive
+    (the oracle-checked default)."""
     sig = minhash_signatures(docs)
     band_cols = []
     for bidx in range(BANDS):
@@ -185,6 +205,12 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
         "doc_id", F.explode(F.array(*band_cols)).alias("b")
     ).select("doc_id", F.col("b.band").alias("band"),
              F.col("b.bh").alias("bh"))
+    if max_bucket is not None:
+        ok = (bands.groupBy("band", "bh")
+              .agg(F.count("*").alias("n"))
+              .filter(F.col("n") <= max_bucket)
+              .select("band", "bh"))
+        bands = bands.join(ok, ["band", "bh"])
     x = bands.alias("x")
     y = bands.alias("y")
     return (

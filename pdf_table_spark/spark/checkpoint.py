@@ -70,18 +70,31 @@ def read_manifests(out_dir: str) -> list[dict]:
 
 
 def run_checkpointed(spark: SparkSession, docs: DataFrame, out_dir: str,
-                     n_buckets: int = 64, run_id: str = "run0") -> dict:
+                     n_buckets: int = 64, run_id: str = "run0",
+                     part_col: str | None = None) -> dict:
     """Extract ``docs`` to ``out_dir`` (parquet, partitioned by
     part_id), resuming past completed buckets. Returns a summary dict.
 
     Restart-safety: kill this at any point and re-invoke — completed
     buckets are skipped (manifest + fingerprint match), the interrupted
     bucket is rewritten from scratch via overwrite.
+
+    ``part_col``: when the input is already partitioned on disk by this
+    column (the normal case for an Iceberg corpus), buckets are its
+    distinct values and each bucket's filter prunes the SCAN to that
+    partition's files — no repeated full-input passes. Without it,
+    part_id = pmod(xxhash64(doc_id), n_buckets) is stable but every
+    bucket job must rescan the input (fine at sandbox scale; at 10^12
+    docs always feed a partitioned table).
     """
     os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
-    bucketed = with_part_id(docs, n_buckets)
+    if part_col is not None:
+        bucketed = docs.withColumn(
+            "part_id", F.col(part_col).cast("int"))
+    else:
+        bucketed = with_part_id(docs, n_buckets)
     fps = {r["part_id"]: (r["fp"], r["n_docs"])
            for r in input_fingerprint(bucketed).collect()}
 
@@ -102,8 +115,11 @@ def run_checkpointed(spark: SparkSession, docs: DataFrame, out_dir: str,
         (out.write.mode("overwrite")
             .partitionBy("part_id")
             .parquet(out_dir))
-        n_rows = spark.read.parquet(out_dir).filter(
-            F.col("part_id") == part_id).count()
+        # read back ONLY this bucket's partition directory — reading
+        # the table root here would rescan every finished bucket and
+        # turn the loop O(buckets^2)
+        n_rows = spark.read.parquet(
+            os.path.join(out_dir, f"part_id={part_id}")).count()
         manifest = {
             "run_id": run_id,
             "partition_id": part_id,

@@ -75,3 +75,30 @@ def test_lineage_and_content_metrics(spark, docs, tmp_path):
     cm = {r["kind"]: r for r in content_metrics(flat).collect()}
     assert set(cm) == {"table_html", "paragraph", "image"}
     assert all(r["n_spans"] > 0 for r in cm.values())
+
+
+def test_part_col_prunes_input_scan(spark, docs, fixture_root, tmp_path):
+    """Pre-partitioned input: buckets come from the partition column
+    and each bucket job's scan is pruned to that partition's files."""
+    from pyspark.sql import functions as F
+
+    part_in = str(tmp_path / "part_in")
+    docs.withColumn(
+        "part_id", F.pmod(F.xxhash64("doc_id"), F.lit(3)).cast("int")
+    ).write.partitionBy("part_id").parquet(part_in)
+    pdocs = spark.read.parquet(part_in)
+
+    # partition pruning is visible in the plan of a bucket's filter
+    plan = pdocs.filter(F.col("part_id") == 1)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(part_id" in plan \
+        or "part_id#" in plan
+
+    out = str(tmp_path / "out")
+    s1 = run_checkpointed(spark, pdocs, out, run_id="r1",
+                          part_col="part_id")
+    assert sorted(s1["done"]) == [0, 1, 2]
+    assert spark.read.parquet(out).count() == _golden_count(fixture_root)
+    s2 = run_checkpointed(spark, pdocs, out, run_id="r2",
+                          part_col="part_id")
+    assert not s2["done"] and len(s2["skipped"]) == 3

@@ -192,3 +192,29 @@ def test_export_tables_formats(spark):
     assert r.markdown.splitlines()[0] == "| h1 | h2 |"
     import json as _json
     assert _json.loads(r.json_rows) == [["h1", "h2"], ["wide", "wide"]]
+
+
+def test_dedup_scale_caps_subset_semantics(spark):
+    """max_df / max_bucket results are subsets of the exhaustive ones."""
+    from pdf_table_spark.ops.dedup import (
+        minhash_lsh_pairs, ngram_jaccard_pairs)
+    docs = spark.createDataFrame(
+        [(f"d{i}", "common boiler plate words here " * 3
+          + ("alpha beta gamma" if i % 2 else "alpha beta delta"))
+         for i in range(8)],
+        "doc_id string, text string")
+
+    full = {(r.doc_a, r.doc_b)
+            for r in ngram_jaccard_pairs(docs, 0.3, cache=False).collect()}
+    capped = {(r.doc_a, r.doc_b)
+              for r in ngram_jaccard_pairs(
+                  docs, 0.3, cache=False, max_df=4).collect()}
+    assert full  # boilerplate makes everything similar
+    # with ubiquitous shingles dropped, only genuinely-shared tails pair
+    assert capped <= full or capped == set()
+
+    lsh_full = {(r.doc_a, r.doc_b)
+                for r in minhash_lsh_pairs(docs).collect()}
+    lsh_capped = {(r.doc_a, r.doc_b)
+                  for r in minhash_lsh_pairs(docs, max_bucket=3).collect()}
+    assert lsh_capped <= lsh_full
