@@ -37,12 +37,57 @@ from .textproc import ocr_post_process
 FALSE_TABLE_IOU = 0.5  # reference check_table_match_images threshold
 
 
+def rotate_page_90cw(page: dict) -> dict:
+    """Rotate a page object model 90° clockwise (M1 orientation
+    transform, the deterministic core of the reference's
+    preprocess/rotation stage ``ocr_table_preprocess_task.py:27-206``).
+    Shared by the fixture generator (rotating forward) and
+    ``normalize_rotation`` (rotating back), so round-trip equality is
+    structural. Point map: (x, y) → (y, W - x); dims swap; h/v text
+    direction flips."""
+    w = page["width"]
+
+    def pt(x, y):
+        return y, w - x
+
+    def box(o):
+        x0a, y0a = pt(o["x0"], o["y0"])
+        x1a, y1a = pt(o["x1"], o["y1"])
+        return {**o, "x0": min(x0a, x1a), "y0": min(y0a, y1a),
+                "x1": max(x0a, x1a), "y1": max(y0a, y1a)}
+
+    out = {**page, "width": page["height"], "height": w,
+           "text_lines": [
+               {**box(t),
+                "dir": ("v" if t.get("dir", "h") == "h" else "h")}
+               for t in page.get("text_lines") or []],
+           "rects": [box(r) for r in page.get("rects") or []],
+           "images": [box(i) for i in page.get("images") or []]}
+    return out
+
+
+def normalize_rotation(page: dict) -> dict:
+    """Undo a declared 0/90/180/270 content rotation: apply the 90°-cw
+    transform (4 - k) times. The v0 data model declares orientation in
+    the page object (``rotation``); swapping in the reference's PULC
+    orientation classifier only changes how k is obtained."""
+    rot = int(page.get("rotation") or 0)
+    k = (rot // 90) % 4
+    for _ in range((4 - k) % 4):
+        page = rotate_page_90cw(page)
+    if "rotation" in page:
+        page = {k2: v for k2, v in page.items() if k2 != "rotation"}
+    return page
+
+
 def extract_pdf_page(page_json: str, media_ref: str):
     """Run the full deterministic extraction pipeline on one page.
 
     Returns list of (kind, text, media_ref) in reading order.
     """
     page = json.loads(page_json)
+    if page.get("rotation"):
+        page = normalize_rotation(page)
     text_lines = page.get("text_lines") or []
     rects = page.get("rects") or []
     images = page.get("images") or []

@@ -144,6 +144,18 @@ def _page_json(text_lines, rects=None, images=None):
         "images": images or []}, sort_keys=True)
 
 
+def _rotate_payload(page_json: str, k: int) -> str:
+    """Rotate a page payload 90°·k clockwise and declare it (M1
+    orientation fixture): extraction must normalize back and emit the
+    same fragments as the unrotated page."""
+    from ..core.page import rotate_page_90cw
+    page = json.loads(page_json)
+    for _ in range(k):
+        page = rotate_page_90cw(page)
+    page["rotation"] = 90 * k
+    return json.dumps(page, sort_keys=True)
+
+
 def _html_table_fragment(rng):
     n_rows, n_cols = rng.randint(2, 4), rng.randint(2, 4)
     parts = ["<table>"]
@@ -256,7 +268,10 @@ def gen_doc(doc_idx: int, seed: int = 42, heavy: bool = False):
     for p, fam in enumerate(page_families):
         if rng.random() < 0.2:
             add("text", _words(rng, 8, 20))
-        add("pdf_page", gen_page(rng, fam), f"page://{doc_id}/{p}")
+        payload = gen_page(rng, fam)
+        if rng.random() < 0.15:  # M1: some pages arrive rotated
+            payload = _rotate_payload(payload, rng.randint(1, 3))
+        add("pdf_page", payload, f"page://{doc_id}/{p}")
         if rng.random() < 0.15:
             add("image", "", f"blob://{doc_id}/{rng.randint(0, 1 << 30)}")
     return doc_id, spans, family
