@@ -60,6 +60,8 @@ def main(argv=None):
                     help="only when not launched via spark-submit --master")
     ap.add_argument("--repeat", type=int, default=1,
                     help="union N tagged copies of the input corpus")
+    ap.add_argument("--pages", default=None,
+                    help="page spec per doc: '1,3' | '2-end' | 'all'")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--checkpointed", action="store_true")
     ap.add_argument("--buckets", type=int, default=16)
@@ -73,6 +75,9 @@ def main(argv=None):
     cores = spark.sparkContext.defaultParallelism
 
     docs = spark.read.parquet(args.input)
+    if args.pages:
+        from pdf_table_spark.ops.pages import select_pages
+        docs = select_pages(docs, args.pages)
     if args.repeat > 1:
         docs = docs.crossJoin(
             spark.range(args.repeat).select(
