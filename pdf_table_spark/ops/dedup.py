@@ -51,6 +51,20 @@ def _perm_consts(n: int = N_PERM):
 
 PERM_CONSTS = _perm_consts()
 
+# intermediates persisted by ops in this module; long-lived drivers
+# calling dedup repeatedly should release them between corpora
+_PERSISTED: list = []
+
+
+def release_caches() -> int:
+    """Unpersist every intermediate this module cached; returns how
+    many were released."""
+    n = len(_PERSISTED)
+    for df in _PERSISTED:
+        df.unpersist()
+    _PERSISTED.clear()
+    return n
+
 # shared 60-bit hash both Spark and DuckDB can compute identically:
 #   spark:  cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)
 #   duckdb: cast('0x' || substr(md5(s), 1, 15) as bigint)
@@ -139,6 +153,7 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
         sh = sh.join(keep, "sh")
     if cache:
         sh = sh.persist()
+        _PERSISTED.append(sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -53,12 +53,16 @@ def _render(html: str):
     nr, nc = len(m), (len(m[0]) if m else 0)
     buf = io.StringIO()
     csv.writer(buf, lineterminator="\n").writerows(m)
+    def md_cell(t: str) -> str:
+        # pipes and newlines would corrupt the markdown grid
+        return t.replace("|", "\\|").replace("\n", "<br/>")
+
     md_lines = []
     if m:
-        md_lines.append("| " + " | ".join(m[0]) + " |")
+        md_lines.append("| " + " | ".join(map(md_cell, m[0])) + " |")
         md_lines.append("|" + "---|" * nc)
         for row in m[1:]:
-            md_lines.append("| " + " | ".join(row) + " |")
+            md_lines.append("| " + " | ".join(map(md_cell, row)) + " |")
     return (nr, nc, buf.getvalue(), "\n".join(md_lines),
             json.dumps(m, ensure_ascii=False))
 

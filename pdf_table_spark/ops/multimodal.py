@@ -114,10 +114,12 @@ def sample_frames(videos: DataFrame, every_n: int = 5) -> DataFrame:
     frames reach the Arrow feature stage (the decode stub; ffmpeg seek
     + decode in production). At 100 TB this ordering matters: enumerate
     cheap, decode only the kept frames."""
-    frames = videos.select(
+    frames = videos.filter(
+        F.coalesce(F.col("n_frames"), F.lit(0)) > 0  # no phantom frame
+    ).select(
         "media_ref", "fps",
         F.explode(F.expr(
-            f"sequence(0, greatest(cast(n_frames as int) - 1, 0), {every_n})"
+            f"sequence(0, cast(n_frames as int) - 1, {every_n})"
         )).alias("frame_idx"))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

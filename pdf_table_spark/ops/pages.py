@@ -41,13 +41,16 @@ def select_pages(docs: DataFrame, spec: str) -> DataFrame:
     keep = " or ".join(
         f"(pg >= {lo} and pg <= {hi})" for lo, hi in ranges)
     # rank each span's page number: count of pdf_page spans at <= offset
+    # NOT <=> (null-safe equality): a NULL kind is a non-page span and
+    # must survive; plain != would evaluate to NULL → dropped
     expr = f"""
         filter(
           transform(spans, s -> struct(
             s as s,
             size(filter(spans, p -> p.kind = 'pdf_page'
                                  and p.offset <= s.offset)) as pg)),
-          x -> x.s.kind != 'pdf_page' or ({keep.replace('pg', 'x.pg')})
+          x -> not (x.s.kind <=> 'pdf_page')
+               or ({keep.replace('pg', 'x.pg')})
         )
     """
     return docs.select(

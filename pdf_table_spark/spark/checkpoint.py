@@ -91,12 +91,21 @@ def run_checkpointed(spark: SparkSession, docs: DataFrame, out_dir: str,
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     if part_col is not None:
+        # keep the partition values as-is (string form): dates/strings
+        # are the normal Iceberg case; an int cast would NULL them out
         bucketed = docs.withColumn(
-            "part_id", F.col(part_col).cast("int"))
+            "part_id", F.col(part_col).cast("string"))
     else:
         bucketed = with_part_id(docs, n_buckets)
     fps = {r["part_id"]: (r["fp"], r["n_docs"])
            for r in input_fingerprint(bucketed).collect()}
+    if None in fps:
+        raise ValueError(
+            f"NULL values in partition column {part_col!r}: "
+            "every document needs a bucket for resumable runs")
+    bad = [p for p in fps if "/" in str(p) or str(p).startswith(".")]
+    if bad:
+        raise ValueError(f"non-path-safe partition values: {bad[:5]}")
 
     done, skipped, failed = [], [], []
     for part_id in sorted(fps):

@@ -47,41 +47,52 @@ SCORE_SCHEMA = ("doc_id string, offset int, score_table double, "
                 "score_text double, score_figure double, "
                 "layout_class string")
 
+MODEL_VERSION = "layout-linear-v1"
+
 _MODEL_SINGLETON: dict = {}
 
 
-def _get_model(weights_bc):
+def _get_model(version: str, weights_bc):
     """Executor-side lazy singleton: one materialized model per Python
-    worker per broadcast, regardless of task count."""
-    key = id(weights_bc)
-    model = _MODEL_SINGLETON.get(key)
+    worker per model VERSION. Keyed by an explicit version string, not
+    the broadcast object — each task deserializes a fresh Broadcast
+    wrapper, so an id()-based key would re-materialize (and leak) the
+    model on every task."""
+    model = _MODEL_SINGLETON.get(version)
     if model is None:
         model = np.asarray(weights_bc.value, dtype=np.float64)
-        _MODEL_SINGLETON[key] = model
+        _MODEL_SINGLETON[version] = model
     return model
 
 
 def _make_stage(weights_bc):
     def stage(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        w = _get_model(weights_bc)
+        w = _get_model(MODEL_VERSION, weights_bc)
         for batch in batches:
             cols = {n: batch.column(i).to_pylist()
                     for i, n in enumerate(batch.schema.names)}
-            feats = np.empty((batch.num_rows, 4), dtype=np.float64)
+            feats = np.zeros((batch.num_rows, 4), dtype=np.float64)
+            poisoned = np.zeros(batch.num_rows, dtype=bool)
             for i, text in enumerate(cols["text"]):
-                page = json.loads(text)
-                feats[i] = (len(page.get("text_lines") or ()),
-                            len(page.get("rects") or ()),
-                            len(page.get("images") or ()), 1.0)
+                try:
+                    page = json.loads(text)
+                    feats[i] = (len(page.get("text_lines") or ()),
+                                len(page.get("rects") or ()),
+                                len(page.get("images") or ()), 1.0)
+                except Exception:  # noqa: BLE001 — quarantine, don't
+                    poisoned[i] = True  # crash the job on one bad page
             scores = feats @ w                    # one matmul per batch
             cls = np.argmax(scores, axis=1)
             scores = np.round(scores, 6)
+            scores[poisoned] = 0.0
+            labels = ["error" if poisoned[i] else CLASSES[c]
+                      for i, c in enumerate(cls)]
             yield pa.RecordBatch.from_arrays(
                 [pa.array(cols["doc_id"], pa.string()),
                  pa.array(cols["offset"], pa.int32()),
                  pa.array(scores[:, 0]), pa.array(scores[:, 1]),
                  pa.array(scores[:, 2]),
-                 pa.array([CLASSES[c] for c in cls], pa.string())],
+                 pa.array(labels, pa.string())],
                 names=["doc_id", "offset", "score_table", "score_text",
                        "score_figure", "layout_class"])
     return stage

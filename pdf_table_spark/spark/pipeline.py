@@ -6,33 +6,29 @@ Plan shape (and why it scales):
       → explode(spans)                            -- narrow: 1 row per span;
                                                      a 500-page doc becomes
                                                      500 independent work units
-      → route by kind:
-          text/image/null/unknown                 -- JVM-side: pure SQL
-            → case-expression fragments              projection, stays in
-                                                     whole-stage codegen;
-                                                     never crosses the
-                                                     Python boundary
-          pdf_page/html_table                     -- the heavy decode path:
-            → repartition(doc_id, offset)         -- shuffle #1: breaks the
+      → repartition(doc_id, offset)               -- shuffle #1: breaks the
                                                      "one giant doc in one file
                                                      split" skew BEFORE the
                                                      expensive stage, so every
                                                      core gets an even page mix
-            → mapInArrow(extract)                 -- the only Python stage;
+      → mapInArrow(extract)                       -- the only Python stage;
                                                      raw Arrow batches, numpy
-                                                     inside
-      → union
+                                                     inside; trivial kinds
+                                                     (text/image) are a cheap
+                                                     fast path within it
       → groupBy(doc_id).collect_list + array_sort -- shuffle #2: reassemble
                                                      ordered span sequences;
                                                      payloads here are small
                                                      output strings
 
-Only page/table payload bytes ever cross the JVM↔Python boundary (the
-boundary is the costly part of a Python stage — measured ~2x the decode
-CPU per byte); trivial kinds are a codegen'd projection. Both shuffles
-move each byte exactly once; the heavy compute runs on balanced
-partitions. AQE cannot fix UDF-compute skew (SURVEY §4), hence the
-explicit pre-stage repartition.
+One scan, two shuffles, one Python boundary. A kind-routing split
+(trivial kinds as a JVM-side projection unioned around the Python
+stage) was tried and reverted: Catalyst pushes each branch's kind
+filter below the shared repartition, so the branches cannot share the
+exchange and the INPUT IS SCANNED TWICE — at 100 TB a second full read
+costs far more than ferrying the byte-light trivial spans (~10% of
+bytes) across the Arrow boundary. AQE cannot fix UDF-compute skew
+(SURVEY §4), hence the explicit pre-stage repartition.
 
 Reference lifecycle being re-expressed: ``ocr_system_task.py:549-734``
 (the per-page 9-stage pipeline) + the sequential batch driver
@@ -88,42 +84,9 @@ def reassemble(frags: DataFrame) -> DataFrame:
     )
 
 
-# Span kinds that need the Python decode stage; everything else is a
-# JVM-side projection (extract_span semantics for text/image/null/
-# unknown kinds, expressed in SQL — must stay in lockstep with
-# ``core.page.extract_span``).
+# Kinds whose decode is heavy (page JSON / table HTML); kept for
+# consumers that pre-filter (e.g. the metrics expectations in tests).
 PYTHON_KINDS = ("pdf_page", "html_table")
-
-_TRIVIAL_FRAGS_SQL = """
-    struct(
-      case
-        when kind = 'image' then 'image'
-        when kind = 'text' and text is not null and text != ''
-          then 'paragraph'
-        else '__empty__'
-      end as kind,
-      case
-        when kind = 'text' and text is not null and text != ''
-          then replace(text, '\\n', '')
-        else ''
-      end as text,
-      case when kind = 'image' then coalesce(media_ref, '') else '' end
-        as media_ref)
-"""
-
-
-def trivial_fragments(span_rows: DataFrame) -> DataFrame:
-    """JVM-side fragment projection for kinds that don't need Python:
-    'text' → paragraph (newline strip), 'image' → passthrough,
-    null/unknown/empty → the same __empty__ sentinel the Arrow stage
-    emits. Whole-stage-codegen'd; zero boundary crossings."""
-    return span_rows.select(
-        "doc_id",
-        F.coalesce(F.col("offset"), F.lit(-1)).alias("offset"),
-        F.lit(0).alias("frag_idx"),
-        F.expr(_TRIVIAL_FRAGS_SQL).alias("f"),
-    ).select("doc_id", "offset", "frag_idx",
-             "f.kind", "f.text", "f.media_ref")
 
 
 def extract_documents(docs: DataFrame,
@@ -139,15 +102,11 @@ def extract_documents(docs: DataFrame,
     """
     spark = docs.sparkSession
     sp = explode_spans(docs)
-    heavy = sp.filter(F.col("kind").isin(*PYTHON_KINDS))
-    light = sp.filter(
-        F.col("kind").isNull() | ~F.col("kind").isin(*PYTHON_KINDS))
     if balance_partitions != 0:
         n = balance_partitions or int(
             spark.conf.get("spark.sql.shuffle.partitions"))
-        heavy = heavy.repartition(n, "doc_id", "offset")
-    frags = run_extract_stage(heavy, metrics).unionByName(
-        trivial_fragments(light))
+        sp = sp.repartition(n, "doc_id", "offset")
+    frags = run_extract_stage(sp, metrics)
     # Every doc survives reassembly: both routes emit a sentinel
     # fragment for fragment-less spans (and explode_outer emits a null
     # span for zero-span docs), so no join back to the doc_id universe

@@ -15,10 +15,13 @@ face of the same batch pipeline:
                                                 skew repartition,
                                                 mapInArrow) per
                                                 micro-batch
-      → append parquet sink                  -- exactly-once per file:
-                                                re-running after a kill
-                                                neither skips nor
-                                                duplicates documents
+      → dynamic-overwrite parquet sink,      -- exactly-once per file:
+        partitioned by batch_id                 a kill between the data
+                                                write and the offset-log
+                                                commit makes the replayed
+                                                batch REWRITE its own
+                                                batch_id partition instead
+                                                of appending duplicates
 
 ``foreachBatch`` (not a continuous sink) is deliberate: the extraction
 plan contains a multi-stage shuffle + Arrow stage that Structured
@@ -45,6 +48,7 @@ def extract_stream(spark: SparkSession, input_dir: str, output_dir: str,
                    checkpoint_dir: str, max_files_per_trigger: int = 64):
     """Build the streaming query (not started). File-source → extract →
     parquet append."""
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     stream = (
         spark.readStream.schema(SPANS_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -52,8 +56,12 @@ def extract_stream(spark: SparkSession, input_dir: str, output_dir: str,
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        out = flatten_output(extract_documents(batch_df))
-        out.write.mode("append").parquet(output_dir)
+        from pyspark.sql import functions as F
+        out = flatten_output(extract_documents(batch_df)) \
+            .withColumn("batch_id", F.lit(batch_id))
+        # idempotent replay: overwrite THIS batch's partition only
+        (out.write.mode("overwrite").partitionBy("batch_id")
+            .parquet(output_dir))
 
     return (
         stream.writeStream

@@ -132,7 +132,9 @@ def main():
             "pages_per_sec_n": small["pages_per_sec"],
             "pages_per_sec_4n": big["pages_per_sec"],
             "efficiency": round(eff, 3),
-            "cpu_saturated_at_4n": n * 4 * 2 >= 32,
+            # each mapInArrow task needs ~2 threads (worker + JVM
+            # feeder); saturation is relative to THIS machine's cpus
+            "cpu_saturated_at_4n": n * 4 * 2 >= (os.cpu_count() or 32),
         })
 
     headline = next((p for p in pairs if not p["cpu_saturated_at_4n"]),

@@ -135,7 +135,7 @@ def test_sample_frames_enumeration_and_determinism(spark):
     assert [r.ts_sec for r in sorted(by_ref["vid://a"],
             key=lambda r: r.frame_idx)] == [0.0, 0.5, 1.0, 1.5, 2.0]
     assert [r.frame_idx for r in by_ref["vid://b"]] == [0]
-    assert [r.frame_idx for r in by_ref["vid://c"]] == [0]
+    assert "vid://c" not in by_ref  # zero frames → no phantom frame 0
     for r in got:
         assert len(r.frame_feature) == 16
     again = sample_frames(vids, every_n=5).collect()
@@ -158,6 +158,7 @@ def test_select_pages_keeps_nonpage_spans(spark):
         {"kind": "image", "text": "", "media_ref": "i1", "offset": 2},
         {"kind": "pdf_page", "text": "{}", "media_ref": "p2", "offset": 3},
         {"kind": "pdf_page", "text": "{}", "media_ref": "p3", "offset": 4},
+        {"kind": None, "text": "", "media_ref": "", "offset": 5},
     ]
     docs = spark.createDataFrame(
         [("d1", spans)],
@@ -169,10 +170,11 @@ def test_select_pages_keeps_nonpage_spans(spark):
         return [s.media_ref for s in row.spans if s.kind == "pdf_page"], \
                [s.kind for s in row.spans if s.kind != "pdf_page"]
 
-    assert refs("all") == (["p1", "p2", "p3"], ["text", "image"])
-    assert refs("2") == (["p2"], ["text", "image"])
-    assert refs("1,3") == (["p1", "p3"], ["text", "image"])
-    assert refs("2-end") == (["p2", "p3"], ["text", "image"])
+    # NULL-kind spans are non-page spans and must survive every spec
+    assert refs("all") == (["p1", "p2", "p3"], ["text", "image", None])
+    assert refs("2") == (["p2"], ["text", "image", None])
+    assert refs("1,3") == (["p1", "p3"], ["text", "image", None])
+    assert refs("2-end") == (["p2", "p3"], ["text", "image", None])
 
 
 def test_export_tables_formats(spark):

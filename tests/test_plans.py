@@ -69,8 +69,9 @@ class TestPlans:
 
     def test_extraction_has_single_python_boundary(self, spark, queries):
         plan = plan_of(queries["extract_spans"](spark, SF_DIR))
-        # one mapInArrow stage; trivial kinds must not add a second
+        # one mapInArrow stage over ONE scan of the corpus
         assert n_nodes(plan, "MapInArrow") == 1
+        assert n_nodes(plan, "Scan parquet") == 1
         assert "MapInPandas" not in plan
         assert "BatchEvalPython" not in plan          # no row-wise UDFs
         # reassembly is JVM-side
