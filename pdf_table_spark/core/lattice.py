@@ -59,20 +59,28 @@ def find_table_regions(horizontal, vertical, tol: float = G.JOINT_TOL):
 
     Returns list of (bbox, h_segs, v_segs, joints) sorted top-down then
     left-right (reading order, reference O3).
+
+    The H×V joint test is one numpy broadcast (same comparisons as
+    ``G.segment_intersection``, extended-by-tol tips) — the pairwise
+    Python loop was ~half the whole pipeline's CPU on dense pages.
     """
+    import numpy as np
+
     segs = [("h", s) for s in horizontal] + [("v", s) for s in vertical]
-    edges = []
+    edges: list[tuple[int, int]] = []
     joints_all = []
-    for i, (di, si) in enumerate(segs):
-        if di != "h":
-            continue
-        for j, (dj, sj) in enumerate(segs):
-            if dj != "v":
-                continue
-            pt = G.segment_intersection(si, sj, tol)
-            if pt is not None:
-                edges.append((i, j))
-                joints_all.append((i, j, pt))
+    if horizontal and vertical:
+        ha = np.asarray(horizontal, dtype=np.float64)  # (x0, y, x1, y)
+        va = np.asarray(vertical, dtype=np.float64)    # (x, y0, x, y1)
+        hx0, hy, hx1 = ha[:, 0:1], ha[:, 1:2], ha[:, 2:3]
+        vx, vy0, vy1 = va[:, 0], va[:, 1], va[:, 3]
+        hit = ((hx0 - tol <= vx) & (vx <= hx1 + tol)
+               & (vy0 - tol <= hy) & (hy <= vy1 + tol))
+        n_h = len(horizontal)
+        for i, j in np.argwhere(hit):          # row-major: same order
+            edges.append((int(i), n_h + int(j)))  # as the old loop
+            joints_all.append(
+                (int(i), n_h + int(j), (float(vx[j]), float(hy[i, 0]))))
     comp = G.connected_components(len(segs), edges)
 
     groups: dict[int, dict] = {}
@@ -133,39 +141,50 @@ def mark_edges(cols, rows, v_segs, h_segs, joint_tol: float = G.JOINT_TOL):
     top = [[False] * nc for _ in range(nr)]
     bottom = [[False] * nc for _ in range(nr)]
 
+    # plain python sweeps on purpose: axes have <= ~25 entries, where a
+    # listcomp beats a numpy round trip per segment (measured)
+    tol = joint_tol
+
+    def first_close(pairs, val):
+        for idx, c in pairs:
+            if abs(val - c) <= tol:
+                return idx
+        return None
+
+    col_pairs = [(i, c[0]) for i, c in enumerate(cols)]
+    row_pairs = [(r, rv[0]) for r, rv in enumerate(rows)]
+
     for x, y0, _, y1 in v_segs:
-        ci = [i for i, c in enumerate(cols) if G.isclose(x, c[0], joint_tol)]
+        ci = first_close(col_pairs, x)
         at_right_border = G.isclose(x, cols[-1][1], joint_tol)
         # rows covered: row r has y-interval (top=rows[r][0], bottom=rows[r][1])
-        j = [r for r, rv in enumerate(rows) if G.isclose(y1, rv[0], joint_tol)]
-        k = [r for r, rv in enumerate(rows) if G.isclose(y0, rv[0], joint_tol)]
-        if not j:
+        J = first_close(row_pairs, y1)
+        if J is None:
             continue
-        J = j[0]
-        K = k[0] if k else nr
+        k = first_close(row_pairs, y0)
+        K = k if k is not None else nr
         while J < K:
-            if ci:
-                left[J][ci[0]] = True
-                if ci[0] > 0:
-                    right[J][ci[0] - 1] = True
+            if ci is not None:
+                left[J][ci] = True
+                if ci > 0:
+                    right[J][ci - 1] = True
             elif at_right_border:
                 right[J][nc - 1] = True
             J += 1
 
     for x0, y, x1, _ in h_segs:
-        ri = [r for r, rv in enumerate(rows) if G.isclose(y, rv[0], joint_tol)]
+        ri = first_close(row_pairs, y)
         at_bottom_border = G.isclose(y, rows[-1][1], joint_tol)
-        j = [c for c, cv in enumerate(cols) if G.isclose(x0, cv[0], joint_tol)]
-        k = [c for c, cv in enumerate(cols) if G.isclose(x1, cv[0], joint_tol)]
-        if not j:
+        J = first_close(col_pairs, x0)
+        if J is None:
             continue
-        J = j[0]
-        K = k[0] if k else nc
+        k = first_close(col_pairs, x1)
+        K = k if k is not None else nc
         while J < K:
-            if ri:
-                top[ri[0]][J] = True
-                if ri[0] > 0:
-                    bottom[ri[0] - 1][J] = True
+            if ri is not None:
+                top[ri][J] = True
+                if ri > 0:
+                    bottom[ri - 1][J] = True
             elif at_bottom_border:
                 bottom[nr - 1][J] = True
             J += 1
