@@ -1,0 +1,33 @@
+"""Explicit skew mitigation for joins — salting (SURVEY §4: AQE's
+skew-join split handles sort-merge joins it can see; salting is the
+explicit fallback when a handful of hot keys would pin single tasks,
+e.g. joining span fragments against a per-domain metadata table where
+one domain owns half the corpus).
+
+``salted_join``: the big (skewed) side gets a deterministic salt in
+[0, salt); the small side is replicated salt times; the join key
+becomes (key, salt), splitting each hot key's rows across ``salt``
+tasks. Semantics identical to the plain inner join (tested); cost is
+replicating the small side, which is what broadcast would do anyway —
+use this when the small side is too big to broadcast but small enough
+to replicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(big: DataFrame, small: DataFrame, key: str,
+                salt: int = 16, how: str = "inner") -> DataFrame:
+    """Inner/left join ``big ⋈ small`` on ``key`` with hot keys split
+    ``salt`` ways. Deterministic (hash salt, not random) so retries and
+    resumed runs produce identical partitioning."""
+    salted_big = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(*big.columns), F.lit(salt)))
+    replicated_small = small.crossJoin(
+        F.broadcast(big.sparkSession.range(salt)
+                    .select(F.col("id").cast("int").alias("__salt"))))
+    out = salted_big.join(replicated_small, [key, "__salt"], how)
+    return out.drop("__salt")

@@ -220,3 +220,35 @@ def test_dedup_scale_caps_subset_semantics(spark):
     lsh_capped = {(r.doc_a, r.doc_b)
                   for r in minhash_lsh_pairs(docs, max_bucket=3).collect()}
     assert lsh_capped <= lsh_full
+
+
+def test_salted_join_matches_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from pdf_table_spark.ops.skew import salted_join
+    # one hot key ('hot' owns 90% of rows) + uniform tail
+    big = spark.createDataFrame(
+        [("hot" if i % 10 else f"k{i}", i) for i in range(2000)],
+        "domain string, v long")
+    small = spark.createDataFrame(
+        [("hot", 1.0)] + [(f"k{i}", i / 10.0) for i in range(0, 2000, 10)],
+        "domain string, w double")
+
+    plain = big.join(small, "domain").groupBy("domain").agg(
+        F.count("*").alias("n"), F.sum("v").alias("sv"),
+        F.sum("w").alias("sw"))
+    salted = salted_join(big, small, "domain", salt=8) \
+        .groupBy("domain").agg(
+            F.count("*").alias("n"), F.sum("v").alias("sv"),
+            F.sum("w").alias("sw"))
+    assert sorted(map(tuple, plain.collect())) == \
+        sorted(map(tuple, salted.collect()))
+
+    # the hot key's rows really split across many shuffle keys (AQE
+    # re-coalesces post-join partitions at this tiny scale, so assert
+    # on the salt diversity that feeds the join's hash partitioning)
+    n_salts = (big.filter(F.col("domain") == "hot")
+               .select(F.pmod(F.xxhash64(*big.columns), F.lit(8))
+                       .alias("s"))
+               .distinct().count())
+    assert n_salts == 8
