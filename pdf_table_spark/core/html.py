@@ -30,14 +30,24 @@ def cells_to_html(cells, table_width: float | None = None) -> str:
     by_row: dict[int, list] = {}
     for c in cells:
         by_row.setdefault(c.row, []).append(c)
+    n_rows = max((c.row + c.row_span for c in cells), default=0)
+    # rows collapsed by the all-rowspan-equal fix: their covering spans
+    # are erased, so the rows must stay omitted; every OTHER anchor-less
+    # covered row needs an explicit empty <tr> or the rendered grid
+    # shifts (browsers and parse_table_html agree on that)
+    collapsed: set[int] = set()
     parts = ['<table border="1">', "<tbody>"]
-    for row_idx in sorted(by_row):
-        cols = sorted(by_row[row_idx], key=lambda c: c.col)
+    for row_idx in range(n_rows):
+        cols = sorted(by_row.get(row_idx, ()), key=lambda c: c.col)
+        if not cols and row_idx in collapsed:
+            continue
         spans = [c.row_span for c in cols if c.row_span > 1]
         fix_row_span_same = (
             len(spans) == len(cols) and len(cols) > 0
             and all(s == spans[0] for s in spans)
         )
+        if fix_row_span_same:
+            collapsed.update(range(row_idx + 1, row_idx + spans[0]))
         parts.append("<tr>")
         for c in cols:
             colspan = f' colspan="{int(c.col_span)}"' if c.col_span > 1 else ""

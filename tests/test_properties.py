@@ -1,0 +1,115 @@
+"""Property-based tests (hypothesis) over the pure extraction core —
+invariants that must hold for ANY input, not just the fixture corpus.
+"""
+
+from hypothesis import assume, given, settings
+from hypothesis import strategies as st
+
+from pdf_table_spark.core.geometry import merge_close_lines
+from pdf_table_spark.core.html import (
+    canonicalize_table_html, cells_to_html, parse_table_html)
+from pdf_table_spark.core.lattice import LogicalCell
+from pdf_table_spark.core.page import extract_document
+from pdf_table_spark.fixtures.generator import gen_doc
+
+coords = st.floats(min_value=0.0, max_value=1000.0,
+                   allow_nan=False, allow_infinity=False)
+
+
+@given(st.lists(coords, min_size=1, max_size=60),
+       st.floats(min_value=0.5, max_value=10.0))
+def test_merge_close_lines_separation_and_bounds(values, tol):
+    """Cluster means are strictly ascending with gaps > tol, stay inside
+    the input range, and never outnumber the inputs."""
+    out = merge_close_lines(sorted(values), tol)
+    assert 1 <= len(out) <= len(values)
+    assert min(values) <= out[0] and out[-1] <= max(values)
+    for a, b in zip(out, out[1:]):
+        assert b - a > tol
+
+
+cell_text = st.text(
+    alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd"),
+                           max_codepoint=0x24F),
+    max_size=8)
+
+
+@st.composite
+def grids(draw):
+    """A valid logical-cell grid: random merges over an n x m lattice,
+    greedy row-major — same construction invariant as
+    merge_logical_cells output."""
+    nr = draw(st.integers(1, 5))
+    nc = draw(st.integers(1, 5))
+    taken = [[False] * nc for _ in range(nr)]
+    cells = []
+    for r in range(nr):
+        for c in range(nc):
+            if taken[r][c]:
+                continue
+            max_cs = 1
+            while c + max_cs < nc and not taken[r][c + max_cs]:
+                max_cs += 1
+            cs = draw(st.integers(1, max_cs))
+            max_rs = 1
+            while r + max_rs < nr and all(
+                    not taken[r + max_rs][cc] for cc in range(c, c + cs)):
+                max_rs += 1
+            rs = draw(st.integers(1, max_rs))
+            for rr in range(r, r + rs):
+                for cc in range(c, c + cs):
+                    taken[rr][cc] = True
+            cells.append(LogicalCell(
+                row=r, col=c, row_span=rs, col_span=cs,
+                x0=0, y0=0, x1=0, y1=0,
+                texts=[draw(cell_text)]))
+    return cells
+
+
+@given(grids())
+@settings(max_examples=60)
+def test_html_canonicalization_idempotent(cells):
+    """canonicalize ∘ canonicalize == canonicalize for any grid."""
+    html = cells_to_html(cells, table_width=None)
+    once = canonicalize_table_html(html)
+    assert canonicalize_table_html(once) == once
+
+
+@given(grids())
+@settings(max_examples=60)
+def test_html_parse_preserves_grid_occupancy(cells):
+    """Parsing serialized HTML recovers a grid covering the identical
+    (row, col) slots with the identical texts — except grids hit by the
+    documented all-rowspan-equal rewrite (the reference drops rowspans
+    when every cell of a row shares one, deliberately lossy), which we
+    exclude here."""
+    rows = {}
+    for c in cells:
+        rows.setdefault(c.row, []).append(c.row_span)
+    assume(not any(
+        spans and all(s == spans[0] and s > 1 for s in spans)
+        for spans in rows.values()))
+    parsed = parse_table_html(cells_to_html(cells, table_width=None))
+
+    def occupancy(cs):
+        occ = {}
+        for c in cs:
+            for rr in range(c.row, c.row + c.row_span):
+                for cc in range(c.col, c.col + c.col_span):
+                    occ[(rr, cc)] = c.text
+        return occ
+
+    assert occupancy(parsed) == occupancy(cells)
+
+
+@given(st.integers(min_value=0, max_value=5000))
+@settings(max_examples=30, deadline=None)
+def test_extraction_deterministic_any_doc(doc_idx):
+    """Extraction is a pure function of the document for any generator
+    draw (families, rotations, straddles, skew docs included)."""
+    _, spans, _ = gen_doc(doc_idx)
+    a = extract_document(spans)
+    b = extract_document(list(reversed(spans)))  # input order immaterial
+    assert a == b
+    offs = [o["offset"] for o in a]
+    assert offs == list(range(len(offs)))        # dense 0-based offsets
