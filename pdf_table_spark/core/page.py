@@ -92,6 +92,15 @@ def extract_pdf_page(page_json: str, media_ref: str):
     rects = page.get("rects") or []
     images = page.get("images") or []
 
+    # vertical text (O2): margin captions / sidebars — never table or
+    # paragraph material; each becomes its own fragment, ordered among
+    # themselves by (x0, -y0) like the reference's vertical sort
+    # (``pdf_utils.py:1578-1579``)
+    v_lines = sorted(
+        (t for t in text_lines if t.get("dir") == "v"),
+        key=lambda t: (t["x0"], -t["y0"]))
+    text_lines = [t for t in text_lines if t.get("dir") != "v"]
+
     # --- ruled (lattice) tables -------------------------------------
     tables, consumed = L.extract_ruled_tables(rects, text_lines)
 
@@ -138,6 +147,9 @@ def extract_pdf_page(page_json: str, media_ref: str):
         frags.append((bbox[3], bbox[0], "table_html", html, ""))
     for p in paragraphs:
         frags.append((p["y1"], p["x0"], "paragraph", p["text"], ""))
+    for t in v_lines:
+        frags.append((t["y1"], t["x0"], "paragraph",
+                      t["text"].replace("\n", ""), ""))
     for im in images:
         frags.append((im["y1"], im["x0"], "image", "",
                       im.get("name") or media_ref))

@@ -207,6 +207,13 @@ def gen_page(rng, family, heavy=False):
         texts, _ = _prose(rng, 72.0, 720.0,
                           rng.randint(6, 10) if heavy
                           else rng.randint(2, 6))
+        if rng.random() < 0.2:
+            # vertical margin caption (O2: vertical reading order)
+            cap = _words(rng, 2, 4)
+            y_top = 700.0 - rng.uniform(0, 40)
+            texts.append({
+                "x0": 40.0, "y0": y_top - 7.0 * len(cap), "x1": 50.0,
+                "y1": y_top, "text": cap, "dir": "v"})
         return _page_json(texts)
     if family == "F-E":
         rects, ttexts, _ = _ruled_table(rng, 80.0, 720.0, 3, 3)

@@ -35,3 +35,28 @@ def test_rotated_pages_extract_identically():
         for k in (1, 2, 3):
             got = extract_pdf_page(_rotate_payload(base, k), "m")
             assert got == expected, (fam, k)
+
+
+def test_vertical_caption_is_own_paragraph():
+    """O2: a dir='v' margin caption becomes its own paragraph fragment,
+    never merged into prose or tables, and survives page rotation."""
+    import json as _json
+
+    from pdf_table_spark.core.page import extract_pdf_page
+    page = {
+        "width": 612.0, "height": 792.0,
+        "text_lines": [
+            {"x0": 72.0, "y0": 706.0, "x1": 400.0, "y1": 716.0,
+             "text": "normal prose line one ", "dir": "h"},
+            {"x0": 40.0, "y0": 500.0, "x1": 50.0, "y1": 700.0,
+             "text": "side caption", "dir": "v"},
+        ], "rects": [], "images": []}
+    frags = extract_pdf_page(_json.dumps(page), "m")
+    kinds_texts = [(k, t) for k, t, _ in frags]
+    assert ("paragraph", "side caption") in kinds_texts
+    assert ("paragraph", "normal prose line one ") in kinds_texts
+    assert len(frags) == 2
+
+    from pdf_table_spark.fixtures.generator import _rotate_payload
+    rotated = _rotate_payload(_json.dumps(page), 1)
+    assert extract_pdf_page(rotated, "m") == frags
