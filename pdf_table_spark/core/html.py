@@ -57,7 +57,9 @@ def cells_to_html(cells, table_width: float | None = None) -> str:
             width = ""
             if table_width and table_width > 0 and c.x1 > c.x0:
                 width = f' width="{round((c.x1 - c.x0) / table_width * 100)}%"'
-            text = c.text.replace("\n", "<br/>")
+            text = (c.text.replace("&", "&amp;")
+                    .replace("<", "&lt;").replace(">", "&gt;")
+                    .replace("\n", "<br/>"))
             parts.append(f"<td{colspan}{rowspan}{width}>{text}</td>")
         parts.append("</tr>")
     parts.append("</tbody>")
@@ -93,6 +95,8 @@ def parse_table_html(html: str) -> list[LogicalCell]:
                     rowspan = int(val)
             text = re.sub(r"<br\s*/?>", "\n", body)
             text = re.sub(r"<[^>]+>", "", text)  # strip <b>/<i> wrappers
+            text = (text.replace("&lt;", "<").replace("&gt;", ">")
+                    .replace("&amp;", "&"))
             cell = LogicalCell(row=r, col=c, row_span=rowspan,
                                col_span=colspan, x0=0, y0=0, x1=0, y1=0,
                                texts=[t for t in [text] if t != ""])

@@ -93,18 +93,23 @@ def find_table_regions(horizontal, vertical, tol: float = G.JOINT_TOL):
 
     regions = []
     for g in groups.values():
-        if len(g["joints"]) < MIN_JOINTS or not g["h"] or not g["v"]:
+        if not g["h"] or not g["v"]:
             continue
-        xs = [s[0] for s in g["h"]] + [s[2] for s in g["h"]] + [s[0] for s in g["v"]]
-        ys = [s[1] for s in g["v"]] + [s[3] for s in g["v"]] + [s[1] for s in g["h"]]
-        bbox = (min(xs), min(ys), max(xs), max(ys))
         # dedup joints on rounded key (reference A8 joint normalization)
+        # BEFORE the joint-count gate: double-drawn strokes would
+        # otherwise double-count joints and let degenerate 1-row
+        # "tables" through, swallowing page prose
         seen, joints = set(), []
         for x, y in sorted(g["joints"]):
             k = (round(x), round(y))
             if k not in seen:
                 seen.add(k)
                 joints.append((x, y))
+        if len(joints) < MIN_JOINTS:
+            continue
+        xs = [s[0] for s in g["h"]] + [s[2] for s in g["h"]] + [s[0] for s in g["v"]]
+        ys = [s[1] for s in g["v"]] + [s[3] for s in g["v"]] + [s[1] for s in g["h"]]
+        bbox = (min(xs), min(ys), max(xs), max(ys))
         regions.append((bbox, sorted(g["h"]), sorted(g["v"]), joints))
     # reading order: top of page first (PDF y grows up), then left
     regions.sort(key=lambda r: (-r[0][3], r[0][0]))
@@ -222,11 +227,17 @@ def merge_logical_cells(cols, rows, left, right, top, bottom):
             while c2 + 1 < nc and not right[r][c2] and not left[r][c2 + 1] \
                     and not taken[r][c2 + 1]:
                 c2 += 1
-            # grow down while every column in [c, c2] lacks a bottom ruling
+            # grow down while every column in [c, c2] lacks a bottom
+            # ruling AND the absorbed row has no interior vertical
+            # ruling inside [c, c2] (otherwise a visible vertical line
+            # would end up inside the merged cell)
             r2 = r
             while r2 + 1 < nr and all(
-                    not bottom[r2][cc] and not top[r2 + 1][cc] and not taken[r2 + 1][cc]
-                    for cc in range(c, c2 + 1)):
+                    not bottom[r2][cc] and not top[r2 + 1][cc]
+                    and not taken[r2 + 1][cc]
+                    for cc in range(c, c2 + 1)) and all(
+                    not right[r2 + 1][cc] and not left[r2 + 1][cc + 1]
+                    for cc in range(c, c2)):
                 r2 += 1
             cell = LogicalCell(
                 row=r, col=c, row_span=r2 - r + 1, col_span=c2 - c + 1,
@@ -282,7 +293,17 @@ def place_text(table: RuledTable, text_lines,
                 r_idx = r
                 break
         if r_idx == -1:
-            continue
+            # J1 argmin fallback: a line whose center sits exactly on a
+            # row boundary (or was shifted off-axis by merge averaging)
+            # must land in the NEAREST row — dropping it here would lose
+            # the text entirely, since the caller already consumed it
+            # out of the page remainder
+            best_d, best_r = None, 0
+            for r, (ytop, ybot) in enumerate(table.rows):
+                d = max(ybot - yc, yc - ytop, 0.0)
+                if best_d is None or d < best_d:
+                    best_d, best_r = d, r
+            r_idx = best_r
         cuts = []
         for c in range(1, len(table.cols)):
             cx = table.cols[c][0]

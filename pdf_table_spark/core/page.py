@@ -93,9 +93,11 @@ def extract_pdf_page(page_json: str, media_ref: str):
     images = page.get("images") or []
 
     # vertical text (O2): margin captions / sidebars — never table or
-    # paragraph material; each becomes its own fragment, ordered among
-    # themselves by (x0, -y0) like the reference's vertical sort
-    # (``pdf_utils.py:1578-1579``)
+    # paragraph material; each becomes its own fragment. Final position
+    # in the output follows the page-global reading order (top-down,
+    # left-right) like every other fragment; the reference's
+    # vertical-group sort (x0, -y0) (``pdf_utils.py:1578-1579``) is
+    # applied here only as the tie-break among co-located v-lines.
     v_lines = sorted(
         (t for t in text_lines if t.get("dir") == "v"),
         key=lambda t: (t["x0"], -t["y0"]))
@@ -108,8 +110,8 @@ def extract_pdf_page(page_json: str, media_ref: str):
     # embedded image (IoU >= 0.5) is a mis-detected figure → drop it and
     # release its text.
     kept_tables = []
+    img_boxes = [(im["x0"], im["y0"], im["x1"], im["y1"]) for im in images]
     for t in tables:
-        img_boxes = [(im["x0"], im["y0"], im["x1"], im["y1"]) for im in images]
         if any(G.iou(t.bbox, ib) >= FALSE_TABLE_IOU for ib in img_boxes):
             for i, tl in enumerate(text_lines):
                 if G.bbox_contains_center(

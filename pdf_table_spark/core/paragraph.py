@@ -53,12 +53,9 @@ def classify_line(t, min_x, max_x, font_size):
         return START
     if ads_start < START_DIFF_ERROR < ads_end and end_skip >= 1:
         return END
-    if (ads_start < START_DIFF_ERROR and ads_end < START_DIFF_ERROR) or (
-            start_skip < 1 and end_skip < 1):
-        return MIDDLE
-    if ads_start >= START_DIFF_ERROR and start_skip > 2 \
-            and ads_end > START_DIFF_ERROR and end_skip > 2:
-        return START
+    # anything else is a MIDDLE line (the reference's remaining rules
+    # are subsumed: its second START rule requires a stricter version
+    # of the first and can never be reached)
     return MIDDLE
 
 

@@ -30,6 +30,9 @@ def group_rows(text_lines, row_tol: float = G.ROW_TOL):
         text_lines,
         key=lambda t: (-(t["y0"] + t["y1"]) / 2.0, t["x0"]))
     rows = [[lines[0]]]
+    # anchor on the row's FIRST line (reference _group_rows,
+    # table_extractor_stream.py:119-131): updating per line would let
+    # rows chain with unbounded drift and merge distinct rows
     last_yc = (lines[0]["y0"] + lines[0]["y1"]) / 2.0
     for t in lines[1:]:
         yc = (t["y0"] + t["y1"]) / 2.0
@@ -37,7 +40,7 @@ def group_rows(text_lines, row_tol: float = G.ROW_TOL):
             rows[-1].append(t)
         else:
             rows.append([t])
-        last_yc = yc
+            last_yc = yc
     for r in rows:
         r.sort(key=lambda t: t["x0"])
     return rows

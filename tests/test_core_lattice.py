@@ -174,3 +174,53 @@ def test_straddling_line_splits_only_at_logical_boundaries():
     got_m = {(c.row, c.col, c.col_span): c.text
              for c in tables_m[0].cells if c.text}
     assert got_m == {(0, 0, 2): "leftpart rightpart"}
+
+
+def _full_grid_rects(xs, ys, drop=()):
+    rects = []
+    for r in range(len(ys)):
+        for c in range(len(xs) - 1):
+            if ("h", r, c) not in drop:
+                rects.append({"x0": xs[c], "y0": ys[r] - 0.5,
+                              "x1": xs[c + 1], "y1": ys[r] + 0.5})
+    for c in range(len(xs)):
+        for r in range(len(ys) - 1):
+            if ("v", r, c) not in drop:
+                rects.append({"x0": xs[c] - 0.5, "y0": ys[r + 1],
+                              "x1": xs[c] + 0.5, "y1": ys[r]})
+    return rects
+
+
+def test_boundary_straddling_text_never_lost():
+    """A line whose y-center sits exactly on a row boundary must land
+    in the nearest row, not vanish from output entirely."""
+    from pdf_table_spark.core.lattice import extract_ruled_tables
+    xs, ys = [0.0, 100.0], [300.0, 250.0, 200.0]
+    rects = _full_grid_rects(xs, ys)
+    # y-center = 250.0 == interior row boundary
+    line = {"x0": 10.0, "y0": 245.0, "x1": 60.0, "y1": 255.0,
+            "text": "boundary", "dir": "h"}
+    tables, consumed = extract_ruled_tables(rects, [line])
+    assert consumed == {0}
+    all_text = "\n".join(c.text for t in tables for c in t.cells)
+    assert "boundary" in all_text
+
+
+def test_grow_down_respects_interior_vertical_ruling():
+    """A merged header must NOT absorb a body row that has a visible
+    vertical ruling inside the header's column range."""
+    from pdf_table_spark.core.lattice import extract_ruled_tables
+    xs, ys = [0.0, 100.0, 200.0, 300.0], [300.0, 250.0, 200.0]
+    # drop: header's interior vertical (row 0, boundary 1) and the
+    # horizontal between rows under cols 0-1 → header wants to grow
+    # down; but row 1 KEEPS its vertical at boundary 1
+    rects = _full_grid_rects(
+        xs, ys, drop={("v", 0, 1), ("h", 1, 0), ("h", 1, 1)})
+    tables, _ = extract_ruled_tables(rects, [])
+    assert len(tables) == 1
+    cells = {(c.row, c.col): (c.row_span, c.col_span)
+             for c in tables[0].cells}
+    # header spans cols 0-1 in row 0 ONLY (row 1 has a vertical ruling
+    # separating its cols 0 and 1)
+    assert cells[(0, 0)] == (1, 2)
+    assert (1, 0) in cells and (1, 1) in cells
