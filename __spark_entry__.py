@@ -58,6 +58,7 @@ def _extract_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 GOLDEN_001 = os.path.join(FIXTURE_ROOT, "sf0.01", "golden_flat.parquet")
 SPANS_001 = os.path.join(FIXTURE_ROOT, "sf0.01", "documents_spans.parquet")
+EXPORTS_001 = os.path.join(FIXTURE_ROOT, "sf0.01", "golden_exports.parquet")
 
 # DuckDB-side shared formulas (must mirror pdf_table_spark.ops exactly)
 DK_TOKENS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
@@ -608,8 +609,11 @@ def oracle_sql() -> dict[str, str]:
         "extract_spans": (
             f'select doc_id, "offset" as offset, kind, text, media_ref '
             f"from {golden}"),
+        # casts: DuckDB sum(bigint) returns HUGEINT (int128); Spark
+        # returns BIGINT — cast so the driver's value hash matches.
         "extract_kind_stats": (
-            f"select kind, count(*) as n_spans, sum(length(text)) as "
+            f"select kind, count(*) as n_spans, "
+            f"cast(sum(length(text)) as bigint) as "
             f"total_chars from {golden} group by kind"),
         "extract_tables_per_doc": (
             f"select doc_id, count(*) as n_tables from {golden} "
@@ -679,11 +683,11 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": jacc,
         "doc_metrics": f"""
             select doc_id, count(*) as n_spans,
-                   sum(case when kind = 'table_html' then 1 else 0 end)
-                     as n_tables,
-                   sum(case when kind = 'paragraph' then 1 else 0 end)
-                     as n_paragraphs,
-                   sum(length(text)) as total_chars
+                   cast(sum(case when kind = 'table_html' then 1 else 0 end)
+                     as bigint) as n_tables,
+                   cast(sum(case when kind = 'paragraph' then 1 else 0 end)
+                     as bigint) as n_paragraphs,
+                   cast(sum(length(text)) as bigint) as total_chars
             from {golden} group by doc_id
         """,
         "paragraph_rank": f"""
@@ -721,17 +725,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "layout_scores": _dk_layout_scores_sql(spans),
         "page_select": f"""
-            with kept as (
+            with po as (
+              select doc_id, spans,
+                     list_transform(
+                       list_filter(spans, p -> p.kind = 'pdf_page'),
+                       p -> p."offset") as pg_offsets
+              from {spans}
+            ), kept as (
               select doc_id,
                      list_transform(
                        list_filter(
                          list_transform(spans, s -> {{'s': s,
-                           'pg': len(list_filter(spans,
-                             p -> p.kind = 'pdf_page'
-                              and p."offset" <= s."offset"))}}),
-                         x -> x.s.kind != 'pdf_page' or x.pg >= 2),
+                           'pg': len(list_filter(pg_offsets,
+                                     o -> o <= s."offset"))}}),
+                         x -> x.s.kind is distinct from 'pdf_page'
+                              or x.pg >= 2),
                        x -> x.s) as spans
-              from {spans}
+              from po
             )
             select doc_id,
                    len(list_filter(spans, s -> s.kind = 'pdf_page'))
@@ -739,9 +749,14 @@ def oracle_sql() -> dict[str, str]:
                    len(spans) as n_spans_kept
             from kept
         """,
-        # table_exports: rows-only (HTML→grid parsing is not
-        # SQL-expressible); rendering exactness is pytest-covered
-        # (tests/test_ops.py::test_export_tables_formats)
+        # table_exports: checked against golden_exports.parquet, rendered
+        # by the same core.export_render function inside the
+        # single-process oracle (fixtures/build.py) — the extract_spans
+        # pattern applied to the S7 export fan-out.
+        "table_exports": (
+            f'select doc_id, "offset" as offset, n_rows, n_cols, '
+            f"csv, markdown, json_rows "
+            f"from read_parquet('{EXPORTS_001}')"),
         "doc_html": f"""
             select doc_id,
                    string_agg(
@@ -823,7 +838,7 @@ def oracle_sql() -> dict[str, str]:
                        as session_id
               from flagged
             )
-            select user_id, max(session_id) + 1 as n_sessions,
+            select user_id, cast(max(session_id) + 1 as bigint) as n_sessions,
                    count(*) as n_events
             from sess group by user_id
         """,

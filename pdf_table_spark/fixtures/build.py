@@ -45,6 +45,12 @@ GOLDEN_SCHEMA = pa.schema([
     ("doc_id", pa.string()), ("offset", pa.int32()), ("kind", pa.string()),
     ("text", pa.string()), ("media_ref", pa.string())])
 
+EXPORTS_SCHEMA = pa.schema([
+    ("doc_id", pa.string()), ("offset", pa.int32()),
+    ("n_rows", pa.int32()), ("n_cols", pa.int32()),
+    ("csv", pa.string()), ("markdown", pa.string()),
+    ("json_rows", pa.string())])
+
 
 def fixture_dir(root: str, sf: str) -> str:
     return os.path.join(root, f"sf{sf}")
@@ -54,7 +60,10 @@ def build_sf(root: str, sf: str, force: bool = False) -> dict:
     out_dir = fixture_dir(root, sf)
     docs_path = os.path.join(out_dir, "documents_spans.parquet")
     golden_path = os.path.join(out_dir, "golden_flat.parquet")
-    if not force and os.path.isdir(docs_path) and os.path.exists(golden_path):
+    exports_path = os.path.join(out_dir, "golden_exports.parquet")
+    if (not force and os.path.isdir(docs_path)
+            and os.path.exists(golden_path)
+            and os.path.exists(exports_path)):
         return {"sf": sf, "skipped": True}
     if os.path.isfile(docs_path):  # migrate old single-file layout
         os.remove(docs_path)
@@ -91,8 +100,28 @@ def build_sf(root: str, sf: str, force: bool = False) -> dict:
         {"doc_id": g_doc, "offset": g_off, "kind": g_kind,
          "text": g_text, "media_ref": g_ref}, schema=GOLDEN_SCHEMA)
     pq.write_table(golden_tbl, golden_path)
+
+    # S7 export oracle: render every golden table through the same
+    # csv/markdown/json renderer the Spark stage uses (core.export_render)
+    from ..core.export_render import render_table_html
+    e = {k: [] for k in ("doc_id", "offset", "n_rows", "n_cols",
+                         "csv", "markdown", "json_rows")}
+    for d, o, k, t in zip(g_doc, g_off, g_kind, g_text):
+        if k != "table_html":
+            continue
+        nr, nc, c, md, js = render_table_html(t or "")
+        e["doc_id"].append(d)
+        e["offset"].append(o)
+        e["n_rows"].append(nr)
+        e["n_cols"].append(nc)
+        e["csv"].append(c)
+        e["markdown"].append(md)
+        e["json_rows"].append(js)
+    pq.write_table(pa.Table.from_pydict(e, schema=EXPORTS_SCHEMA),
+                   exports_path)
     return {"sf": sf, "docs": n_docs, "pages": n_pages,
-            "golden_rows": len(g_doc), "skipped": False}
+            "golden_rows": len(g_doc), "export_rows": len(e["doc_id"]),
+            "skipped": False}
 
 
 def ensure_fixtures(root: str, sfs=("0.001", "0.01", "0.1")):

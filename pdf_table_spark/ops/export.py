@@ -12,14 +12,13 @@ already shuffled once; no extra shuffle.
 
 from __future__ import annotations
 
-import csv
-import io
-import json
 from collections.abc import Iterator
 
 import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..core.export_render import render_table_html as _render
 
 EXPORT_SCHEMA = ("doc_id string, offset int, n_rows int, n_cols int, "
                  "csv string, markdown string, json_rows string")
@@ -29,42 +28,6 @@ _ARROW_SCHEMA = pa.schema([
     ("n_rows", pa.int32()), ("n_cols", pa.int32()),
     ("csv", pa.string()), ("markdown", pa.string()),
     ("json_rows", pa.string())])
-
-
-def _grid_matrix(cells):
-    """LogicalCells → dense text matrix; spanned slots repeat the
-    anchor text (reference copy-text semantics,
-    ``table_extractor_lattice.py:366-397``)."""
-    if not cells:
-        return []
-    nr = max(c.row + c.row_span for c in cells)
-    nc = max(c.col + c.col_span for c in cells)
-    m = [["" for _ in range(nc)] for _ in range(nr)]
-    for c in cells:
-        for r in range(c.row, c.row + c.row_span):
-            for cc in range(c.col, c.col + c.col_span):
-                m[r][cc] = c.text
-    return m
-
-
-def _render(html: str):
-    from ..core.html import parse_table_html
-    m = _grid_matrix(parse_table_html(html))
-    nr, nc = len(m), (len(m[0]) if m else 0)
-    buf = io.StringIO()
-    csv.writer(buf, lineterminator="\n").writerows(m)
-    def md_cell(t: str) -> str:
-        # pipes and newlines would corrupt the markdown grid
-        return t.replace("|", "\\|").replace("\n", "<br/>")
-
-    md_lines = []
-    if m:
-        md_lines.append("| " + " | ".join(map(md_cell, m[0])) + " |")
-        md_lines.append("|" + "---|" * nc)
-        for row in m[1:]:
-            md_lines.append("| " + " | ".join(map(md_cell, row)) + " |")
-    return (nr, nc, buf.getvalue(), "\n".join(md_lines),
-            json.dumps(m, ensure_ascii=False))
 
 
 def _export_batches(

@@ -35,6 +35,43 @@ def norm_cell(v):
     return v
 
 
+# Column-type strictness: the driver's value hash is computed over the
+# Arrow representation, so DuckDB HUGEINT (int128) vs Spark BIGINT
+# (int64) mismatches even when the Python values compare equal. Map
+# both engines' declared types to a common vocabulary and fail on any
+# difference — this is exactly the class of bug the round-1 hash
+# failures were.
+_SPARK_TY = {
+    "tinyint": "int", "smallint": "int", "int": "int",
+    "bigint": "int", "float": "float32", "double": "float64",
+    "string": "str", "boolean": "bool", "date": "date",
+    "timestamp": "timestamp", "timestamp_ntz": "timestamp",
+    "binary": "bytes",
+}
+_DUCK_TY = {
+    "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int",
+    "BIGINT": "int", "HUGEINT": "int128", "UTINYINT": "int",
+    "USMALLINT": "int", "UINTEGER": "int", "UBIGINT": "int",
+    "FLOAT": "float32", "DOUBLE": "float64", "VARCHAR": "str",
+    "BOOLEAN": "bool", "DATE": "date", "TIMESTAMP": "timestamp",
+    "BLOB": "bytes", "NUMBER": "float64",
+}
+
+
+def _spark_tyname(dt: str) -> str:
+    dt = dt.lower()
+    if dt.startswith("decimal"):
+        return "decimal"
+    return _SPARK_TY.get(dt, dt)
+
+
+def _duck_tyname(t) -> str:
+    s = str(t).upper()
+    if s.startswith("DECIMAL"):
+        return "decimal"
+    return _DUCK_TY.get(s, s.lower())
+
+
 def norm_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
@@ -65,6 +102,7 @@ def main():
         try:
             sdf = fn(spark, SF_DIR)
             s_cols = sdf.columns
+            s_types = {c: _spark_tyname(t) for c, t in sdf.dtypes}
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
@@ -75,16 +113,24 @@ def main():
             n_rows_only += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
+            rel = con.sql(oracles[name])
+            d_cols = list(rel.columns)
+            d_types = {c: _duck_tyname(t)
+                       for c, t in zip(rel.columns, rel.types)}
+            d_rows = rel.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
             continue
+        ty_diff = {c: (s_types[c], d_types[c]) for c in s_types
+                   if c in d_types and s_types[c] != d_types[c]}
         sc, sr = norm_rows(s_cols, s_rows)
         dc, dr = norm_rows(d_cols, d_rows)
-        if sc != dc:
+        if ty_diff:
+            print(f"FAIL  {name}: column types differ (spark, duckdb): "
+                  f"{ty_diff}")
+            n_fail += 1
+        elif sc != dc:
             print(f"FAIL  {name}: columns {sc} vs {dc}")
             n_fail += 1
         elif len(sr) != len(dr):
