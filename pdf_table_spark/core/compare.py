@@ -19,14 +19,16 @@ ordered most-specific first):
   DIFF_CELL_DIFF_ROW       same multiset of cell texts, different
                            (row, col) placement
   DIFF_TEXT_PREDICT_LESS_WORDS / DIFF_TEXT_LABEL_LESS_WORDS
-                           one side's concatenated text is a strict
-                           subsequence of the other's
+                           one side's word multiset is a strict subset
+                           of the other's (word-level, like the
+                           reference's table_result_compare)
   DIFF_TEXT_INCONSISTENT   anything else
 """
 
 from __future__ import annotations
 
 import re
+from collections import Counter
 
 from .html import parse_table_html
 
@@ -42,10 +44,9 @@ def _anchors(cells):
             for c in cells}
 
 
-def _is_subseq(a: str, b: str) -> bool:
-    """a is a subsequence of b."""
-    it = iter(b)
-    return all(ch in it for ch in a)
+def _word_subset(a: Counter, b: Counter) -> bool:
+    """every word of a occurs in b at least as often (multiset ⊆)."""
+    return all(b[w] >= n for w, n in a.items())
 
 
 def classify_table_diff(pred_html: str, gold_html: str) -> str:
@@ -74,11 +75,13 @@ def classify_table_diff(pred_html: str, gold_html: str) -> str:
     if pred_texts == gold_texts:
         return "DIFF_CELL_DIFF_ROW"
 
-    p_all = "".join(sorted("".join(pred_texts).split()))
-    g_all = "".join(sorted("".join(gold_texts).split()))
-    if p_all != g_all:
-        if _is_subseq(p_all, g_all):
+    # word-level multiset containment (reference compares word lists,
+    # not characters: char-subsequence misfires on e.g. 'bc' vs 'ab cd')
+    p_words = Counter(" ".join(pred_texts).split())
+    g_words = Counter(" ".join(gold_texts).split())
+    if p_words != g_words:
+        if _word_subset(p_words, g_words):
             return "DIFF_TEXT_PREDICT_LESS_WORDS"
-        if _is_subseq(g_all, p_all):
+        if _word_subset(g_words, p_words):
             return "DIFF_TEXT_LABEL_LESS_WORDS"
     return "DIFF_TEXT_INCONSISTENT"

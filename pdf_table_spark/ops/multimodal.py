@@ -133,7 +133,11 @@ def sample_frames(videos: DataFrame, every_n: int = 5) -> DataFrame:
                 _w, _h, _fmt, feat = _decode_image(key)
                 rows["media_ref"].append(ref)
                 rows["frame_idx"].append(int(idx))
-                rows["ts_sec"].append(float(idx) / float(fps or 1.0))
+                # NaN-aware fallback: a null double through Arrow→pandas
+                # arrives as NaN, which is truthy — `fps or 1.0` keeps it
+                f = float(fps) if fps is not None and fps == fps \
+                    and fps != 0 else 1.0
+                rows["ts_sec"].append(float(idx) / f)
                 rows["frame_feature"].append(feat)
             yield pd.DataFrame(rows)
 

@@ -37,6 +37,22 @@ from .pipeline import extract_documents, flatten_output
 
 MANIFEST_DIR = "_manifests"
 
+# chars Spark/Hive escape in partition directory names (Hive
+# FileUtils.escapePathName, used by Spark's dynamic partition writer):
+# control chars, DEL, and this printable set.
+_ESCAPED_CHARS = set('"#%\'*/:=?\\{[]^')
+
+
+def escape_partition_value(v: str) -> str:
+    """Escape a partition value exactly like Spark's partition writer
+    does, so a hand-built ``part_id=<v>`` read-back path matches the
+    directory the write created (timestamps, URLs etc. contain ':'/'='
+    which Spark writes as %3A/%3D)."""
+    return "".join(
+        f"%{ord(ch):02X}" if (ch in _ESCAPED_CHARS or ord(ch) < 0x20
+                              or ord(ch) == 0x7F) else ch
+        for ch in v)
+
 
 def with_part_id(docs: DataFrame, n_buckets: int) -> DataFrame:
     return docs.withColumn(
@@ -103,7 +119,10 @@ def run_checkpointed(spark: SparkSession, docs: DataFrame, out_dir: str,
         raise ValueError(
             f"NULL values in partition column {part_col!r}: "
             "every document needs a bucket for resumable runs")
-    bad = [p for p in fps if "/" in str(p) or str(p).startswith(".")]
+    # escaping handles ':' '=' '%' etc.; an EMPTY value would become
+    # __HIVE_DEFAULT_PARTITION__ on disk and a leading '.' a hidden dir
+    # the reader skips — reject both.
+    bad = [p for p in fps if str(p) == "" or str(p).startswith(".")]
     if bad:
         raise ValueError(f"non-path-safe partition values: {bad[:5]}")
 
@@ -114,35 +133,46 @@ def run_checkpointed(spark: SparkSession, docs: DataFrame, out_dir: str,
         if os.path.exists(mpath):
             with open(mpath) as f:
                 m = json.load(f)
-            if m.get("input_fingerprint") == fp:
+            if (m.get("input_fingerprint") == fp
+                    and m.get("status") == "ok"):
                 skipped.append(part_id)
                 continue  # unchanged bucket → skip (idempotent resume)
         t0 = time.perf_counter()
-        bucket = bucketed.filter(F.col("part_id") == part_id).drop("part_id")
-        out = flatten_output(extract_documents(bucket)) \
-            .withColumn("part_id", F.lit(part_id))
-        (out.write.mode("overwrite")
-            .partitionBy("part_id")
-            .parquet(out_dir))
-        # read back ONLY this bucket's partition directory — reading
-        # the table root here would rescan every finished bucket and
-        # turn the loop O(buckets^2)
-        n_rows = spark.read.parquet(
-            os.path.join(out_dir, f"part_id={part_id}")).count()
         manifest = {
             "run_id": run_id,
             "partition_id": part_id,
             "input_fingerprint": fp,
             "doc_count": n_docs,
-            "output_rows": n_rows,
-            "wall_sec": round(time.perf_counter() - t0, 3),
-            "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-            "status": "ok",
         }
+        try:
+            bucket = bucketed.filter(
+                F.col("part_id") == part_id).drop("part_id")
+            out = flatten_output(extract_documents(bucket)) \
+                .withColumn("part_id", F.lit(part_id))
+            (out.write.mode("overwrite")
+                .partitionBy("part_id")
+                .parquet(out_dir))
+            # read back ONLY this bucket's partition directory — reading
+            # the table root here would rescan every finished bucket and
+            # turn the loop O(buckets^2). The dir name is the value as
+            # Spark's writer escaped it.
+            n_rows = spark.read.parquet(os.path.join(
+                out_dir,
+                f"part_id={escape_partition_value(str(part_id))}")).count()
+        except Exception as e:  # noqa: BLE001 — bucket-granular isolation
+            manifest.update(status="failed", error=f"{type(e).__name__}: {e}")
+            failed.append(part_id)
+        else:
+            manifest.update(
+                output_rows=n_rows,
+                wall_sec=round(time.perf_counter() - t0, 3),
+                completed_at=time.strftime(
+                    "%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                status="ok")
+            done.append(part_id)
         tmp = mpath + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
-        os.replace(tmp, mpath)  # atomic: manifest exists ⇔ bucket committed
-        done.append(part_id)
+        os.replace(tmp, mpath)  # atomic: ok-manifest exists ⇔ committed
     return {"done": done, "skipped": skipped, "failed": failed,
             "n_buckets": n_buckets}

@@ -102,3 +102,54 @@ def test_part_col_prunes_input_scan(spark, docs, fixture_root, tmp_path):
     s2 = run_checkpointed(spark, pdocs, out, run_id="r2",
                           part_col="part_id")
     assert not s2["done"] and len(s2["skipped"]) == 3
+
+
+def test_part_col_with_escaped_chars(spark, docs, fixture_root, tmp_path):
+    """Timestamp-like partition values (':' etc.) are written by Spark
+    as %3A-escaped directory names; the per-bucket read-back must use
+    the same escaping or resume dies mid-run."""
+    from pyspark.sql import functions as F
+
+    pdocs = docs.withColumn(
+        "day", F.when(F.xxhash64("doc_id") % 2 == 0,
+                      F.lit("2026-08-16 00:00:00"))
+                .otherwise(F.lit("2026-08-17 00:00:00")))
+    out = str(tmp_path / "out")
+    s1 = run_checkpointed(spark, pdocs.drop("part_id"), out,
+                          run_id="r1", part_col="day")
+    assert sorted(s1["done"]) == [
+        "2026-08-16 00:00:00", "2026-08-17 00:00:00"]
+    assert not s1["failed"]
+    assert spark.read.parquet(out).count() == _golden_count(fixture_root)
+    s2 = run_checkpointed(spark, pdocs.drop("part_id"), out,
+                          run_id="r2", part_col="day")
+    assert not s2["done"] and len(s2["skipped"]) == 2
+
+
+def test_failed_bucket_recorded_and_retried(spark, docs, tmp_path,
+                                            monkeypatch):
+    """A bucket failure lands in summary['failed'] with a status=failed
+    manifest; the next run retries ONLY that bucket."""
+    import pdf_table_spark.spark.checkpoint as cp
+
+    real = cp.flatten_output
+    victim = {}
+
+    def boom(df):
+        if victim.get("armed"):
+            victim["armed"] = False
+            raise RuntimeError("injected bucket failure")
+        return real(df)
+
+    monkeypatch.setattr(cp, "flatten_output", boom)
+    victim["armed"] = True
+    out = str(tmp_path / "out")
+    s1 = run_checkpointed(spark, docs, out, n_buckets=3, run_id="r1")
+    assert len(s1["failed"]) == 1 and len(s1["done"]) == 2
+    bad = s1["failed"][0]
+    m = {x["partition_id"]: x for x in read_manifests(out)}
+    assert m[bad]["status"] == "failed" and "injected" in m[bad]["error"]
+
+    s2 = run_checkpointed(spark, docs, out, n_buckets=3, run_id="r2")
+    assert s2["done"] == [bad] and len(s2["skipped"]) == 2
+    assert {x["status"] for x in read_manifests(out)} == {"ok"}

@@ -45,3 +45,16 @@ def test_placement_and_text_differences():
 
     other = BASE.replace("<td>d</td>", "<td>zzz</td>")
     assert classify_table_diff(other, BASE) == "DIFF_TEXT_INCONSISTENT"
+
+
+def test_word_level_containment_not_char_subsequence():
+    """pred 'bc' vs gold 'ab cd': no shared word → INCONSISTENT, even
+    though 'bc' is a char-subsequence of 'abcd' (the old misfire)."""
+    pred = '<table border="1"><tbody><tr><td>bc</td></tr></tbody></table>'
+    gold = ('<table border="1"><tbody>'
+            '<tr><td>ab cd</td></tr></tbody></table>')
+    assert classify_table_diff(pred, gold) == "DIFF_TEXT_INCONSISTENT"
+
+    # true word subset still classifies: 'ab' ⊂ {'ab','cd'}
+    sub = '<table border="1"><tbody><tr><td>ab</td></tr></tbody></table>'
+    assert classify_table_diff(sub, gold) == "DIFF_TEXT_PREDICT_LESS_WORDS"

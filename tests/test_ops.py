@@ -142,6 +142,21 @@ def test_sample_frames_enumeration_and_determinism(spark):
     assert sorted(map(tuple, again)) == sorted(map(tuple, got))
 
 
+def test_sample_frames_null_fps_falls_back(spark):
+    """NULL fps arrives in pandas as NaN (truthy!) — ts must fall back
+    to 1.0 fps, not become NaN."""
+    import math
+
+    from pdf_table_spark.ops.multimodal import sample_frames
+    vids = spark.createDataFrame(
+        [("vid://n", 6, None), ("vid://z", 6, 0.0)],
+        "media_ref string, n_frames int, fps double")
+    got = sample_frames(vids, every_n=5).collect()
+    for r in got:
+        assert not math.isnan(r.ts_sec)
+        assert r.ts_sec == float(r.frame_idx)  # 1.0 fps fallback
+
+
 def test_parse_page_spec():
     from pdf_table_spark.ops.pages import END, parse_page_spec
     assert parse_page_spec("all") == [(1, END)]
