@@ -91,6 +91,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_extract_spans(spark, sf_dir):
         return _extract_flat(spark, sf_dir)
 
+    def q_table_quality(spark, sf_dir):
+        # A9 quality metrics ride every table fragment
+        return (
+            _extract_flat(spark, sf_dir)
+            .filter(F.col("kind") == "table_html")
+            .select("doc_id", "offset", "accuracy", "whitespace")
+        )
+
     def q_extract_kind_stats(spark, sf_dir):
         return (
             _extract_flat(spark, sf_dir)
@@ -329,6 +337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         "extract_spans": q_extract_spans,
+        "table_quality": q_table_quality,
         "extract_kind_stats": q_extract_kind_stats,
         "extract_tables_per_doc": q_extract_tables_per_doc,
         "imaged_doc_classifier": q_imaged_doc_classifier,
@@ -607,8 +616,14 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "extract_spans": (
-            f'select doc_id, "offset" as offset, kind, text, media_ref '
-            f"from {golden}"),
+            f'select doc_id, "offset" as offset, kind, text, media_ref, '
+            f"accuracy, whitespace from {golden}"),
+        # A9 per-table quality (placement accuracy out of 100, % empty
+        # base cells) — reference compute_accuracy/compute_whitespace,
+        # pdf_utils.py:1142-1193
+        "table_quality": (
+            f'select doc_id, "offset" as offset, accuracy, whitespace '
+            f"from {golden} where kind = 'table_html'"),
         # casts: DuckDB sum(bigint) returns HUGEINT (int128); Spark
         # returns BIGINT — cast so the driver's value hash matches.
         "extract_kind_stats": (

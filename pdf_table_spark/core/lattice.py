@@ -22,6 +22,9 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from . import geometry as G
+from .export_render import grid_matrix
+from .quality import (compute_accuracy, compute_whitespace,
+                      placement_error)
 
 MIN_JOINTS = 4  # a table needs at least a 2x2 joint grid (contour gate F8)
 
@@ -52,6 +55,8 @@ class RuledTable:
     cols: list  # col x-intervals left-right: [(x_left, x_right), ...]
     cells: list  # list[LogicalCell]
     cell_of: dict  # (base_r, base_c) -> LogicalCell
+    accuracy: float = 0.0    # A9: placement score out of 100
+    whitespace: float = 0.0  # A9: % empty base cells
 
 
 def find_table_regions(horizontal, vertical, tol: float = G.JOINT_TOL):
@@ -283,7 +288,13 @@ def place_text(table: RuledTable, text_lines,
     logical cells — never inside a merged cell) is first char-split at
     those cuts (X4). Reading order inside a cell: sort by (-y0, x0),
     join with newline.
+
+    Returns the list of per-piece placement errors (A9 input; the
+    reference's get_table_index error, computed against the assigned
+    LOGICAL cell's extent so merged cells don't penalize their own
+    spanned area).
     """
+    pos_errors: list[float] = []
     ordered = sorted(text_lines, key=lambda t: (-t["y0"], t["x0"]))
     for t0 in ordered:
         yc = (t0["y0"] + t0["y1"]) / 2.0
@@ -325,10 +336,12 @@ def place_text(table: RuledTable, text_lines,
             if best_c == -1:
                 continue
             cell = table.cell_of[(r_idx, best_c)]
+            pos_errors.append(placement_error(
+                t, (cell.y1, cell.y0), (cell.x0, cell.x1)))
             txt = t["text"].strip("\n").strip()
             if txt:
                 cell.texts.append(txt)
-    return table
+    return pos_errors
 
 
 def extract_ruled_tables(rects, text_lines, line_tol: float = G.LINE_TOL,
@@ -353,7 +366,11 @@ def extract_ruled_tables(rects, text_lines, line_tol: float = G.LINE_TOL,
             (i, t) for i, t in enumerate(text_lines)
             if G.bbox_contains_center(bbox, t["x0"], t["y0"], t["x1"], t["y1"])
         ]
-        place_text(table, [t for _, t in in_table])
+        pos_errors = place_text(table, [t for _, t in in_table])
+        # A9 quality metrics ride the table (reference attaches them at
+        # table_extractor_lattice.py:294-306)
+        table.accuracy = compute_accuracy(pos_errors)
+        table.whitespace = compute_whitespace(grid_matrix(cells))
         consumed.update(i for i, _ in in_table)
         tables.append(table)
     return tables, consumed

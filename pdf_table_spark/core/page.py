@@ -123,16 +123,13 @@ def extract_pdf_page(page_json: str, media_ref: str):
     # --- remainder text (U1 anti-join) --------------------------------
     remainder = [t for i, t in enumerate(text_lines) if i not in consumed]
 
-    # --- stream tables over the remainder -----------------------------
-    rows = S.group_rows(remainder)
-    blocks, prose_rows = S.detect_stream_blocks(rows)
-    stream_tables = []
-    for run in blocks:
-        cells, bbox = S.build_stream_table(rows, run)
+    # --- stream tables over the remainder (Nurminen, A6/A7/A4) --------
+    stream_tables, s_consumed = S.extract_stream_tables(remainder)
+    for cells, _bbox, _acc, _ws in stream_tables:
         for c in cells:
             c.texts = [ocr_post_process(x) for x in c.texts]
-        stream_tables.append((cells, bbox))
-    prose_lines = [t for i in prose_rows for t in rows[i]]
+    prose_lines = [t for i, t in enumerate(remainder)
+                   if i not in s_consumed]
 
     # --- paragraphs ----------------------------------------------------
     paragraphs = P.merge_paragraphs(prose_lines)
@@ -143,25 +140,30 @@ def extract_pdf_page(page_json: str, media_ref: str):
         for c in t.cells:
             c.texts = [ocr_post_process(x) for x in c.texts]
         html = H.cells_to_html(t.cells, table_width=t.bbox[2] - t.bbox[0])
-        frags.append((t.bbox[3], t.bbox[0], "table_html", html, ""))
-    for cells, bbox in stream_tables:
+        frags.append((t.bbox[3], t.bbox[0], "table_html", html, "",
+                      t.accuracy, t.whitespace))
+    for cells, bbox, acc, ws in stream_tables:
         html = H.cells_to_html(cells, table_width=None)
-        frags.append((bbox[3], bbox[0], "table_html", html, ""))
+        frags.append((bbox[3], bbox[0], "table_html", html, "", acc, ws))
     for p in paragraphs:
-        frags.append((p["y1"], p["x0"], "paragraph", p["text"], ""))
+        frags.append((p["y1"], p["x0"], "paragraph", p["text"], "",
+                      None, None))
     for t in v_lines:
         frags.append((t["y1"], t["x0"], "paragraph",
-                      t["text"].replace("\n", ""), ""))
+                      t["text"].replace("\n", ""), "", None, None))
     for im in images:
         frags.append((im["y1"], im["x0"], "image", "",
-                      im.get("name") or media_ref))
+                      im.get("name") or media_ref, None, None))
     # top of page first (-y_top), then left-to-right
     frags.sort(key=lambda f: (-f[0], f[1]))
-    return [(k, txt, ref) for _, _, k, txt, ref in frags]
+    return [(k, txt, ref, acc, ws)
+            for _, _, k, txt, ref, acc, ws in frags]
 
 
 def extract_span(kind: str, text: str, media_ref: str):
-    """Dispatch one input span → list of (kind, text, media_ref).
+    """Dispatch one input span → list of (kind, text, media_ref,
+    accuracy, whitespace); the last two are the A9 table-quality
+    metrics, None on non-table fragments.
 
     Poison containment: at 10^12 documents some page payloads WILL be
     malformed; a decode exception must quarantine the span, never kill
@@ -170,16 +172,21 @@ def extract_span(kind: str, text: str, media_ref: str):
     visible, greppable, and re-driveable — the distributed analogue of
     the reference's per-page try/except logging."""
     if kind == "text":
-        return [("paragraph", text.replace("\n", ""), "")] if text else []
+        return [("paragraph", text.replace("\n", ""), "", None, None)] \
+            if text else []
     if kind == "image":
-        return [("image", "", media_ref)]
+        return [("image", "", media_ref, None, None)]
     try:
         if kind == "html_table":
-            return [("table_html", H.canonicalize_table_html(text), "")]
+            # canonicalized pass-through: quality metrics require page
+            # geometry, which an HTML fragment doesn't carry
+            return [("table_html", H.canonicalize_table_html(text), "",
+                     None, None)]
         if kind == "pdf_page":
             return extract_pdf_page(text, media_ref)
     except Exception as exc:  # noqa: BLE001 — quarantine, don't crash
-        return [("error", f"{kind}:{exc.__class__.__name__}", media_ref)]
+        return [("error", f"{kind}:{exc.__class__.__name__}", media_ref,
+                 None, None)]
     return []  # unknown kinds are dropped (forward compatibility)
 
 
@@ -193,9 +200,10 @@ def extract_document(spans):
     ordered = sorted(spans, key=lambda s: s["offset"])
     out, off = [], 0
     for s in ordered:
-        for kind, text, ref in extract_span(
+        for kind, text, ref, acc, ws in extract_span(
                 s["kind"], s.get("text") or "", s.get("media_ref") or ""):
             out.append({"kind": kind, "text": text,
-                        "media_ref": ref, "offset": off})
+                        "media_ref": ref, "offset": off,
+                        "accuracy": acc, "whitespace": ws})
             off += 1
     return out

@@ -43,7 +43,8 @@ DOCS_SCHEMA = pa.schema([
 
 GOLDEN_SCHEMA = pa.schema([
     ("doc_id", pa.string()), ("offset", pa.int32()), ("kind", pa.string()),
-    ("text", pa.string()), ("media_ref", pa.string())])
+    ("text", pa.string()), ("media_ref", pa.string()),
+    ("accuracy", pa.float64()), ("whitespace", pa.float64())])
 
 EXPORTS_SCHEMA = pa.schema([
     ("doc_id", pa.string()), ("offset", pa.int32()),
@@ -72,6 +73,7 @@ def build_sf(root: str, sf: str, force: bool = False) -> dict:
     n_docs = DOC_COUNTS[sf]
     doc_ids, span_lists = [], []
     g_doc, g_off, g_kind, g_text, g_ref = [], [], [], [], []
+    g_acc, g_ws = [], []
     n_pages = 0
     for doc_id, spans, _family in gen_corpus(n_docs):
         doc_ids.append(doc_id)
@@ -83,6 +85,8 @@ def build_sf(root: str, sf: str, force: bool = False) -> dict:
             g_kind.append(o["kind"])
             g_text.append(o["text"])
             g_ref.append(o["media_ref"])
+            g_acc.append(o["accuracy"])
+            g_ws.append(o["whitespace"])
 
     n_shards = N_SHARDS[sf]
     os.makedirs(docs_path, exist_ok=True)
@@ -98,7 +102,8 @@ def build_sf(root: str, sf: str, force: bool = False) -> dict:
             docs_path, f"part-{shard:05d}.parquet"))
     golden_tbl = pa.Table.from_pydict(
         {"doc_id": g_doc, "offset": g_off, "kind": g_kind,
-         "text": g_text, "media_ref": g_ref}, schema=GOLDEN_SCHEMA)
+         "text": g_text, "media_ref": g_ref,
+         "accuracy": g_acc, "whitespace": g_ws}, schema=GOLDEN_SCHEMA)
     pq.write_table(golden_tbl, golden_path)
 
     # S7 export oracle: render every golden table through the same

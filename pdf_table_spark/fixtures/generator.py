@@ -5,6 +5,7 @@ Implements FIXTURES.md §3's families (seed 42, no I/O):
   F-C unruled aligned table   F-D prose page
   F-E mixed page (+false table)  F-F html_table doc
   F-G skew doc (many pages)   F-H multi-table page
+  F-I ragged stream table w/ spanning header (Nurminen stress)
 
 Geometry: PDF space, page 612x792, origin bottom-left. Rulings are thin
 rects (thickness 1) emitted per cell edge so spanning-cell merges (F-B)
@@ -32,9 +33,9 @@ VOCAB = [
     "rate", "count",
 ]
 
-FAMILIES = ["F-A", "F-B", "F-C", "F-D", "F-E", "F-F", "F-G", "F-H"]
+FAMILIES = ["F-A", "F-B", "F-C", "F-D", "F-E", "F-F", "F-G", "F-H", "F-I"]
 # skew family is rare: one heavy doc among many small ones
-WEIGHTS = [18, 14, 14, 18, 12, 14, 2, 8]
+WEIGHTS = [18, 14, 12, 16, 12, 12, 2, 8, 6]
 
 
 def _words(rng, lo=1, hi=3):
@@ -104,7 +105,9 @@ def _ruled_table(rng, x0, y_top, n_rows, n_cols, drop_edges=0,
 
 
 def _stream_table(rng, x0, y_top, n_rows, n_cols):
-    """Aligned whitespace table: no rects, fixed column x-starts."""
+    """Aligned whitespace table: no rects, fixed column x-starts.
+    Needs >= 6 rows for a left textedge to reach the Nurminen validity
+    gate (intersections > TEXTEDGE_REQUIRED_ELEMENTS=4)."""
     col_w = 110.0
     texts = []
     for r in range(n_rows):
@@ -114,6 +117,35 @@ def _stream_table(rng, x0, y_top, n_rows, n_cols):
             tx = x0 + c * col_w
             texts.append({"x0": tx, "y0": ty, "x1": tx + 6.0 * len(content),
                           "y1": ty + FONT, "text": content, "dir": "h"})
+    return texts
+
+
+def _ragged_stream_table(rng, x0, y_top, n_rows, n_cols):
+    """F-I: whitespace table with a full-width spanning header line in
+    the middle and ragged rows (an occasional missing non-first cell) —
+    the shapes the pre-Nurminen consecutive-run detector mis-segmented
+    (splitting the run at the 1-item header row)."""
+    col_w = 110.0
+    texts = []
+    header_at = n_rows // 2
+    y = y_top
+    for r in range(n_rows):
+        if r == header_at:
+            content = _words(rng, 3, 5)
+            texts.append({"x0": x0, "y0": y - FONT,
+                          "x1": x0 + 6.0 * len(content), "y1": y,
+                          "text": content, "dir": "h"})
+            y -= LINE_H
+        skip_c = rng.randint(1, n_cols - 1) if rng.random() < 0.3 else -1
+        for c in range(n_cols):
+            if c == skip_c:
+                continue
+            content = _num(rng) if c > 0 else rng.choice(VOCAB)
+            tx = x0 + c * col_w
+            texts.append({"x0": tx, "y0": y - FONT,
+                          "x1": tx + 6.0 * len(content),
+                          "y1": y, "text": content, "dir": "h"})
+        y -= LINE_H
     return texts
 
 
@@ -200,8 +232,13 @@ def gen_page(rng, family, heavy=False):
         return _page_json(texts, rects)
     if family == "F-C":
         r, c = ((rng.randint(14, 24), rng.randint(3, 6)) if heavy
-                else (rng.randint(5, 9), rng.randint(2, 4)))
+                else (rng.randint(6, 12), rng.randint(2, 4)))
         texts = _stream_table(rng, 90.0, 680.0, r, c)
+        return _page_json(texts)
+    if family == "F-I":
+        r, c = ((rng.randint(14, 22), rng.randint(3, 5)) if heavy
+                else (rng.randint(8, 12), rng.randint(3, 4)))
+        texts = _ragged_stream_table(rng, 90.0, 680.0, r, c)
         return _page_json(texts)
     if family == "F-D":
         texts, _ = _prose(rng, 72.0, 720.0,

@@ -70,7 +70,8 @@ def reassemble(frags: DataFrame) -> DataFrame:
     return (
         frags.groupBy("doc_id")
         .agg(F.array_sort(F.collect_list(F.struct(
-            "offset", "frag_idx", "kind", "text", "media_ref"))).alias("a"))
+            "offset", "frag_idx", "kind", "text", "media_ref",
+            "accuracy", "whitespace"))).alias("a"))
         .select(
             "doc_id",
             F.expr(
@@ -78,7 +79,8 @@ def reassemble(frags: DataFrame) -> DataFrame:
                 "  filter(a, x -> x.kind != '__empty__'),"
                 "  (x, i) -> struct("
                 "    x.kind as kind, x.text as text, "
-                "    x.media_ref as media_ref, cast(i as int) as offset))"
+                "    x.media_ref as media_ref, cast(i as int) as offset, "
+                "    x.accuracy as accuracy, x.whitespace as whitespace))"
             ).alias("out_spans"),
         )
     )
@@ -115,7 +117,9 @@ def extract_documents(docs: DataFrame,
 
 
 def flatten_output(out: DataFrame) -> DataFrame:
-    """(doc_id, out_spans) → flat rows for sinks / correctness compare."""
+    """(doc_id, out_spans) → flat rows for sinks / correctness compare.
+    accuracy/whitespace are the A9 table-quality metrics (null on
+    non-table fragments)."""
     return out.select(
         "doc_id", F.explode("out_spans").alias("s")
     ).select(
@@ -124,4 +128,6 @@ def flatten_output(out: DataFrame) -> DataFrame:
         F.col("s.kind").alias("kind"),
         F.col("s.text").alias("text"),
         F.col("s.media_ref").alias("media_ref"),
+        F.col("s.accuracy").alias("accuracy"),
+        F.col("s.whitespace").alias("whitespace"),
     )

@@ -23,7 +23,8 @@ from pyspark.sql import DataFrame, SparkSession
 from ..core.page import extract_span
 
 FRAG_SCHEMA = ("doc_id string, offset int, frag_idx int, "
-               "kind string, text string, media_ref string")
+               "kind string, text string, media_ref string, "
+               "accuracy double, whitespace double")
 
 
 @dataclass
@@ -56,7 +57,8 @@ class ExtractionMetrics:
 ARROW_SCHEMA = pa.schema([
     ("doc_id", pa.string()), ("offset", pa.int32()),
     ("frag_idx", pa.int32()), ("kind", pa.string()),
-    ("text", pa.string()), ("media_ref", pa.string())])
+    ("text", pa.string()), ("media_ref", pa.string()),
+    ("accuracy", pa.float64()), ("whitespace", pa.float64())])
 
 EMPTY_SENTINEL = "__empty__"
 
@@ -81,7 +83,7 @@ def _process_batch(batch: pa.RecordBatch,
     cols = {name: batch.column(i).to_pylist()
             for i, name in enumerate(batch.schema.names)}
     doc_ids, offsets, frag_idxs = [], [], []
-    kinds, texts, refs = [], [], []
+    kinds, texts, refs, accs, wss = [], [], [], [], []
     for doc_id, offset, kind, text, ref in zip(
             cols["doc_id"], cols["offset"], cols["kind"],
             cols["text"], cols["media_ref"]):
@@ -96,21 +98,25 @@ def _process_batch(batch: pa.RecordBatch,
             # filtered out JVM-side during reassembly. Avoids the
             # alternative (a join back to all doc_ids) which would
             # broadcast/shuffle every doc_id at 10^12 scale.
-            frags = [(EMPTY_SENTINEL, "", "")]
-        for i, (k, t, r) in enumerate(frags):
+            frags = [(EMPTY_SENTINEL, "", "", None, None)]
+        for i, (k, t, r, acc, ws) in enumerate(frags):
             doc_ids.append(doc_id)
             offsets.append(-1 if offset is None else offset)
             frag_idxs.append(i)
             kinds.append(k)
             texts.append(t)
             refs.append(r)
+            accs.append(acc)
+            wss.append(ws)
     return pa.RecordBatch.from_arrays(
         [pa.array(doc_ids, pa.string()),
          pa.array(offsets, pa.int32()),
          pa.array(frag_idxs, pa.int32()),
          pa.array(kinds, pa.string()),
          pa.array(texts, pa.string()),
-         pa.array(refs, pa.string())],
+         pa.array(refs, pa.string()),
+         pa.array(accs, pa.float64()),
+         pa.array(wss, pa.float64())],
         schema=ARROW_SCHEMA)
 
 

@@ -75,7 +75,10 @@ def _duck_tyname(t) -> str:
 def norm_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
-    return sorted(cols), sorted(out)
+    # None-safe total order (NULLs sort by type-name first)
+    key = (lambda r: tuple((v is None, type(v).__name__, str(v))
+                           for v in r))
+    return sorted(cols), sorted(out, key=key)
 
 
 def main():

@@ -21,38 +21,87 @@ def test_group_rows_by_y_tolerance():
 
 
 def test_stream_table_detected_and_built():
+    """A6/A7/A4: six aligned rows clear the textedge validity gate
+    (intersections > 4) and reconstruct a 6x2 grid."""
+    lines = []
+    for r in range(6):
+        y = 700 - r * 14
+        lines.append(line(100, y, f"k{r}"))
+        lines.append(line(210, y, f"v{r}"))
+    tables, consumed = S.extract_stream_tables(lines)
+    assert len(tables) == 1 and len(consumed) == len(lines)
+    cells, bbox, acc, ws = tables[0]
+    assert max(c.row for c in cells) == 5
+    assert max(c.col for c in cells) == 1
+    assert acc > 99.0 and ws == 0.0  # clean placement, no empty cells
+    html = cells_to_html(cells)
+    assert "<td>k0</td><td>v0</td>" in html
+
+
+def test_textedge_validity_gate():
+    """A 5-row column gives intersections=4, NOT > 4 → no valid edge →
+    no table (the reference's TEXTEDGE_REQUIRED_ELEMENTS gate)."""
     lines = []
     for r in range(5):
         y = 700 - r * 14
         lines.append(line(100, y, f"k{r}"))
         lines.append(line(210, y, f"v{r}"))
-    rows = S.group_rows(lines)
-    blocks, prose = S.detect_stream_blocks(rows)
-    assert len(blocks) == 1 and prose == []
-    cells, bbox = S.build_stream_table(rows, blocks[0])
-    assert max(c.row for c in cells) == 4
-    assert max(c.col for c in cells) == 1
-    html = cells_to_html(cells)
-    assert "<td>k0</td><td>v0</td>" in html
+    tables, consumed = S.extract_stream_tables(lines)
+    assert tables == [] and consumed == set()
 
 
 def test_short_multi_runs_stay_prose():
-    lines = [line(100, 700, "a"), line(210, 700, "b"),
-             line(100, 686, "c"), line(210, 686, "d")]  # only 2 rows
-    rows = S.group_rows(lines)
-    blocks, prose = S.detect_stream_blocks(rows)
-    assert blocks == [] and len(prose) == 2
+    lines = [line(100, 700, "ab"), line(210, 700, "bc"),
+             line(100, 686, "cd"), line(210, 686, "de")]  # only 2 rows
+    tables, consumed = S.extract_stream_tables(lines)
+    assert tables == [] and consumed == set()
 
 
-def test_unaligned_columns_stay_prose():
+def test_prose_single_column_rejected():
+    """One-column areas (mode of row lengths == 1 after the drop-1s
+    fallback) are not tables — prose pages stay prose."""
+    lines = [line(72, 700 - r * 14, f"full width prose line {r} ", w=440)
+             for r in range(8)]
+    tables, consumed = S.extract_stream_tables(lines)
+    assert tables == [] and consumed == set()
+
+
+def test_spanning_header_interleaved_table():
+    """F-I shape: a full-width 1-item header row inside an aligned run
+    must NOT break the table (the old consecutive-run detector split
+    here); mode-of-row-lengths keeps ncols=2."""
     lines = []
-    for r in range(5):
+    y = 700.0
+    for r in range(8):
+        if r == 4:
+            lines.append(line(100, y, "section header spanning", w=280))
+            y -= 14
+        lines.append(line(100, y, f"k{r}"))
+        lines.append(line(210, y, f"v{r}"))
+        y -= 14
+    tables, consumed = S.extract_stream_tables(lines)
+    assert len(tables) == 1 and len(consumed) == len(lines)
+    cells, bbox, acc, ws = tables[0]
+    assert max(c.col for c in cells) == 1
+    assert max(c.row for c in cells) == 8  # 8 data rows + header row
+    texts = {c.text for c in cells}
+    assert "section header spanning" in texts
+
+
+def test_ragged_rows_mode_column_count():
+    """A4: rows missing one cell don't change the inferred ncols."""
+    lines = []
+    for r in range(8):
         y = 700 - r * 14
-        lines.append(line(100, y, "x"))
-        lines.append(line(200 + 17 * r, y, "y"))  # second col drifts
-    rows = S.group_rows(lines)
-    blocks, _ = S.detect_stream_blocks(rows)
-    assert blocks == []
+        lines.append(line(100, y, f"k{r}"))
+        if r not in (2, 5):  # two ragged rows
+            lines.append(line(210, y, f"v{r}"))
+        lines.append(line(320, y, f"w{r}"))
+    tables, _ = S.extract_stream_tables(lines)
+    assert len(tables) == 1
+    cells, _, _, ws = tables[0]
+    assert max(c.col for c in cells) == 2
+    assert ws > 0.0  # the two missing cells are empty → whitespace
 
 
 def test_paragraph_sessionization_indent_starts():

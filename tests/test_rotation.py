@@ -52,7 +52,7 @@ def test_vertical_caption_is_own_paragraph():
              "text": "side caption", "dir": "v"},
         ], "rects": [], "images": []}
     frags = extract_pdf_page(_json.dumps(page), "m")
-    kinds_texts = [(k, t) for k, t, _ in frags]
+    kinds_texts = [(k, t) for k, t, _, _, _ in frags]
     assert ("paragraph", "side caption") in kinds_texts
     assert ("paragraph", "normal prose line one ") in kinds_texts
     assert len(frags) == 2
