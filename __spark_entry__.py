@@ -99,6 +99,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", "offset", "accuracy", "whitespace")
         )
 
+    def q_ocr_table_match(spark, sf_dir):
+        # the imaged-document path: docs whose spans carry ocr_page
+        # payloads (det/rec/TSR stand-in outputs) extract via the J3
+        # 3-tier match + X10 token splice (core.ocrmatch)
+        spans = _spans_df(spark, sf_dir)
+        ocr_docs = spans.filter(
+            F.expr("exists(spans, s -> s.kind = 'ocr_page')")
+        ).select("doc_id")
+        return (
+            _extract_flat(spark, sf_dir)
+            .join(F.broadcast(ocr_docs), "doc_id")
+            .select("doc_id", "offset", "kind", "text")
+        )
+
     def q_extract_kind_stats(spark, sf_dir):
         return (
             _extract_flat(spark, sf_dir)
@@ -338,6 +352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_spans": q_extract_spans,
         "table_quality": q_table_quality,
+        "ocr_table_match": q_ocr_table_match,
         "extract_kind_stats": q_extract_kind_stats,
         "extract_tables_per_doc": q_extract_tables_per_doc,
         "imaged_doc_classifier": q_imaged_doc_classifier,
@@ -624,6 +639,14 @@ def oracle_sql() -> dict[str, str]:
         "table_quality": (
             f'select doc_id, "offset" as offset, accuracy, whitespace '
             f"from {golden} where kind = 'table_html'"),
+        "ocr_table_match": f"""
+            select g.doc_id, g."offset" as offset, g.kind, g.text
+            from {golden} g
+            join (select doc_id from {spans}
+                  where len(list_filter(spans,
+                        s -> s.kind = 'ocr_page')) > 0) d
+              on g.doc_id = d.doc_id
+        """,
         # casts: DuckDB sum(bigint) returns HUGEINT (int128); Spark
         # returns BIGINT — cast so the driver's value hash matches.
         "extract_kind_stats": (

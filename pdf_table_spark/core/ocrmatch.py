@@ -1,0 +1,423 @@
+"""Imaged-document (OCR-path) table dataflow — the reference's headline
+capability, re-derived deterministically.
+
+The neural stages (M3 text detection, M5 recognition, M6-M10 TSR) are
+stand-ins in this sandbox: an ``ocr_page`` span carries their *output
+contract* as JSON — detected text cells (det bbox + recognized text)
+and per-table structure predictions (token stream + cell bboxes). The
+deterministic dataflow downstream of the models is the real thing:
+
+  * F4 OCR-box y-filter — ``matcher.py:185-195`` (_filter_ocr_result)
+  * J2 det→cell top-1 match by (1-IoU, L1 corner distance) —
+    ``matcher.py:79-100`` (TableMatch.match_result)
+  * J3 TableMaster 3-tier match: center rule → IoU rule → distance
+    rule → extra_match virtual cells —
+    ``table_master_match.py:308-404`` and the composition in
+    ``Matcher.match`` (``:752-850``)
+  * X10 structure-token splice: merge span tokens, insert matched OCR
+    text at each ``<td…>``, expand ``<eb>`` empty-cell tokens, bold the
+    ``<thead>`` — ``table_master_match.py:472-556,559-584,664-736``
+    (merge_span_token / insert_text_to_token / deal_eb_token / deal_bb)
+
+Coordinates are IMAGE space (y grows down), matching the OCR models'
+output space; bboxes are (x0, y0, x1, y1) with y0 the top edge. All
+IoUs are axis-aligned rectangle IoUs — the reference computes them via
+convex polygons (``cal_iou``), which reduces to the same value for the
+rectangles that both sides of this matching always are.
+
+``ocr_page`` payload schema::
+
+    {"width": W, "height": H,
+     "det_cells": [{"x0","y0","x1","y1","text"}, ...],
+     "tables": [{"tokens": [...structure tokens...],
+                 "cell_bboxes": [[x0,y0,x1,y1], ...]}, ...]}
+
+``cell_bboxes[i]`` pairs with the i-th ``<td``-starting token after
+span-token merging; ``<eb*>`` empty-cell tokens carry no bbox (the
+reference's zero-bbox convention after ``remove_empty_bboxes``).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+ROW_GROUP_TOL = 3.0  # sort_bbox's same-row y threshold (":186-193")
+
+
+# ---------------------------------------------------------------- geometry
+
+def rect_iou(a, b) -> float:
+    """Axis-aligned IoU (intersection / union)."""
+    ix0, iy0 = max(a[0], b[0]), max(a[1], b[1])
+    ix1, iy1 = min(a[2], b[2]), min(a[3], b[3])
+    if ix0 >= ix1 or iy0 >= iy1:
+        return 0.0
+    inter = (ix1 - ix0) * (iy1 - iy0)
+    sa = (a[2] - a[0]) * (a[3] - a[1])
+    sb = (b[2] - b[0]) * (b[3] - b[1])
+    return inter / (sa + sb - inter)
+
+
+def corner_distance(a, b) -> float:
+    """J2 distance: L1 of both corners plus the nearer corner's L1
+    (reference ``matcher.py:20-26``)."""
+    d_tl = abs(b[0] - a[0]) + abs(b[1] - a[1])
+    d_br = abs(b[2] - a[2]) + abs(b[3] - a[3])
+    return d_tl + d_br + min(d_tl, d_br)
+
+
+def _center(b):
+    return ((b[0] + b[2]) / 2.0, (b[1] + b[3]) / 2.0)
+
+
+# ---------------------------------------------------------------- F4
+
+def filter_ocr_cells(pred_bboxes, det_cells):
+    """Drop det cells lying entirely above the predicted table's top
+    edge (F4, ``matcher.py:185-195``)."""
+    if not pred_bboxes:
+        return list(det_cells)
+    y_top = min(b[1] for b in pred_bboxes)
+    return [c for c in det_cells if max(c["y0"], c["y1"]) >= y_top]
+
+
+# ---------------------------------------------------------------- J2
+
+def match_result(dt_boxes, pred_bboxes) -> dict:
+    """Top-1 match of each det box to a predicted cell by
+    (1-IoU, corner distance); returns {cell_idx: [det_idx, ...]} in det
+    order (J2, ``matcher.py:79-100``)."""
+    matched: dict[int, list[int]] = {}
+    for i, gt in enumerate(dt_boxes):
+        scored = [(1.0 - rect_iou(gt, pb), corner_distance(gt, pb), j)
+                  for j, pb in enumerate(pred_bboxes)]
+        if not scored:
+            continue
+        best = min(scored, key=lambda s: (s[0], s[1]))[2]
+        matched.setdefault(best, []).append(i)
+    return matched
+
+
+# ---------------------------------------------------------------- J3
+
+def center_rule(det_boxes, master_boxes):
+    """Tier 1: det center inside a master box (all such pairs)."""
+    pairs = []
+    for i, d in enumerate(det_boxes):
+        cx, cy = _center(d)
+        for j, m in enumerate(master_boxes):
+            if m[0] <= cx <= m[2] and m[1] <= cy <= m[3]:
+                pairs.append((i, j))
+    return pairs
+
+
+def iou_rule(det_boxes, det_indexes, master_boxes):
+    """Tier 2: remaining dets matched to the max-IoU master (>0)."""
+    pairs = []
+    for i, d in zip(det_indexes, det_boxes):
+        best_j, best_iou = None, 0.0
+        for j, m in enumerate(master_boxes):
+            v = rect_iou(d, m)
+            if v > best_iou:
+                best_iou, best_j = v, j
+        if best_j is not None:
+            pairs.append((i, best_j))
+    return pairs
+
+
+def distance_rule(det_indexes, det_boxes, master_indexes, master_boxes):
+    """Tier 3: every unmatched master grabs the nearest unmatched det
+    by center distance (a det may serve several masters)."""
+    pairs = []
+    for j, m in zip(master_indexes, master_boxes):
+        mc = _center(m)
+        best_i, best_d = None, None
+        for i, d in zip(det_indexes, det_boxes):
+            dc = _center(d)
+            dist = ((dc[0] - mc[0]) ** 2 + (dc[1] - mc[1]) ** 2) ** 0.5
+            if best_d is None or dist < best_d:
+                best_d, best_i = dist, i
+        if best_i is not None:
+            pairs.append((best_i, j))
+    return pairs
+
+
+def sort_unmatched_rows(det_boxes, det_indexes):
+    """Group leftover dets into rows by y-center proximity (threshold
+    ROW_GROUP_TOL against the row's first member), x-sort within a row,
+    rows sorted by first-member y — reference ``sort_bbox``."""
+    groups: list[list[int]] = []
+    boxes: list[list] = []
+    for i, d in zip(det_indexes, det_boxes):
+        cy = _center(d)[1]
+        for g, bg in zip(groups, boxes):
+            if abs(cy - _center(bg[0])[1]) < ROW_GROUP_TOL:
+                g.append(i)
+                bg.append(d)
+                break
+        else:
+            groups.append([i])
+            boxes.append([d])
+    order = sorted(range(len(groups)),
+                   key=lambda k: _center(boxes[k][0])[1])
+    sorted_groups = []
+    for k in order:
+        xs = sorted(zip(groups[k], boxes[k]),
+                    key=lambda ib: ib[1][0])
+        sorted_groups.append([i for i, _ in xs])
+    return sorted_groups
+
+
+def match_3tier(det_boxes, master_boxes):
+    """Full J3 composition (``Matcher.match``): returns (match_list,
+    extra_row_groups) where match_list is [(det_idx, master_idx), ...]
+    including virtual masters len(master_boxes).. for the extra rows.
+    """
+    match_list = list(center_rule(det_boxes, master_boxes))
+
+    def unmatched_dets():
+        hit = {i for i, _ in match_list}
+        return [i for i in range(len(det_boxes)) if i not in hit]
+
+    rest = unmatched_dets()
+    if rest:
+        match_list.extend(iou_rule(
+            [det_boxes[i] for i in rest], rest, master_boxes))
+    rest = unmatched_dets()
+    hit_m = {j for _, j in match_list}
+    rest_m = [j for j in range(len(master_boxes)) if j not in hit_m]
+    if rest and rest_m:
+        match_list.extend(distance_rule(
+            rest, [det_boxes[i] for i in rest],
+            rest_m, [master_boxes[j] for j in rest_m]))
+
+    rest = unmatched_dets()
+    extra_rows: list[list[int]] = []
+    if rest:
+        extra_rows = sort_unmatched_rows(
+            [det_boxes[i] for i in rest], rest)
+        j = len(master_boxes)
+        for group in extra_rows:
+            for i in group:
+                match_list.append((i, j))
+                j += 1
+    return match_list, extra_rows
+
+
+# ---------------------------------------------------------------- X10
+
+def merge_span_tokens(tokens: list[str]) -> list[str]:
+    """Collapse split span tokens '<td' ' colspan="2"' '>' '</td>' into
+    one '<td colspan="2"></td>' token (reference merge_span_token)."""
+    out = []
+    p = 0
+    toks = list(tokens)
+    if not toks or toks[-1] != "</tbody>":
+        toks.append("</tbody>")
+    while p < len(toks) and toks[p] != "</tbody>":
+        if toks[p] == "<td":
+            if p + 1 < len(toks) and toks[p + 1].startswith(
+                    (" colspan=", " rowspan=")):
+                if p + 2 < len(toks) and toks[p + 2].startswith(
+                        (" colspan=", " rowspan=")):
+                    out.append("".join(toks[p:p + 5]))
+                    p += 5
+                else:
+                    out.append("".join(toks[p:p + 4]))
+                    p += 4
+            else:
+                out.append(toks[p])
+                p += 1
+        else:
+            out.append(toks[p])
+            p += 1
+    out.append("</tbody>")
+    return out
+
+
+EB_EXPANSIONS = {
+    "<eb></eb>": "<td></td>",
+    "<eb1></eb1>": "<td> </td>",
+    "<eb2></eb2>": "<td><b> </b></td>",
+    "<eb3></eb3>": "<td>  </td>",
+    "<eb4></eb4>": "<td><sup> </sup></td>",
+    "<eb5></eb5>": "<td><b></b></td>",
+    "<eb6></eb6>": "<td><i> </i></td>",
+    "<eb7></eb7>": "<td><b><i></i></b></td>",
+    "<eb8></eb8>": "<td><b><i> </i></b></td>",
+    "<eb9></eb9>": "<td><i></i></td>",
+    "<eb10></eb10>": "<td><b>     </b></td>",
+}
+
+
+def deal_eb_token(token: str) -> str:
+    for k, v in EB_EXPANSIONS.items():
+        token = token.replace(k, v)
+    return token
+
+
+def reduce_repeat_bold(texts: list[str], break_token: str) -> list[str]:
+    """['<b>a</b>', '<b>b</b>'] → ['<b>a b</b>'] (only when EVERY piece
+    is bolded)."""
+    if texts and all(t.startswith("<b>") for t in texts):
+        inner = [t.replace("<b>", "").replace("</b>", "") for t in texts]
+        return ["<b>" + break_token.join(inner) + "</b>"]
+    return texts
+
+
+def match_texts(match_list, det_texts, break_token: str = " ") -> dict:
+    """{master_idx: joined text} from the match pairs (get_match_dict +
+    get_match_text_dict)."""
+    by_master: dict[int, list[int]] = {}
+    for i, j in match_list:
+        by_master.setdefault(j, []).append(i)
+    out = {}
+    for j, idxs in by_master.items():
+        texts = reduce_repeat_bold([det_texts[i] for i in idxs],
+                                   break_token)
+        out[j] = break_token.join(texts)
+    return out
+
+
+def extend_virtual_rows(tokens: list[str], extra_rows) -> list[str]:
+    """Append virtual '<tr><td></td>…</tr>' rows for extra-matched det
+    rows (Matcher._format). Faithful to the reference: a COMPLETE
+    prediction (ending '</tbody>') is left untouched; a truncated one
+    is closed and extended."""
+    if not extra_rows:
+        return list(tokens)
+    virtual = []
+    for group in extra_rows:
+        virtual.append("<tr>")
+        virtual.extend(["<td></td>"] * len(group))
+        virtual.append("</tr>")
+    toks = list(tokens)
+    if toks and toks[-1] == "</tbody>":
+        return toks  # complete predict — reference skips the extension
+    if toks and toks[-1] == "<td></td>":
+        return toks + ["</tr>"] + virtual + ["</tbody>"]
+    return toks + virtual + ["</tbody>"]
+
+
+def insert_text_to_tokens(tokens: list[str], text_by_master: dict) -> str:
+    """Insert matched text into each '<td…>' token, expand <eb> tokens,
+    join (insert_text_to_token)."""
+    merged = merge_span_tokens(tokens)
+    out = []
+    count = 0
+    for tok in merged:
+        if tok.startswith("<td"):
+            if count in text_by_master:
+                tok = tok.replace("><", f">{text_by_master[count]}<")
+            count += 1
+        out.append(deal_eb_token(tok))
+    return "".join(out)
+
+
+_THEAD_RE = re.compile(r"<thead>(.*?)</thead>", re.DOTALL)
+_SPAN_TD_RE = re.compile(
+    r'<td rowspan="\d+" colspan="\d+">|<td colspan="\d+" rowspan="\d+">'
+    r'|<td rowspan="\d+">|<td colspan="\d+">')
+
+
+def deal_bb(html: str) -> str:
+    """Bold every <thead> cell (deal_bb; the model-error repair passes
+    deal_isolate_span / deal_duplicate_bb are no-ops on deterministic
+    inputs and are omitted)."""
+    m = _THEAD_RE.search(html)
+    if m is None:
+        return html
+    thead = m.group()
+    spans = _SPAN_TD_RE.findall(thead)
+    if not spans:
+        new = (thead.replace("<td>", "<td><b>")
+               .replace("</td>", "</b></td>")
+               .replace("<b><b>", "<b>").replace("</b></b>", "</b>"))
+    else:
+        new = thead
+        for sp in set(spans):
+            new = new.replace(sp, sp[:-1] + "><b>")
+        new = (new.replace("</td>", "</b></td>")
+               .replace("<b><b>", "<b>").replace("</b></b>", "</b>"))
+    return html.replace(thead, new)
+
+
+# ---------------------------------------------------------------- page
+
+def _td_token_count(tokens: list[str]) -> int:
+    return sum(1 for t in merge_span_tokens(tokens)
+               if t.startswith("<td"))
+
+
+def extract_table(table: dict, det_cells: list[dict]) -> str:
+    """One table: F4 filter → J3 match → X10 splice → spliced HTML.
+    Every det cell handed in is consumed (extra_match guarantees a
+    virtual cell for any leftover)."""
+    boxes = [(c["x0"], c["y0"], c["x1"], c["y1"]) for c in det_cells]
+    masters = [tuple(b) for b in table["cell_bboxes"]]
+    y_top = min(b[1] for b in masters) if masters else None
+    kept = [i for i, b in enumerate(boxes)
+            if y_top is None or max(b[1], b[3]) >= y_top]  # F4
+    match_list, extra_rows = match_3tier(
+        [boxes[i] for i in kept], masters)
+    match_list = [(kept[i], j) for i, j in match_list]
+    texts = [c["text"] for c in det_cells]
+    tokens = extend_virtual_rows(table["tokens"], extra_rows)
+    html = insert_text_to_tokens(tokens, match_texts(match_list, texts))
+    return "<table>" + deal_bb(html) + "</table>"
+
+
+def extract_ocr_page(payload: str):
+    """Full OCR-path page extraction. Returns fragments in reading
+    order (image coords: y down): list of (kind, text, media_ref,
+    accuracy, whitespace) like ``extract_pdf_page``; the OCR path
+    carries no A9 metrics (the reference attaches accuracy only in the
+    digital flavors), so both are None."""
+    page = json.loads(payload)
+    det_cells = page.get("det_cells") or []
+    tables = page.get("tables") or []
+
+    frags = []
+    used_all: set[int] = set()
+    for table in tables:
+        if not table.get("cell_bboxes"):
+            continue
+        # dets belonging to this table: center inside the table extent
+        bx = table["cell_bboxes"]
+        tx0 = min(b[0] for b in bx)
+        ty0 = min(b[1] for b in bx)
+        tx1 = max(b[2] for b in bx)
+        ty1 = max(b[3] for b in bx)
+        # vertical band padded by one median cell height both ways:
+        # boxes overhanging the table top (tier-2 IoU matches, F4 keeps
+        # them), dets in a tall row's lower band (tier-3 distance
+        # matches), and extra rows just below a truncated prediction
+        # (extra_match) all belong to this table's matching region —
+        # the reference hands the matcher the full det list of the
+        # table's cropped region, which is exactly this band
+        heights = sorted(b[3] - b[1] for b in bx)
+        pad = max(heights[len(heights) // 2], 2.0 * ROW_GROUP_TOL)
+        mine = [i for i, c in enumerate(det_cells)
+                if i not in used_all
+                and tx0 <= (c["x0"] + c["x1"]) / 2.0 <= tx1
+                and ty0 - pad <= (c["y0"] + c["y1"]) / 2.0 <= ty1 + pad]
+        html = extract_table(table, [det_cells[i] for i in mine])
+        used_all.update(mine)  # every handed-in det is consumed
+        frags.append((ty0, tx0, "table_html", html, "", None, None))
+
+    # remainder det cells → page text: row-grouped, x-sorted, one
+    # paragraph per row (the OCR path's U1 + reading-order emit)
+    rest = [i for i in range(len(det_cells)) if i not in used_all]
+    rows = sort_unmatched_rows(
+        [(det_cells[i]["x0"], det_cells[i]["y0"],
+          det_cells[i]["x1"], det_cells[i]["y1"]) for i in rest], rest)
+    for group in rows:
+        y_top = min(det_cells[i]["y0"] for i in group)
+        x_left = min(det_cells[i]["x0"] for i in group)
+        text = " ".join(det_cells[i]["text"] for i in group)
+        if text.strip():
+            frags.append((y_top, x_left, "paragraph", text, "",
+                          None, None))
+    frags.sort(key=lambda f: (f[0], f[1]))  # image coords: y down
+    return [(k, t, r, a, w) for _, _, k, t, r, a, w in frags]

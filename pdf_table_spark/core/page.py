@@ -184,6 +184,11 @@ def extract_span(kind: str, text: str, media_ref: str):
                      None, None)]
         if kind == "pdf_page":
             return extract_pdf_page(text, media_ref)
+        if kind == "ocr_page":
+            # imaged-document path: det/rec/TSR stand-in outputs →
+            # J3 3-tier match + X10 token splice (core.ocrmatch)
+            from .ocrmatch import extract_ocr_page
+            return extract_ocr_page(text)
     except Exception as exc:  # noqa: BLE001 — quarantine, don't crash
         return [("error", f"{kind}:{exc.__class__.__name__}", media_ref,
                  None, None)]

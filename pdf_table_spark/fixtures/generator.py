@@ -33,9 +33,10 @@ VOCAB = [
     "rate", "count",
 ]
 
-FAMILIES = ["F-A", "F-B", "F-C", "F-D", "F-E", "F-F", "F-G", "F-H", "F-I"]
+FAMILIES = ["F-A", "F-B", "F-C", "F-D", "F-E", "F-F", "F-G", "F-H",
+            "F-I", "F-J"]
 # skew family is rare: one heavy doc among many small ones
-WEIGHTS = [18, 14, 12, 16, 12, 12, 2, 8, 6]
+WEIGHTS = [16, 14, 12, 14, 10, 10, 2, 8, 6, 8]
 
 
 def _words(rng, lo=1, hi=3):
@@ -167,6 +168,105 @@ def _prose(rng, x0, y_top, n_paras, width=440.0):
             y -= LINE_H
         y -= LINE_H  # blank line between paragraphs
     return texts, y
+
+
+def _ocr_page(rng):
+    """F-J: imaged-page payload — det/rec/TSR stand-in outputs in IMAGE
+    coords (y down). Exercises every tier of the J3 match:
+      tier 1 (center) — dets centered in their cell
+      tier 2 (IoU)    — a thead det overhanging above the table top
+      tier 3 (dist)   — a det in the tall row's lower band + its
+                        det-less master cell
+      extra_match     — truncated token stream + dets below the table
+    plus <eb> empty-cell tokens, split colspan tokens, multi-det cells,
+    and a <thead> for deal_bb."""
+    n_rows = rng.randint(3, 5)
+    n_cols = rng.randint(3, 4)
+    x0, y0 = 50.0, 60.0
+    col_w, row_h = 120.0, 30.0
+    truncated = rng.random() < 0.25
+    tier3_row = (rng.randint(1, n_rows - 1)
+                 if not truncated and rng.random() < 0.4 else -1)
+    tier3_col = rng.randint(0, n_cols - 1)
+
+    cut_col = rng.randint(1, n_cols - 1) if truncated else n_cols
+    tokens = ["<thead>"]
+    cell_bboxes, det_cells = [], []
+    y = y0
+    for r in range(n_rows):
+        last_row = r == n_rows - 1
+        tall = r == tier3_row
+        h = row_h * 1.8 if tall else row_h
+        tokens.append("<tr>")
+        c = 0
+        while c < n_cols:
+            cx0 = x0 + c * col_w
+            cy0, cy1 = y, y + row_h  # master covers the top band only
+            if truncated and last_row and c >= cut_col:
+                # the model's prediction was cut here: no token, no
+                # master — the det below becomes an extra_match row
+                txt = rng.choice(VOCAB)
+                det_cells.append({
+                    "x0": cx0 + 6.0, "y0": cy0 + 6.0,
+                    "x1": cx0 + 6.0 + 7.0 * len(txt),
+                    "y1": cy1 - 6.0, "text": txt})
+                c += 1
+                continue
+            span = 2 if (0 < r < n_rows - 1 and c + 1 < n_cols
+                         and rng.random() < 0.15) else 1
+            cx1 = x0 + (c + span) * col_w
+            if r > 0 and not last_row and span == 1 \
+                    and rng.random() < 0.12:
+                tokens.append("<eb></eb>")  # empty cell: no bbox
+                c += span
+                continue
+            if span == 2:
+                tokens.extend(["<td", ' colspan="2"', ">", "</td>"])
+            else:
+                tokens.append("<td></td>")
+            cell_bboxes.append([cx0, cy0, cx1, cy1])
+            txt = _words(rng, 1, 2)
+            if tall and c == tier3_col and span == 1:
+                # tier 3: master stays det-less; det sits in the lower
+                # band of the tall row (inside table extent, IoU 0)
+                det_cells.append({
+                    "x0": cx0 + 6.0, "y0": cy1 + 2.0,
+                    "x1": cx0 + 6.0 + 7.0 * len(txt),
+                    "y1": y + h - 2.0, "text": txt})
+            elif r == 0 and c == 0:
+                # tier 2: overhangs above the table top; center above
+                # every master, IoU > 0 with this head cell; F4 keeps it
+                det_cells.append({
+                    "x0": cx0 + 6.0, "y0": cy0 - 10.0,
+                    "x1": cx0 + 6.0 + 7.0 * len(txt),
+                    "y1": cy0 + 8.0, "text": txt})
+            else:
+                det_cells.append({
+                    "x0": cx0 + 6.0, "y0": cy0 + 6.0,
+                    "x1": cx0 + 6.0 + 7.0 * len(txt),
+                    "y1": cy1 - 6.0, "text": txt})
+                if rng.random() < 0.15:  # multi-det cell: joined by ' '
+                    extra = rng.choice(VOCAB)
+                    det_cells.append({
+                        "x0": cx0 + 60.0, "y0": cy0 + 6.0,
+                        "x1": cx0 + 60.0 + 7.0 * len(extra),
+                        "y1": cy1 - 6.0, "text": extra})
+            c += span
+        if not (truncated and last_row):
+            tokens.append("</tr>")
+        # truncated last row: every emitted cell is a plain '<td></td>'
+        # (no spans/ebs drawn there), so the stream already ends on the
+        # bare td token — the reference's cut-by-max-length shape
+        if r == 0:
+            tokens.extend(["</thead>", "<tbody>"])
+        y += h
+    if not truncated:
+        tokens.append("</tbody>")
+    return json.dumps({
+        "width": PAGE_W, "height": PAGE_H,
+        "det_cells": det_cells,
+        "tables": [{"tokens": tokens, "cell_bboxes": cell_bboxes}]},
+        sort_keys=True)
 
 
 def _page_json(text_lines, rects=None, images=None):
@@ -303,6 +403,15 @@ def gen_doc(doc_idx: int, seed: int = 42, heavy: bool = False):
             if rng.random() < 0.4:
                 add("text", _words(rng, 8, 20))
             add("html_table", _html_table_fragment(rng))
+        return doc_id, spans, family
+
+    if family == "F-J":
+        # imaged document: page image blobs + OCR-path payloads, no
+        # digital text at all (S6 classifies it imaged; the OCR
+        # dataflow extracts it anyway)
+        for p in range(rng.randint(1, 2)):
+            add("image", "", f"blob://{doc_id}/page{p}")
+            add("ocr_page", _ocr_page(rng), f"page://{doc_id}/{p}")
         return doc_id, spans, family
 
     n_pages = rng.randint(200, 500) if family == "F-G" else rng.randint(1, 3)
