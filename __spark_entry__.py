@@ -475,6 +475,9 @@ def _dk_bucket_expr(dim: int, n_planes: int, emb: str = "emb") -> str:
 
 
 def _dk_ann_lsh_sql(k: int = 5, dim: int = 64, n_planes: int = 8) -> str:
+    # multi-probe: the query's bucket plus every 1-bit-flip bucket
+    probe_list = ", ".join(
+        ["q_bucket"] + [f"xor(q_bucket, {1 << i})" for i in range(n_planes)])
     return f"""
         with bucketed as (
           select vec_id, embedding::DOUBLE[] as emb,
@@ -483,13 +486,15 @@ def _dk_ann_lsh_sql(k: int = 5, dim: int = 64, n_planes: int = 8) -> str:
         ), q as (
           select vec_id as query_id, emb as q_emb, bucket as q_bucket
           from bucketed where vec_id < 10
+        ), probes as (
+          select query_id, q_emb, unnest([{probe_list}]) as probe from q
         ), pairs as (
-          select q.query_id, b.vec_id as neighbor_id,
-                 round(list_dot_product(q.q_emb, b.emb) /
-                       (sqrt(list_dot_product(q.q_emb, q.q_emb)) *
+          select p.query_id, b.vec_id as neighbor_id,
+                 round(list_dot_product(p.q_emb, b.emb) /
+                       (sqrt(list_dot_product(p.q_emb, p.q_emb)) *
                         sqrt(list_dot_product(b.emb, b.emb))), 9) as cosine
-          from bucketed b, q
-          where b.bucket = q.q_bucket and b.vec_id <> q.query_id
+          from bucketed b, probes p
+          where b.bucket = p.probe and b.vec_id <> p.query_id
         ), ranked as (
           select *, row_number() over (
             partition by query_id order by cosine desc, neighbor_id
@@ -500,20 +505,33 @@ def _dk_ann_lsh_sql(k: int = 5, dim: int = 64, n_planes: int = 8) -> str:
     """
 
 
+def _dk_band_key_expr(dim: int, band: int, rows_per_band: int,
+                      emb: str = "emb") -> str:
+    bits = []
+    for r in range(rows_per_band):
+        p = band * rows_per_band + r
+        bits.append(
+            f"case when list_dot_product({emb}, {_dk_plane_literal(dim, p)})"
+            f" > 0 then {1 << r}::bigint else 0::bigint end")
+    return " + ".join(bits)
+
+
 def _dk_neardup_sql(threshold: float = 0.95, dim: int = 64,
-                    n_planes: int = 6) -> str:
+                    bands: int = 6, rows_per_band: int = 8) -> str:
+    band_rows = " union all ".join(
+        f"select vec_id, emb, {b} as band, "
+        f"{_dk_band_key_expr(dim, b, rows_per_band)} as key from base"
+        for b in range(bands))
     return f"""
-        with bucketed as (
-          select vec_id, embedding::DOUBLE[] as emb,
-                 {_dk_bucket_expr(dim, n_planes)} as bucket
-          from embeddings
-        )
-        select a.vec_id as vec_a, b.vec_id as vec_b,
+        with base as (
+          select vec_id, embedding::DOUBLE[] as emb from embeddings
+        ), banded as ({band_rows})
+        select distinct a.vec_id as vec_a, b.vec_id as vec_b,
                round(list_dot_product(a.emb, b.emb) /
                      (sqrt(list_dot_product(a.emb, a.emb)) *
                       sqrt(list_dot_product(b.emb, b.emb))), 9) as cosine
-        from bucketed a join bucketed b
-          on a.bucket = b.bucket and a.vec_id < b.vec_id
+        from banded a join banded b
+          on a.band = b.band and a.key = b.key and a.vec_id < b.vec_id
         where round(list_dot_product(a.emb, b.emb) /
                     (sqrt(list_dot_product(a.emb, a.emb)) *
                      sqrt(list_dot_product(b.emb, b.emb))), 9) >= {threshold}

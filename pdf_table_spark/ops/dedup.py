@@ -238,6 +238,117 @@ def minhash_lsh_pairs(docs: DataFrame,
     )
 
 
+def minhash_signatures_from_hashes(sh: DataFrame) -> DataFrame:
+    """64-perm MinHash signatures from an existing (doc_id, sh) hash
+    table (``shingle_hash_rows`` output) — lets a pipeline compute the
+    shingle table ONCE and feed both the signature and the
+    exact-verification passes. xxhash64 values are pmod'ed into [0, P)
+    before the universal-hash perms."""
+    h = sh.select("doc_id", F.pmod(F.col("sh"), F.lit(P)).alias("h"))
+    aggs = [
+        F.min(((F.lit(a) * F.col("h")) % P + F.lit(b)) % P).alias(f"s{i}")
+        for i, (a, b) in enumerate(PERM_CONSTS)
+    ]
+    return h.groupBy("doc_id").agg(*aggs)
+
+
+def _lsh_pairs_from_signatures(sig: DataFrame,
+                               max_bucket: int | None) -> DataFrame:
+    """Band-join candidate pairs from a signature table (the
+    minhash_lsh_pairs core, reusable against a persisted sig)."""
+    band_cols = []
+    for bidx in range(BANDS):
+        cols = [f"s{bidx * ROWS_PER_BAND + j}" for j in range(ROWS_PER_BAND)]
+        band_cols.append(F.struct(
+            F.lit(bidx).alias("band"),
+            F.md5(F.concat_ws(",", *cols)).alias("bh")))
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("b")
+    ).select("doc_id", F.col("b.band").alias("band"),
+             F.col("b.bh").alias("bh"))
+    if max_bucket is not None:
+        ok = (bands.groupBy("band", "bh")
+              .agg(F.count("*").alias("n"))
+              .filter(F.col("n") <= max_bucket)
+              .select("band", "bh"))
+        bands = bands.join(ok, ["band", "bh"])
+    x = bands.alias("x")
+    y = bands.alias("y")
+    return (
+        x.join(y, (F.col("x.band") == F.col("y.band"))
+               & (F.col("x.bh") == F.col("y.bh"))
+               & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def dedup_corpus(docs: DataFrame, threshold: float = 0.8,
+                 max_df: int = 10_000,
+                 max_bucket: int = 10_000) -> dict:
+    """Corpus-facing near-dedup — the production entry point with every
+    scale guard DEFAULTED ON (the oracle-exact ops above keep their
+    uncapped semantics for the correctness gate):
+
+      1. shingle-hash table computed ONCE, persisted, df-capped:
+         a shingle in k docs contributes k² rows to any self-join, so
+         ubiquitous boilerplate (df > max_df) is dropped up front — it
+         carries no dedup signal and is THE quadratic blowup at corpus
+         scale;
+      2. MinHash signatures from the capped table (one pass), persisted
+         and shared by the band join;
+      3. LSH band join with max_bucket capping (pathological clusters
+         can't emit k²/2 pairs);
+      4. candidates verified by EXACT Jaccard over the capped shingle
+         table (join restricted to candidate pairs — never all-pairs);
+      5. survivors = docs minus the larger id of every verified pair.
+
+    Returns {"pairs": verified pairs with jaccard, "keep": surviving
+    doc_ids}. Call ``release_caches()`` when done."""
+    sh = shingle_hash_rows(docs)
+    keep_sh = (sh.groupBy("sh").agg(F.count("*").alias("df"))
+               .filter(F.col("df") <= max_df).select("sh"))
+    sh = sh.join(keep_sh, "sh").persist()
+    _PERSISTED.append(sh)
+
+    sig = minhash_signatures_from_hashes(sh).persist()
+    _PERSISTED.append(sig)
+    cand = _lsh_pairs_from_signatures(sig, max_bucket)
+
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        cand.join(a, "doc_a").join(b, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_inter"))
+    )
+    verified = (
+        inter
+        .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                           F.col("n_sh").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("n_sh").alias("n_b")), "doc_b")
+        .select("doc_a", "doc_b",
+                F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b")
+                                            - F.col("n_inter")), 6)
+                .alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    dropped = verified.select(F.col("doc_b").alias("doc_id")).distinct()
+    keep = docs.join(dropped, "doc_id", "left_anti").select("doc_id")
+    return {"pairs": verified, "keep": keep}
+
+
+def join_candidate_mass(sh: DataFrame):
+    """Diagnostic: Σ k·(k-1)/2 over shingle-hash groups — the exact row
+    count a shingle self-join would emit. The scale test asserts the
+    df cap collapses this from O(n_docs²) to near-linear."""
+    return (sh.groupBy("sh").agg(F.count("*").alias("k"))
+            .select(F.sum(F.expr("k * (k - 1) / 2")).alias("mass"))
+            .collect()[0]["mass"])
+
+
 def simhash(docs: DataFrame, n_bits: int = 60) -> DataFrame:
     """Per-doc SimHash over distinct tokens: bit b set iff
     sum(+1 if bit b of h60(token) else -1) > 0. Returns the fingerprint

@@ -5,12 +5,22 @@
     top-k. No Python, no cartesian shuffle (broadcast join).
   * LSH-bucketed ANN — the scale path: sign-of-dot-product against
     ``n_planes`` deterministic hyperplanes → bucket key; candidates
-    searched only within the query's bucket. Recall is tunable by
-    plane count / multi-probe; here single-probe.
+    searched in the query's bucket AND every bucket at Hamming
+    distance 1 (multi-probe: n_planes+1 probes). For a neighbor at
+    cosine c, P(agree per plane) = 1 - acos(c)/π, so at c=0.99 the
+    probe set catches ~0.98 of true nearest neighbors while still
+    shrinking the search space ~2^n/(n+1)-fold.
+  * embedding near-dup — OR-of-bands (the MinHash-LSH shape applied to
+    hyperplane signs): NEARDUP_BANDS bands × NEARDUP_ROWS planes; a
+    pair is a candidate when ANY band's sign-pattern matches. At
+    cosine 0.95 (p≈0.899/plane) recall = 1-(1-p^8)^6 ≈ 0.96, vs ~0.5
+    for the previous single-bucket probe; random pairs still collide
+    at only ~bands/2^rows ≈ 2.3%, so the quadratic step stays bounded.
 
 Dot products are computed as a sequential left fold in double
 precision — the same order DuckDB's list_dot_product uses — so oracle
-values match bit-for-bit.
+values match bit-for-bit. A measured recall-vs-brute-force gate lives
+in tests/test_similarity_recall.py.
 """
 
 from __future__ import annotations
@@ -88,8 +98,10 @@ def lsh_bucket(emb: DataFrame, dim: int = 64, n_planes: int = 8) -> DataFrame:
 
 def ann_topk_lsh(emb: DataFrame, query_ids=None, k: int = 5,
                  dim: int = 64, n_planes: int = 8) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH
-    bucket (single-probe). Same output schema as cosine_topk."""
+    """Approximate top-k: multi-probe LSH — candidates from the query's
+    bucket plus the n_planes buckets one bit-flip away. Same output
+    schema as cosine_topk. A candidate lives in exactly one bucket, so
+    the probe join produces no duplicate (query, neighbor) rows."""
     bucketed = lsh_bucket(emb, dim, n_planes)
     queries = bucketed.filter(
         F.col("vec_id").isin(list(query_ids)) if query_ids is not None
@@ -97,10 +109,15 @@ def ann_topk_lsh(emb: DataFrame, query_ids=None, k: int = 5,
     ).select(F.col("vec_id").alias("query_id"),
              F.col("embedding").alias("q_emb"),
              F.col("bucket").alias("q_bucket"))
+    probe_list = ", ".join(
+        ["q_bucket"] + [f"q_bucket ^ {1 << i}L" for i in range(n_planes)])
+    probes = queries.select(
+        "query_id", "q_emb",
+        F.explode(F.expr(f"array({probe_list})")).alias("probe"))
     pairs = (
         bucketed.join(
-            F.broadcast(queries),
-            (F.col("bucket") == F.col("q_bucket"))
+            F.broadcast(probes),
+            (F.col("bucket") == F.col("probe"))
             & (F.col("vec_id") != F.col("query_id")))
         .select(
             "query_id", F.col("vec_id").alias("neighbor_id"),
@@ -117,16 +134,54 @@ def ann_topk_lsh(emb: DataFrame, query_ids=None, k: int = 5,
     )
 
 
-def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
-                            dim: int = 64, n_planes: int = 6) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH bucketing: only
-    same-bucket pairs are compared (the quadratic step never leaves a
-    bucket). Returns (vec_a, vec_b, cosine >= threshold)."""
-    bucketed = lsh_bucket(emb, dim, n_planes)
-    a = bucketed.alias("a")
-    b = bucketed.alias("b")
+NEARDUP_BANDS = 6
+NEARDUP_ROWS = 8  # planes per band
+
+
+def lsh_band_rows(emb: DataFrame, dim: int = 64,
+                  bands: int = NEARDUP_BANDS,
+                  rows_per_band: int = NEARDUP_ROWS) -> DataFrame:
+    """(vec_id, embedding, band, key): one row per band, key = the
+    band's rows_per_band sign bits. Plane index = band*rows + row, so
+    bands use disjoint hyperplane sets."""
+    structs = []
+    for b in range(bands):
+        bits = []
+        for r in range(rows_per_band):
+            p = b * rows_per_band + r
+            dot = (f"aggregate(zip_with(embedding, {_plane_literal(dim, p)},"
+                   f" (x, y) -> cast(x as double) * y),"
+                   f" 0D, (acc, v) -> acc + v)")
+            bits.append(f"if({dot} > 0, cast({1 << r} as bigint), 0L)")
+        structs.append(F.struct(
+            F.lit(b).alias("band"),
+            F.expr(" + ".join(bits)).alias("key")))
     return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+        emb.select("vec_id", "embedding",
+                   F.explode(F.array(*structs)).alias("bk"))
+        .select("vec_id", "embedding",
+                F.col("bk.band").alias("band"),
+                F.col("bk.key").alias("key"))
+    )
+
+
+def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
+                            dim: int = 64,
+                            bands: int = NEARDUP_BANDS,
+                            rows_per_band: int = NEARDUP_ROWS) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via OR-of-bands LSH: a
+    pair is compared when ANY band's sign pattern matches (recall ≈
+    1-(1-p^rows)^bands, measured ≥0.9 in the recall gate), and the
+    quadratic step never leaves a (band, key) bucket. Pairs colliding
+    in several bands are deduped by the final distinct (cosine is
+    deterministic, so the rows are identical). Returns (vec_a, vec_b,
+    cosine >= threshold)."""
+    banded = lsh_band_rows(emb, dim, bands, rows_per_band)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.key") == F.col("b.key"))
                & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(
             F.col("a.vec_id").alias("vec_a"),
@@ -134,4 +189,5 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
             F.round(F.expr(COS_EXPR.format(
                 a="a.embedding", b="b.embedding")), 9).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
+        .distinct()
     )

@@ -1,0 +1,58 @@
+"""Scale guards of the corpus-facing dedup entry point: the df cap
+must collapse the boilerplate-shingle join blowup, and the pipeline
+must still find real near-duplicates from ONE shingle-table pass."""
+
+import pytest
+from pyspark.sql import functions as F
+
+BOILER = ("this document is confidential and may not be distributed "
+          "without prior written permission of the issuing department")
+
+
+@pytest.fixture(scope="module")
+def boiler_docs(spark):
+    """200 docs sharing a boilerplate footer; 10 near-dup pairs planted
+    (same body, one token changed)."""
+    rows = []
+    for i in range(200):
+        body = " ".join(f"tok{i}x{j}" for j in range(30))
+        rows.append((i, f"{body} {BOILER}"))
+        if i < 10:  # near-dup: body differs by one token
+            dup = body.replace(f"tok{i}x7", "CHANGED")
+            rows.append((1000 + i, f"{dup} {BOILER}"))
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_df_cap_collapses_boilerplate_blowup(boiler_docs):
+    from pdf_table_spark.ops.dedup import (
+        join_candidate_mass, shingle_hash_rows)
+    sh = shingle_hash_rows(boiler_docs)
+    uncapped = join_candidate_mass(sh)
+    n_docs = boiler_docs.count()
+    # every doc shares the boilerplate shingles → quadratic mass
+    assert uncapped > n_docs * (n_docs - 1) / 2
+
+    keep = (sh.groupBy("sh").agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= 50).select("sh"))
+    capped = join_candidate_mass(sh.join(keep, "sh"))
+    # capped mass is the planted near-dup overlap only: ~30 shingles
+    # per pair * 10 pairs — thousands of times smaller
+    assert capped < uncapped / 100
+    assert capped < 50 * n_docs
+
+
+def test_dedup_corpus_finds_planted_dups_once(boiler_docs):
+    from pdf_table_spark.ops.dedup import dedup_corpus, release_caches
+    try:
+        out = dedup_corpus(boiler_docs, threshold=0.5, max_df=50,
+                           max_bucket=100)
+        pairs = {(r.doc_a, r.doc_b) for r in out["pairs"].collect()}
+        # all 10 planted pairs found despite the df cap stripping the
+        # shared boilerplate
+        for i in range(10):
+            assert (i, 1000 + i) in pairs, (i, sorted(pairs)[:5])
+        keep_ids = {r.doc_id for r in out["keep"].collect()}
+        assert all(1000 + i not in keep_ids for i in range(10))
+        assert all(i in keep_ids for i in range(200))
+    finally:
+        assert release_caches() >= 2  # shingles + signatures were cached

@@ -54,9 +54,10 @@ def test_simhash_identical_docs_equal(spark, docs):
             assert rows[base_id] == rows[base_id + 100000]
 
 
-def test_ann_lsh_equals_bucket_restricted_bruteforce(spark, emb):
+def test_ann_lsh_equals_probe_restricted_bruteforce(spark, emb):
     """ANN must be *exactly* the brute-force ranking restricted to the
-    query's LSH bucket — same cosines, same order."""
+    query's multi-probe set (own bucket + every 1-bit flip) — same
+    cosines, same order."""
     import numpy as np
     from pdf_table_spark.ops.similarity import ann_topk_lsh, lsh_bucket
 
@@ -65,9 +66,10 @@ def test_ann_lsh_equals_bucket_restricted_bruteforce(spark, emb):
     bucket = {r.vec_id: r.bucket for r in rows}
     expected = []
     for q in sorted(v for v in vecs if v < 10):
+        probes = {bucket[q]} | {bucket[q] ^ (1 << i) for i in range(8)}
         cands = []
         for n in vecs:
-            if n == q or bucket[n] != bucket[q]:
+            if n == q or bucket[n] not in probes:
                 continue
             a, b = vecs[q], vecs[n]
             cos = float(a @ b / (np.sqrt(a @ a) * np.sqrt(b @ b)))

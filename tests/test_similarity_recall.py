@@ -1,0 +1,78 @@
+"""Measured recall gates for the approximate similarity ops.
+
+The sf testdata embeddings are near-uniform random (zero true
+near-dups at cosine 0.95), so recall is measured on a planted corpus:
+unit base vectors plus noisy copies at cosine ≈0.99. Ground truth is
+numpy brute force; the gates assert the documented recall targets
+(≥0.9) actually hold, which the oracle twins cannot see (they encode
+the same approximation on both sides)."""
+
+import numpy as np
+import pytest
+
+DIM = 64
+N_BASE = 260
+N_DUP = 60
+NOISE = 0.012  # per-dim sigma → cosine ≈ 1/sqrt(1+64σ²) ≈ 0.995
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    rng = np.random.RandomState(7)
+    vecs = []
+    base = rng.randn(N_BASE, DIM)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    vecs.extend(base)
+    dup_src = rng.randint(0, N_BASE, size=N_DUP)
+    for i in dup_src:
+        w = base[i] + rng.randn(DIM) * NOISE
+        vecs.append(w / np.linalg.norm(w))
+    arr = np.asarray(vecs, dtype=np.float32)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(arr)],
+        "vec_id int, embedding array<float>")
+    return df, arr, dup_src
+
+
+def _true_pairs(arr, threshold):
+    sims = arr @ arr.T
+    out = set()
+    n = len(arr)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if sims[i, j] >= threshold:
+                out.add((i, j))
+    return out
+
+
+def test_neardup_banded_recall(planted):
+    from pdf_table_spark.ops.similarity import embedding_neardup_pairs
+    df, arr, _ = planted
+    truth = _true_pairs(arr.astype(np.float64), 0.95)
+    assert len(truth) >= N_DUP  # the plant worked
+    got = {(r.vec_a, r.vec_b)
+           for r in embedding_neardup_pairs(df, threshold=0.95).collect()}
+    assert got <= truth or all(  # precision: every found pair is real
+        (a, b) in truth for a, b in got)
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, f"banded near-dup recall {recall:.3f} < 0.9"
+
+
+def test_ann_multiprobe_nn_recall(planted):
+    """Recall@1 of the true nearest neighbor for the planted dup
+    vectors (their source sits at cosine ≈0.995)."""
+    from pdf_table_spark.ops.similarity import ann_topk_lsh
+    df, arr, dup_src = planted
+    a64 = arr.astype(np.float64)
+    sims = a64 @ a64.T
+    np.fill_diagonal(sims, -2.0)
+    query_ids = list(range(N_BASE, N_BASE + N_DUP))
+    true_nn = {q: int(np.argmax(sims[q])) for q in query_ids}
+    rows = ann_topk_lsh(df, query_ids=query_ids, k=5).collect()
+    got_nn = {}
+    for r in rows:
+        if r.rank == 1:
+            got_nn[r.query_id] = r.neighbor_id
+    hits = sum(1 for q in query_ids if got_nn.get(q) == true_nn[q])
+    recall = hits / len(query_ids)
+    assert recall >= 0.9, f"multi-probe ANN recall@1 {recall:.3f} < 0.9"
