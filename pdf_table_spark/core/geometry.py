@@ -22,12 +22,19 @@ JOINT_TOL = 2.0
 ROW_TOL = 2.0
 
 
-def merge_close_lines(values, line_tol: float = LINE_TOL) -> list[float]:
+def merge_close_lines(values, line_tol: float = LINE_TOL,
+                      last_merge_threshold: float = -1.0) -> list[float]:
     """Sequential moving-mean 1-D clustering of *sorted* coordinates.
 
     Order-dependent by design: the running mean of the open cluster is
     compared (|mean - x| <= line_tol) against each next value; this must
     run as a sweep inside one batch, never as a commutative aggregate.
+
+    ``last_merge_threshold`` > 0 enables the A1 thin edge-axis drop
+    (reference ``pdf_utils.py:830-846``, used by the LineCell decoders
+    with threshold 10-20): when >2 axis points survive and the first or
+    last gap is both below the threshold and below 20% of the average
+    gap, that hairline edge coordinate is dropped.
     """
     out: list[float] = []
     for v in values:
@@ -35,7 +42,47 @@ def merge_close_lines(values, line_tol: float = LINE_TOL) -> list[float]:
             out[-1] = (out[-1] + v) / 2.0
         else:
             out.append(float(v))
+    total = len(out)
+    if total > 2 and last_merge_threshold > 0:
+        avg_width = abs(max(out) - min(out)) / total
+        first_w = abs(out[1] - out[0])
+        if first_w < last_merge_threshold and first_w < avg_width * 0.2:
+            out = out[1:]
+        last_w = abs(out[-1] - out[-2])
+        if last_w < last_merge_threshold and last_w < avg_width * 0.2:
+            out = out[:-1]
     return out
+
+
+def dedup_overlapping_boxes(text_lines) -> list:
+    """U3 — discard duplicate text boxes (reference ``text_in_bbox``'s
+    dedup branch, ``pdf_utils.py:788-799``): when two boxes intersect
+    and the intersection covers >80% of box A's area while box B is at
+    least as wide, A is the duplicate and is dropped. Stable order of
+    survivors (input order)."""
+    def area(t):
+        return max(0.0, t["x1"] - t["x0"]) * max(0.0, t["y1"] - t["y0"])
+
+    def inter_area(a, b):
+        iw = min(a["x1"], b["x1"]) - max(a["x0"], b["x0"])
+        ih = min(a["y1"], b["y1"]) - max(a["y0"], b["y0"])
+        return iw * ih if iw > 0 and ih > 0 else 0.0
+
+    drop: set[int] = set()
+    for i, a in enumerate(text_lines):
+        if i in drop:
+            continue
+        aa = area(a)
+        if aa <= 0:
+            continue
+        for j, b in enumerate(text_lines):
+            if i == j or j in drop:
+                continue
+            if inter_area(a, b) / aa > 0.8 \
+                    and (b["x1"] - b["x0"]) >= (a["x1"] - a["x0"]):
+                drop.add(i)
+                break
+    return [t for i, t in enumerate(text_lines) if i not in drop]
 
 
 def isclose(a: float, b: float, tol: float = JOINT_TOL) -> bool:

@@ -121,17 +121,26 @@ def find_table_regions(horizontal, vertical, tol: float = G.JOINT_TOL):
     return regions
 
 
+LAST_MERGE_THRESHOLD = 10.0  # A1 thin edge-axis drop (LineCell parity)
+
+
 def build_grid(bbox, joints, line_tol: float = G.LINE_TOL):
     """Infer row/col axes from joint coordinates.
 
     cols ascending, rows *descending* (top-down), each collapsed with
     merge_close_lines, then paired into consecutive intervals —
-    semantics of ``_generate_columns_and_rows``.
+    semantics of ``_generate_columns_and_rows`` with the LineCell
+    decoders' thin first/last axis drop (A1 ``last_merge_threold``,
+    threshold 10, ``table_cell_extract_algo.py:402-403``): a hairline
+    edge column/row (< 10pt and < 20% of the average gap) is noise from
+    double-drawn borders and is removed from the axis.
     """
     cols_pts = sorted([x for x, _ in joints] + [bbox[0], bbox[2]])
     rows_pts = sorted([y for _, y in joints] + [bbox[1], bbox[3]], reverse=True)
-    cols_m = G.merge_close_lines(cols_pts, line_tol)
-    rows_m = G.merge_close_lines(rows_pts, line_tol)
+    cols_m = G.merge_close_lines(cols_pts, line_tol,
+                                 last_merge_threshold=LAST_MERGE_THRESHOLD)
+    rows_m = G.merge_close_lines(rows_pts, line_tol,
+                                 last_merge_threshold=LAST_MERGE_THRESHOLD)
     cols = [(cols_m[i], cols_m[i + 1]) for i in range(len(cols_m) - 1)]
     rows = [(rows_m[i], rows_m[i + 1]) for i in range(len(rows_m) - 1)]
     return cols, rows

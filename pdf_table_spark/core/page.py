@@ -32,9 +32,13 @@ from . import html as H
 from . import lattice as L
 from . import paragraph as P
 from . import stream as S
-from .textproc import ocr_post_process
+from .textproc import flag_font_size, ocr_post_process
 
 FALSE_TABLE_IOU = 0.5  # reference check_table_match_images threshold
+# F3: tiny decorative images are dropped outright (reference
+# filter_pdf_image, pdf_utils.py:1748-1768, threshold 20 source px²;
+# mapped onto bbox area in this vector data model)
+TINY_IMAGE_AREA = 20.0
 
 
 def rotate_page_90cw(page: dict) -> dict:
@@ -91,6 +95,21 @@ def extract_pdf_page(page_json: str, media_ref: str):
     text_lines = page.get("text_lines") or []
     rects = page.get("rects") or []
     images = page.get("images") or []
+
+    # X3: lines carrying per-char heights get sub/superscript <s> flags
+    text_lines = [
+        {**t, "text": flag_font_size(t["text"], t["char_heights"])}
+        if t.get("char_heights") else t
+        for t in text_lines]
+    # U3: >80%-overlap duplicate text boxes dropped (page-wide — the
+    # reference dedups inside every text_in_bbox call; one pass up
+    # front has the same effect on each table's text set)
+    text_lines = G.dedup_overlapping_boxes(text_lines)
+    # F3: tiny decorative images neither emit fragments nor suppress
+    # tables via F6
+    images = [im for im in images
+              if (im["x1"] - im["x0"]) * (im["y1"] - im["y0"])
+              >= TINY_IMAGE_AREA]
 
     # vertical text (O2): margin captions / sidebars — never table or
     # paragraph material; each becomes its own fragment. Final position

@@ -48,11 +48,13 @@ def _num(rng):
 
 
 def _ruled_table(rng, x0, y_top, n_rows, n_cols, drop_edges=0,
-                 straddle=False):
+                 straddle=False, hairline=False, superscript=False):
     """Emit (rects, text_lines) for a ruled table with per-cell-edge
     rulings; ``drop_edges`` interior edges are omitted → merged cells.
     ``straddle`` sometimes adds a line crossing a column boundary —
-    exercises X4 char-splitting."""
+    exercises X4 char-splitting. ``hairline`` adds a 6pt decorative
+    edge column left of the table (A1 thin-axis drop target).
+    ``superscript`` gives one cell a minority-height char run (X3)."""
     col_w = rng.choice([70.0, 80.0, 90.0])
     row_h = rng.choice([22.0, 26.0])
     xs = [x0 + i * col_w for i in range(n_cols + 1)]
@@ -81,6 +83,18 @@ def _ruled_table(rng, x0, y_top, n_rows, n_cols, drop_edges=0,
             rects.append({"x0": xs[c] - 0.5, "y0": ys[r + 1],
                           "x1": xs[c] + 0.5, "y1": ys[r]})
 
+    if hairline:
+        # decorative double-border strip: a vertical ruling 6pt left of
+        # the table plus per-row stubs connecting it — the A1 thin-axis
+        # drop must erase this phantom column from the grid
+        rects.append({"x0": x0 - 6.5, "y0": ys[-1],
+                      "x1": x0 - 5.5, "y1": ys[0]})
+        for yv in ys:
+            rects.append({"x0": x0 - 6.5, "y0": yv - 0.5,
+                          "x1": x0 + 0.5, "y1": yv + 0.5})
+
+    sup_at = (rng.randrange(n_rows * n_cols)
+              if superscript and n_rows * n_cols > 0 else -1)
     texts = []
     for r in range(n_rows):
         for c in range(n_cols):
@@ -89,8 +103,16 @@ def _ruled_table(rng, x0, y_top, n_rows, n_cols, drop_edges=0,
             content = _num(rng) if rng.random() < 0.5 else _words(rng, 1, 2)
             tx = xs[c] + 4.0
             ty = ys[r] - row_h / 2.0 - FONT / 2.0
-            texts.append({"x0": tx, "y0": ty, "x1": tx + 6.0 * len(content),
-                          "y1": ty + FONT, "text": content, "dir": "h"})
+            line = {"x0": tx, "y0": ty, "x1": tx + 6.0 * len(content),
+                    "y1": ty + FONT, "text": content, "dir": "h"}
+            if r * n_cols + c == sup_at:
+                # X3: trailing superscript digit at 60% char height
+                sup = str(rng.randint(2, 9))
+                line["text"] = content + sup
+                line["x1"] = tx + 6.0 * len(line["text"])
+                line["char_heights"] = ([FONT] * len(content)
+                                        + [FONT * 0.6] * len(sup))
+            texts.append(line)
     if straddle and n_cols >= 2 and rng.random() < 0.5:
         # a wide line crossing one column boundary (X4 split target)
         r = rng.randint(0, n_rows - 1)
@@ -152,7 +174,10 @@ def _ragged_stream_table(rng, x0, y_top, n_rows, n_cols):
 
 def _prose(rng, x0, y_top, n_paras, width=440.0):
     """Paragraph lines: first line indented by 2*FONT, full-width
-    middles, short last line — exercises the line-type classifier."""
+    middles, short last line — exercises the line-type classifier.
+    ~10% of paragraphs carry a U3 trigger: a shorter duplicate box
+    over the first line (a double-rendered glyph run) that the
+    >80%-overlap dedup must discard."""
     texts = []
     y = y_top
     for _ in range(n_paras):
@@ -165,6 +190,11 @@ def _prose(rng, x0, y_top, n_paras, width=440.0):
             texts.append({
                 "x0": x0 + indent, "y0": y - FONT, "x1": x0 + indent + w,
                 "y1": y, "text": line, "dir": "h"})
+            if li == 0 and rng.random() < 0.1:
+                dup = dict(texts[-1])
+                dup["text"] = " ".join(line.split()[:2])
+                dup["x1"] = dup["x0"] + w * 0.4
+                texts.append(dup)
             y -= LINE_H
         y -= LINE_H  # blank line between paragraphs
     return texts, y
@@ -319,8 +349,10 @@ def gen_page(rng, family, heavy=False):
     if family == "F-A":
         r, c = ((rng.randint(10, 18), rng.randint(4, 8)) if heavy
                 else (rng.randint(2, 8), rng.randint(2, 6)))
-        rects, texts, _ = _ruled_table(rng, 80.0, 700.0, r, c,
-                                       straddle=True)
+        rects, texts, _ = _ruled_table(
+            rng, 80.0, 700.0, r, c, straddle=True,
+            hairline=rng.random() < 0.25,
+            superscript=rng.random() < 0.3)
         return _page_json(texts, rects)
     if family == "F-B":
         r, c, d = ((rng.randint(8, 14), rng.randint(4, 7),
@@ -359,8 +391,16 @@ def gen_page(rng, family, heavy=False):
         frects, ftexts, fbbox = _ruled_table(rng, fx0, fy_top, 2, 2)
         image = {"x0": fbbox[0], "y0": fbbox[1], "x1": fbbox[2],
                  "y1": fbbox[3], "name": f"img://{rng.randint(0, 1 << 30)}"}
+        images = [image]
+        if rng.random() < 0.4:
+            # F3: a tiny decorative bullet image (area 16 < 20) that
+            # must neither emit a fragment nor suppress anything
+            bx = 72.0 + rng.uniform(0, 400)
+            images.append({"x0": bx, "y0": 90.0, "x1": bx + 4.0,
+                           "y1": 94.0,
+                           "name": f"img://tiny{rng.randint(0, 999)}"})
         prose, _ = _prose(rng, 72.0, 560.0, rng.randint(1, 3))
-        return _page_json(ttexts + ftexts + prose, rects + frects, [image])
+        return _page_json(ttexts + ftexts + prose, rects + frects, images)
     if family == "F-H":
         rects1, t1, b1 = _ruled_table(rng, 80.0, 720.0,
                                       rng.randint(2, 4), rng.randint(2, 4))

@@ -55,3 +55,38 @@ def test_merge_intervals_with_gap():
 def test_connected_components_smallest_id():
     comp = G.connected_components(5, [(0, 1), (1, 2), (3, 4)])
     assert comp == [0, 0, 0, 3, 3]
+
+
+def test_merge_close_lines_thin_edge_drop():
+    """A1 last_merge_threshold: hairline first/last axis gaps (< thr
+    AND < 20% of avg gap) are dropped; interior gaps never are."""
+    axis = [0.0, 5.0, 60.0, 120.0, 180.0]
+    # avg gap = 180/5 = 36 → 0.2*avg = 7.2; first gap 5 < 10 and < 7.2
+    out = G.merge_close_lines(axis, 2.0, last_merge_threshold=10.0)
+    assert out == [5.0, 60.0, 120.0, 180.0]
+    # disabled by default
+    assert G.merge_close_lines(axis, 2.0) == axis
+    # a wide first gap survives
+    axis2 = [0.0, 50.0, 100.0, 150.0]
+    assert G.merge_close_lines(
+        axis2, 2.0, last_merge_threshold=10.0) == axis2
+    # thin LAST gap drops symmetrically
+    axis3 = [0.0, 60.0, 120.0, 180.0, 185.0]
+    assert G.merge_close_lines(
+        axis3, 2.0, last_merge_threshold=10.0) == [0.0, 60.0, 120.0, 180.0]
+
+
+def test_dedup_overlapping_boxes():
+    """U3: a box >80%-covered by a wider box is a duplicate."""
+    big = {"x0": 0.0, "y0": 0.0, "x1": 100.0, "y1": 10.0, "text": "full"}
+    dup = {"x0": 0.0, "y0": 0.0, "x1": 40.0, "y1": 10.0, "text": "fu"}
+    other = {"x0": 0.0, "y0": 50.0, "x1": 40.0, "y1": 60.0, "text": "b"}
+    out = G.dedup_overlapping_boxes([big, dup, other])
+    assert [t["text"] for t in out] == ["full", "b"]
+    # identical twins: exactly one survives
+    twin = dict(big)
+    out2 = G.dedup_overlapping_boxes([big, twin])
+    assert len(out2) == 1
+    # partial (<80%) overlap keeps both
+    part = {"x0": 60.0, "y0": 0.0, "x1": 160.0, "y1": 10.0, "text": "p"}
+    assert len(G.dedup_overlapping_boxes([big, part])) == 2

@@ -66,3 +66,34 @@ def test_ocr_post_process():
 def test_text_strip():
     assert text_strip("a-b_c", "-_") == "abc"
     assert text_strip("abc", "") == "abc"
+
+
+def test_flag_font_size():
+    from pdf_table_spark.core.textproc import flag_font_size
+    # trailing superscript: minority-height run wrapped
+    assert flag_font_size("ab2", [10.0, 10.0, 6.0]) == "ab<s>2</s>"
+    # uniform heights: unchanged
+    assert flag_font_size("abc", [10.0, 10.0, 10.0]) == "abc"
+    # blank minority run: dropped, not flagged
+    assert flag_font_size("ab ", [10.0, 10.0, 6.0]) == "ab"
+    # interior subscript run
+    assert flag_font_size("H2O", [10.0, 6.0, 10.0]) == "H<s>2</s>O"
+    # missing/mismatched heights: passthrough
+    assert flag_font_size("abc", None) == "abc"
+    assert flag_font_size("abc", [10.0]) == "abc"
+
+
+def test_tiny_image_filtered_from_page():
+    import json
+
+    from pdf_table_spark.core.page import extract_pdf_page
+    page = {"width": 612.0, "height": 792.0,
+            "text_lines": [], "rects": [],
+            "images": [
+                {"x0": 10, "y0": 10, "x1": 14, "y1": 14,
+                 "name": "img://tiny"},            # area 16 < 20 → drop
+                {"x0": 100, "y0": 100, "x1": 200, "y1": 180,
+                 "name": "img://real"}]}
+    frags = extract_pdf_page(json.dumps(page), "m")
+    refs = [f[2] for f in frags if f[0] == "image"]
+    assert refs == ["img://real"]
