@@ -811,7 +811,7 @@ def oracle_sql() -> dict[str, str]:
         # pattern applied to the S7 export fan-out.
         "table_exports": (
             f'select doc_id, "offset" as offset, n_rows, n_cols, '
-            f"csv, markdown, json_rows "
+            f"csv, markdown, json_rows, sqlite_sql, excel_xml, html_db "
             f"from read_parquet('{EXPORTS_001}')"),
         "doc_html": f"""
             select doc_id,

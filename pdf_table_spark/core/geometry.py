@@ -59,28 +59,39 @@ def dedup_overlapping_boxes(text_lines) -> list:
     dedup branch, ``pdf_utils.py:788-799``): when two boxes intersect
     and the intersection covers >80% of box A's area while box B is at
     least as wide, A is the duplicate and is dropped. Stable order of
-    survivors (input order)."""
-    def area(t):
-        return max(0.0, t["x1"] - t["x0"]) * max(0.0, t["y1"] - t["y0"])
+    survivors (input order).
 
-    def inter_area(a, b):
-        iw = min(a["x1"], b["x1"]) - max(a["x0"], b["x0"])
-        ih = min(a["y1"], b["y1"]) - max(a["y0"], b["y0"])
-        return iw * ih if iw > 0 and ih > 0 else 0.0
+    The O(n²) pair predicate is one numpy broadcast (this function runs
+    on every page; the python pair loop was ~37% of extraction CPU);
+    only the tiny witness-must-survive sweep stays sequential — a
+    dropped box cannot drop others, so identical twins keep exactly one
+    member, like the reference's rest-set iteration.
+    """
+    n = len(text_lines)
+    if n < 2:
+        return list(text_lines)
+    import numpy as np
+
+    x0 = np.fromiter((t["x0"] for t in text_lines), np.float64, n)
+    y0 = np.fromiter((t["y0"] for t in text_lines), np.float64, n)
+    x1 = np.fromiter((t["x1"] for t in text_lines), np.float64, n)
+    y1 = np.fromiter((t["y1"] for t in text_lines), np.float64, n)
+    iw = np.minimum.outer(x1, x1) - np.maximum.outer(x0, x0)
+    ih = np.minimum.outer(y1, y1) - np.maximum.outer(y0, y0)
+    inter = np.clip(iw, 0.0, None) * np.clip(ih, 0.0, None)
+    area = (x1 - x0) * (y1 - y0)
+    w = x1 - x0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        # cond[i, j]: j is a witness that i is a duplicate
+        cond = (inter > 0.8 * area[:, None]) & (w[None, :] >= w[:, None])
+    np.fill_diagonal(cond, False)
+    cond[area <= 0, :] = False
 
     drop: set[int] = set()
-    for i, a in enumerate(text_lines):
-        if i in drop:
-            continue
-        aa = area(a)
-        if aa <= 0:
-            continue
-        for j, b in enumerate(text_lines):
-            if i == j or j in drop:
-                continue
-            if inter_area(a, b) / aa > 0.8 \
-                    and (b["x1"] - b["x0"]) >= (a["x1"] - a["x0"]):
-                drop.add(i)
+    for i in np.nonzero(cond.any(axis=1))[0]:
+        for j in np.nonzero(cond[i])[0]:
+            if j not in drop:
+                drop.add(int(i))
                 break
     return [t for i, t in enumerate(text_lines) if i not in drop]
 

@@ -368,13 +368,40 @@ def extract_table(table: dict, det_cells: list[dict]) -> str:
     return "<table>" + deal_bb(html) + "</table>"
 
 
+def orientation_vote_flip(page: dict) -> dict:
+    """M4 text-line orientation vote (``ocr_system_task.py:395-439``):
+    each det cell may carry a ``flipped`` flag (the PULC textline-cls
+    stand-in output); a strict majority of flipped lines means the page
+    is upside down, so all geometry is rotated 180° (x → W-x, y → H-y)
+    before matching. Minority flags are misreads and are ignored."""
+    det_cells = page.get("det_cells") or []
+    n_flip = sum(1 for c in det_cells if c.get("flipped"))
+    if not det_cells or n_flip * 2 <= len(det_cells):
+        return page
+    w, h = page["width"], page["height"]
+
+    def flip_box(b):
+        return {**b, "x0": w - b["x1"], "y0": h - b["y1"],
+                "x1": w - b["x0"], "y1": h - b["y0"]}
+
+    return {
+        **page,
+        "det_cells": [flip_box(c) for c in det_cells],
+        "tables": [
+            {**t, "cell_bboxes": [
+                [w - b[2], h - b[3], w - b[0], h - b[1]]
+                for b in t.get("cell_bboxes") or []]}
+            for t in page.get("tables") or []],
+    }
+
+
 def extract_ocr_page(payload: str):
     """Full OCR-path page extraction. Returns fragments in reading
     order (image coords: y down): list of (kind, text, media_ref,
     accuracy, whitespace) like ``extract_pdf_page``; the OCR path
     carries no A9 metrics (the reference attaches accuracy only in the
     digital flavors), so both are None."""
-    page = json.loads(payload)
+    page = orientation_vote_flip(json.loads(payload))
     det_cells = page.get("det_cells") or []
     tables = page.get("tables") or []
 

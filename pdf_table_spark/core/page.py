@@ -67,6 +67,14 @@ def rotate_page_90cw(page: dict) -> dict:
                for t in page.get("text_lines") or []],
            "rects": [box(r) for r in page.get("rects") or []],
            "images": [box(i) for i in page.get("images") or []]}
+    if page.get("segs"):
+        # explicit ruling segments: endpoints are true points (possibly
+        # diagonal), mapped without bbox normalization
+        def seg(s):
+            x0a, y0a = pt(s["x0"], s["y0"])
+            x1a, y1a = pt(s["x1"], s["y1"])
+            return {**s, "x0": x0a, "y0": y0a, "x1": x1a, "y1": y1a}
+        out["segs"] = [seg(s) for s in page["segs"]]
     return out
 
 
@@ -84,6 +92,79 @@ def normalize_rotation(page: dict) -> dict:
     return page
 
 
+def estimate_skew_deg(segs, max_abs_deg: float = 10.0) -> float:
+    """Small-angle skew estimate: median deviation of ruling segments
+    from their nearest axis — the deterministic core of the reference's
+    Hough/line-angle deskew (``image_processing.py:268-336,447-604``).
+    Segments steeper than ``max_abs_deg`` off-axis are ignored (they
+    are genuinely diagonal content, not skew)."""
+    import math
+    devs = []
+    for s in segs:
+        dx = s["x1"] - s["x0"]
+        dy = s["y1"] - s["y0"]
+        if dx == 0 and dy == 0:
+            continue
+        ang = math.degrees(math.atan2(dy, dx))
+        # deviation from the nearest multiple of 90°
+        dev = (ang + 45.0) % 90.0 - 45.0
+        if abs(dev) <= max_abs_deg:
+            devs.append(dev)
+    if not devs:
+        return 0.0
+    devs.sort()
+    n = len(devs)
+    return devs[n // 2] if n % 2 else (devs[n // 2 - 1] + devs[n // 2]) / 2.0
+
+
+def deskew_page(page: dict) -> dict:
+    """M1 small-angle deskew. A page carrying explicit ruling
+    ``segs`` (endpoints may be slightly diagonal — the vector analogue
+    of a skewed scan) is rotated back by the estimated angle around the
+    page center: seg endpoints exactly, text/image boxes by their
+    centers (extents kept — the small-angle approximation the raster
+    deskew also makes). Recovered near-axis segs are re-emitted as thin
+    rects for the normal lattice path."""
+    import math
+    segs = page.get("segs") or []
+    if not segs:
+        return page
+    theta = estimate_skew_deg(segs)
+    cx, cy = page["width"] / 2.0, page["height"] / 2.0
+    cos_t = math.cos(math.radians(-theta))
+    sin_t = math.sin(math.radians(-theta))
+
+    def rot(x, y):
+        dx, dy = x - cx, y - cy
+        return cx + dx * cos_t - dy * sin_t, cy + dx * sin_t + dy * cos_t
+
+    rects = list(page.get("rects") or [])
+    for s in segs:
+        x0, y0 = rot(s["x0"], s["y0"])
+        x1, y1 = rot(s["x1"], s["y1"])
+        if abs(x1 - x0) >= abs(y1 - y0):  # near-horizontal
+            yc = (y0 + y1) / 2.0
+            rects.append({"x0": min(x0, x1), "y0": yc - 0.5,
+                          "x1": max(x0, x1), "y1": yc + 0.5})
+        else:
+            xc = (x0 + x1) / 2.0
+            rects.append({"x0": xc - 0.5, "y0": min(y0, y1),
+                          "x1": xc + 0.5, "y1": max(y0, y1)})
+
+    def unskew_box(o):
+        bx, by = rot((o["x0"] + o["x1"]) / 2.0, (o["y0"] + o["y1"]) / 2.0)
+        w = (o["x1"] - o["x0"]) / 2.0
+        h = (o["y1"] - o["y0"]) / 2.0
+        return {**o, "x0": bx - w, "y0": by - h, "x1": bx + w, "y1": by + h}
+
+    out = {k: v for k, v in page.items() if k != "segs"}
+    out["rects"] = rects
+    out["text_lines"] = [unskew_box(t)
+                         for t in page.get("text_lines") or []]
+    out["images"] = [unskew_box(i) for i in page.get("images") or []]
+    return out
+
+
 def extract_pdf_page(page_json: str, media_ref: str):
     """Run the full deterministic extraction pipeline on one page.
 
@@ -92,6 +173,8 @@ def extract_pdf_page(page_json: str, media_ref: str):
     page = json.loads(page_json)
     if page.get("rotation"):
         page = normalize_rotation(page)
+    if page.get("segs"):
+        page = deskew_page(page)
     text_lines = page.get("text_lines") or []
     rects = page.get("rects") or []
     images = page.get("images") or []

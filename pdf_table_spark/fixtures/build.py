@@ -50,7 +50,8 @@ EXPORTS_SCHEMA = pa.schema([
     ("doc_id", pa.string()), ("offset", pa.int32()),
     ("n_rows", pa.int32()), ("n_cols", pa.int32()),
     ("csv", pa.string()), ("markdown", pa.string()),
-    ("json_rows", pa.string())])
+    ("json_rows", pa.string()), ("sqlite_sql", pa.string()),
+    ("excel_xml", pa.string()), ("html_db", pa.string())])
 
 
 def fixture_dir(root: str, sf: str) -> str:
@@ -109,19 +110,16 @@ def build_sf(root: str, sf: str, force: bool = False) -> dict:
     # S7 export oracle: render every golden table through the same
     # csv/markdown/json renderer the Spark stage uses (core.export_render)
     from ..core.export_render import render_table_html
-    e = {k: [] for k in ("doc_id", "offset", "n_rows", "n_cols",
-                         "csv", "markdown", "json_rows")}
+    names = [f.name for f in EXPORTS_SCHEMA]
+    e = {k: [] for k in names}
     for d, o, k, t in zip(g_doc, g_off, g_kind, g_text):
         if k != "table_html":
             continue
-        nr, nc, c, md, js = render_table_html(t or "")
+        rendered = render_table_html(t or "")
         e["doc_id"].append(d)
         e["offset"].append(o)
-        e["n_rows"].append(nr)
-        e["n_cols"].append(nc)
-        e["csv"].append(c)
-        e["markdown"].append(md)
-        e["json_rows"].append(js)
+        for name, val in zip(names[2:], rendered):
+            e[name].append(val)
     pq.write_table(pa.Table.from_pydict(e, schema=EXPORTS_SCHEMA),
                    exports_path)
     return {"sf": sf, "docs": n_docs, "pages": n_pages,

@@ -34,9 +34,9 @@ VOCAB = [
 ]
 
 FAMILIES = ["F-A", "F-B", "F-C", "F-D", "F-E", "F-F", "F-G", "F-H",
-            "F-I", "F-J"]
-# skew family is rare: one heavy doc among many small ones
-WEIGHTS = [16, 14, 12, 14, 10, 10, 2, 8, 6, 8]
+            "F-I", "F-J", "F-K"]
+# giant-doc family is rare: one heavy doc among many small ones
+WEIGHTS = [15, 13, 12, 13, 10, 10, 2, 8, 6, 8, 5]
 
 
 def _words(rng, lo=1, hi=3):
@@ -292,11 +292,65 @@ def _ocr_page(rng):
         y += h
     if not truncated:
         tokens.append("</tbody>")
+    if not truncated and rng.random() < 0.2:
+        # M4: the page arrives upside down — all geometry rotated 180°,
+        # most (not all) det lines flagged flipped by the cls stand-in;
+        # the orientation vote must rotate everything back
+        def flip(b):
+            return {**b, "x0": PAGE_W - b["x1"], "y0": PAGE_H - b["y1"],
+                    "x1": PAGE_W - b["x0"], "y1": PAGE_H - b["y0"]}
+        det_cells = [
+            {**flip(c), "flipped": rng.random() < 0.9}
+            for c in det_cells]
+        cell_bboxes = [
+            [PAGE_W - b[2], PAGE_H - b[3], PAGE_W - b[0], PAGE_H - b[1]]
+            for b in cell_bboxes]
     return json.dumps({
         "width": PAGE_W, "height": PAGE_H,
         "det_cells": det_cells,
         "tables": [{"tokens": tokens, "cell_bboxes": cell_bboxes}]},
         sort_keys=True)
+
+
+def _skewed_page(rng):
+    """F-K: a ruled-table page 'scanned' at a small skew angle — ruling
+    lines become explicit (slightly diagonal) ``segs`` and every text
+    box center rotates with them. The M1 deskew (``core.page.
+    deskew_page``) must estimate the angle from the segments and
+    recover the unskewed extraction."""
+    import math
+    r, c = rng.randint(3, 6), rng.randint(2, 5)
+    rects, texts, _ = _ruled_table(rng, 100.0, 650.0, r, c)
+    theta = rng.choice([-1.0, 1.0]) * rng.uniform(0.4, 1.8)
+    cx, cy = PAGE_W / 2.0, PAGE_H / 2.0
+    cos_t = math.cos(math.radians(theta))
+    sin_t = math.sin(math.radians(theta))
+
+    def rot(x, y):
+        dx, dy = x - cx, y - cy
+        return cx + dx * cos_t - dy * sin_t, cy + dx * sin_t + dy * cos_t
+
+    segs = []
+    for rc in rects:  # thin rects → centerline segments, skewed
+        if rc["x1"] - rc["x0"] >= rc["y1"] - rc["y0"]:
+            yc = (rc["y0"] + rc["y1"]) / 2.0
+            p0, p1 = rot(rc["x0"], yc), rot(rc["x1"], yc)
+        else:
+            xc = (rc["x0"] + rc["x1"]) / 2.0
+            p0, p1 = rot(xc, rc["y0"]), rot(xc, rc["y1"])
+        segs.append({"x0": p0[0], "y0": p0[1], "x1": p1[0], "y1": p1[1]})
+
+    sk_texts = []
+    for t in texts:
+        bx, by = rot((t["x0"] + t["x1"]) / 2.0, (t["y0"] + t["y1"]) / 2.0)
+        w = (t["x1"] - t["x0"]) / 2.0
+        h = (t["y1"] - t["y0"]) / 2.0
+        sk_texts.append({**t, "x0": bx - w, "y0": by - h,
+                         "x1": bx + w, "y1": by + h})
+    return json.dumps({
+        "width": PAGE_W, "height": PAGE_H,
+        "text_lines": sk_texts, "rects": [], "images": [],
+        "segs": segs}, sort_keys=True)
 
 
 def _page_json(text_lines, rects=None, images=None):
@@ -372,6 +426,8 @@ def gen_page(rng, family, heavy=False):
                 else (rng.randint(8, 12), rng.randint(3, 4)))
         texts = _ragged_stream_table(rng, 90.0, 680.0, r, c)
         return _page_json(texts)
+    if family == "F-K":
+        return _skewed_page(rng)
     if family == "F-D":
         texts, _ = _prose(rng, 72.0, 720.0,
                           rng.randint(6, 10) if heavy

@@ -20,14 +20,20 @@ from pyspark.sql import functions as F
 
 from ..core.export_render import render_table_html as _render
 
+EXPORT_COLS = ("doc_id", "offset", "n_rows", "n_cols", "csv",
+               "markdown", "json_rows", "sqlite_sql", "excel_xml",
+               "html_db")
+
 EXPORT_SCHEMA = ("doc_id string, offset int, n_rows int, n_cols int, "
-                 "csv string, markdown string, json_rows string")
+                 "csv string, markdown string, json_rows string, "
+                 "sqlite_sql string, excel_xml string, html_db string")
 
 _ARROW_SCHEMA = pa.schema([
     ("doc_id", pa.string()), ("offset", pa.int32()),
     ("n_rows", pa.int32()), ("n_cols", pa.int32()),
     ("csv", pa.string()), ("markdown", pa.string()),
-    ("json_rows", pa.string())])
+    ("json_rows", pa.string()), ("sqlite_sql", pa.string()),
+    ("excel_xml", pa.string()), ("html_db", pa.string())])
 
 
 def _export_batches(
@@ -35,26 +41,16 @@ def _export_batches(
     for batch in batches:
         cols = {n: batch.column(i).to_pylist()
                 for i, n in enumerate(batch.schema.names)}
-        out = {k: [] for k in ("doc_id", "offset", "n_rows", "n_cols",
-                               "csv", "markdown", "json_rows")}
+        out = {k: [] for k in EXPORT_COLS}
         for doc_id, offset, html in zip(
                 cols["doc_id"], cols["offset"], cols["text"]):
-            nr, nc, c, md, js = _render(html or "")
+            rendered = _render(html or "")
             out["doc_id"].append(doc_id)
             out["offset"].append(offset)
-            out["n_rows"].append(nr)
-            out["n_cols"].append(nc)
-            out["csv"].append(c)
-            out["markdown"].append(md)
-            out["json_rows"].append(js)
+            for name, val in zip(EXPORT_COLS[2:], rendered):
+                out[name].append(val)
         yield pa.RecordBatch.from_arrays(
-            [pa.array(out["doc_id"], pa.string()),
-             pa.array(out["offset"], pa.int32()),
-             pa.array(out["n_rows"], pa.int32()),
-             pa.array(out["n_cols"], pa.int32()),
-             pa.array(out["csv"], pa.string()),
-             pa.array(out["markdown"], pa.string()),
-             pa.array(out["json_rows"], pa.string())],
+            [pa.array(out[f.name], f.type) for f in _ARROW_SCHEMA],
             schema=_ARROW_SCHEMA)
 
 

@@ -137,3 +137,47 @@ def test_ocr_page_remainder_becomes_paragraphs():
     assert frags[0][0] == "table_html" and ">in<" in frags[0][1]
     assert frags[1][0] == "paragraph"
     assert frags[1][1] == "caption below table"  # row-joined, x order
+
+
+def test_orientation_vote_flip():
+    """M4: strict majority of flipped det lines rotates the page 180°;
+    minority flags are ignored."""
+    page = {"width": 100.0, "height": 200.0,
+            "det_cells": [
+                {"x0": 10, "y0": 20, "x1": 30, "y1": 40, "text": "a",
+                 "flipped": True},
+                {"x0": 50, "y0": 20, "x1": 70, "y1": 40, "text": "b",
+                 "flipped": True},
+                {"x0": 10, "y0": 60, "x1": 30, "y1": 80, "text": "c",
+                 "flipped": False}],
+            "tables": [{"tokens": ["<td></td>"],
+                        "cell_bboxes": [[0, 0, 100, 100]]}]}
+    out = M.orientation_vote_flip(page)
+    assert out["det_cells"][0]["x0"] == 70 and out["det_cells"][0]["y0"] == 160
+    assert out["tables"][0]["cell_bboxes"][0] == [0, 100, 100, 200]
+    # 1 of 3 flipped: no rotation
+    page["det_cells"][1]["flipped"] = False
+    same = M.orientation_vote_flip(page)
+    assert same["det_cells"][0]["x0"] == 10
+    # exactly half: no rotation (strict majority required)
+    two = {**page, "det_cells": page["det_cells"][:2]}
+    two["det_cells"][0]["flipped"] = True
+    two["det_cells"][1]["flipped"] = False
+    assert M.orientation_vote_flip(two)["det_cells"][0]["x0"] == 10
+
+
+def test_upside_down_page_extracts_all_text():
+    import random
+
+    from pdf_table_spark.fixtures.generator import _ocr_page
+    flipped_seen = 0
+    for s in range(40):
+        payload = _ocr_page(random.Random(s))
+        p = json.loads(payload)
+        if any(c.get("flipped") for c in p["det_cells"]):
+            flipped_seen += 1
+            frags = M.extract_ocr_page(payload)
+            html = "".join(f[1] for f in frags)
+            for c in p["det_cells"]:
+                assert c["text"].split()[0] in html, (s, c["text"])
+    assert flipped_seen >= 3  # the variant actually occurs

@@ -211,6 +211,15 @@ def test_export_tables_formats(spark):
     assert r.markdown.splitlines()[0] == "| h1 | h2 |"
     import json as _json
     assert _json.loads(r.json_rows) == [["h1", "h2"], ["wide", "wide"]]
+    # sqlite dump: DDL + one INSERT per row, quotes escaped
+    assert r.sqlite_sql.splitlines()[0] == \
+        'CREATE TABLE "table" ("c0" TEXT, "c1" TEXT);'
+    assert "INSERT INTO \"table\" VALUES ('h1', 'h2');" in r.sqlite_sql
+    # excel: SpreadsheetML with one <Row> per grid row
+    assert r.excel_xml.count("<Row>") == 2
+    assert '<Data ss:Type="String">h1</Data>' in r.excel_xml
+    # db-html: width-less canonical form
+    assert 'colspan="2"' in r.html_db and "width" not in r.html_db
 
 
 def test_dedup_scale_caps_subset_semantics(spark):
@@ -269,3 +278,32 @@ def test_salted_join_matches_plain_join(spark):
                        .alias("s"))
                .distinct().count())
     assert n_salts == 8
+
+
+def test_select_pages_500_page_doc_linear_plan(spark):
+    """The page-number expression must be O(spans x pages), stay a pure
+    array transform (no shuffle, no Python), and keep NULL-kind spans."""
+    from pdf_table_spark.ops.pages import select_pages
+    spans = []
+    off = 0
+    for pg in range(500):
+        spans.append(("pdf_page", f"p{pg}", "", off)); off += 1
+        for i in range(3):
+            spans.append(("text", f"t{pg}-{i}", "", off)); off += 1
+    spans.append((None, "orphan", "", off))
+    docs = spark.createDataFrame(
+        [("big", spans)],
+        "doc_id string, spans array<struct<kind string, text string, "
+        "media_ref string, offset int>>")
+    out = select_pages(docs, "100-199").collect()[0]
+    kept = out.spans
+    pages = [s for s in kept if s.kind == "pdf_page"]
+    assert len(pages) == 100
+    assert pages[0].text == "p99"  # 1-based: page 100 is the 100th span
+    assert any(s.kind is None for s in kept)  # null-kind survives
+    assert sum(1 for s in kept if s.kind == "text") == 1500
+
+    plan = select_pages(docs, "100-199")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan

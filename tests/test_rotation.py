@@ -60,3 +60,46 @@ def test_vertical_caption_is_own_paragraph():
     from pdf_table_spark.fixtures.generator import _rotate_payload
     rotated = _rotate_payload(_json.dumps(page), 1)
     assert extract_pdf_page(rotated, "m") == frags
+
+
+def test_estimate_skew_median():
+    from pdf_table_spark.core.page import estimate_skew_deg
+    import math
+    # three horizontal-ish segs at +1.2°, one vertical at the same skew
+    def hseg(x0, y0, length, deg):
+        return {"x0": x0, "y0": y0,
+                "x1": x0 + length * math.cos(math.radians(deg)),
+                "y1": y0 + length * math.sin(math.radians(deg))}
+    segs = [hseg(0, 100, 200, 1.2), hseg(0, 50, 200, 1.2),
+            hseg(0, 10, 200, 1.2),
+            {"x0": 50, "y0": 0, "x1": 50 - 100 * math.sin(
+                math.radians(1.2)), "y1": 100 * math.cos(
+                math.radians(1.2))}]
+    assert abs(estimate_skew_deg(segs) - 1.2) < 1e-6
+    # steep diagonals are content, not skew
+    assert estimate_skew_deg(
+        [{"x0": 0, "y0": 0, "x1": 100, "y1": 100}]) == 0.0
+    assert estimate_skew_deg([]) == 0.0
+
+
+def test_skewed_page_extracts_like_unskewed():
+    """M1 small-angle deskew: an F-K page (segs + rotated box centers)
+    must extract the same fragment texts as its unskewed original,
+    also under a composed 90° page rotation."""
+    import random
+
+    from pdf_table_spark.core.page import extract_pdf_page
+    from pdf_table_spark.fixtures.generator import (
+        _page_json, _rotate_payload, _ruled_table, _skewed_page)
+    for s in (3, 7, 19):
+        rng = random.Random(s)
+        r, c = rng.randint(3, 6), rng.randint(2, 5)
+        rects, texts, _ = _ruled_table(rng, 100.0, 650.0, r, c)
+        base = [(k, t) for k, t, *_ in
+                extract_pdf_page(_page_json(texts, rects), "m")]
+        skewed = _skewed_page(random.Random(s))
+        got = [(k, t) for k, t, *_ in extract_pdf_page(skewed, "m")]
+        assert got == base, s
+        got_rot = [(k, t) for k, t, *_ in
+                   extract_pdf_page(_rotate_payload(skewed, 3), "m")]
+        assert got_rot == base, s

@@ -36,3 +36,36 @@ def test_structural_difference_penalized():
 def test_empty_vs_nonempty():
     assert teds_like("<table></table>", T) == 0.0
     assert teds_like("<table></table>", "<table></table>") == 1.0
+
+
+def test_pair_tables_iou_and_axis():
+    from pdf_table_spark.core.teds import pair_tables
+    gt = [{"bbox": (0, 0, 50, 30), "axis": (0, 0, 0, 0)},
+          {"bbox": (50, 0, 100, 30), "axis": (1, 1, 0, 0)}]
+    # pred 0 matches gt 0 exactly; pred 1 overlaps gt 1 but has a
+    # wrong logical axis; a third pred matches nothing
+    pred = [{"bbox": (1, 1, 49, 29), "axis": (0, 0, 0, 0)},
+            {"bbox": (52, 2, 98, 28), "axis": (1, 2, 0, 0)},
+            {"bbox": (200, 200, 260, 230), "axis": (5, 5, 5, 5)}]
+    out = pair_tables(pred, gt)
+    assert out["recall"] == 1.0
+    assert abs(out["precision"] - 2 / 3) < 1e-9
+    assert out["false_pos"] == 1 and out["false_neg"] == 0
+    assert out["axis_accuracy"] == 0.5
+    # empty denominators report None like the reference's 'null'
+    assert pair_tables([], gt)["precision"] is None
+    assert pair_tables(pred, [])["recall"] is None
+
+
+def test_pair_tables_from_logical_cells():
+    from pdf_table_spark.core.lattice import LogicalCell
+    from pdf_table_spark.core.teds import pair_tables, table_units
+    cells = [LogicalCell(row=0, col=0, row_span=1, col_span=2,
+                         x0=0, y0=70, x1=100, y1=100),
+             LogicalCell(row=1, col=0, row_span=1, col_span=1,
+                         x0=0, y0=40, x1=50, y1=70)]
+    units = table_units(cells)
+    assert units[0]["axis"] == (0, 1, 0, 0)
+    out = pair_tables(units, units)
+    assert out["precision"] == out["recall"] == 1.0
+    assert out["axis_accuracy"] == 1.0
