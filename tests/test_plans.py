@@ -83,3 +83,35 @@ class TestPlans:
         # lag + running sum + final groupBy all share the user_id
         # hash partitioning: one data shuffle (plus AQE readers at most)
         assert n_nodes(plan, "Exchange") <= 2
+
+    def test_neardup_banded_join_never_cartesian(self, spark, queries):
+        """OR-of-bands near-dup: the quadratic step must be an
+        equi-join on (band, key) — no cartesian/NL join anywhere."""
+        plan = plan_of(queries["embedding_neardup"](spark, SF_DIR))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+                or "ShuffledHashJoin" in plan)
+        # pair dedup is an aggregate, not a sort-distinct
+        assert n_nodes(plan, "HashAggregate") >= 1
+
+    def test_ann_multiprobe_windowlimit_and_broadcast(self, spark,
+                                                      queries):
+        plan = plan_of(queries["ann_topk_lsh"](spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan   # probe set broadcast
+        assert "WindowGroupLimit" in plan    # rank<=k pushed down
+        assert "CartesianProduct" not in plan
+
+    def test_ocr_table_match_broadcast_semijoin(self, spark, queries):
+        """The imaged-doc id list is tiny — it must broadcast, and the
+        extraction keeps its single Python boundary."""
+        plan = plan_of(queries["ocr_table_match"](spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert n_nodes(plan, "MapInArrow") == 1
+
+    def test_table_quality_single_scan_single_python(self, spark,
+                                                     queries):
+        plan = plan_of(queries["table_quality"](spark, SF_DIR))
+        assert n_nodes(plan, "Scan parquet") == 1
+        assert n_nodes(plan, "MapInArrow") == 1
