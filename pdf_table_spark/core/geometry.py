@@ -170,6 +170,14 @@ def bbox_contains_center(bbox, tx0, ty0, tx1, ty1) -> bool:
     return x0 <= cx <= x1 and y0 <= cy <= y1
 
 
+def box_contains(outer, inner, diff: float = 2.0) -> bool:
+    """inner box lies within outer (±diff) — reference
+    ``box_in_other_box`` (``table_common.py:138-160``), used by the
+    false-table suppression checks (F6/J4)."""
+    return (inner[0] >= outer[0] - diff and inner[2] <= outer[2] + diff
+            and outer[1] - diff <= inner[1] <= inner[3] <= outer[3] + diff)
+
+
 def iou(a, b) -> float:
     """Intersection-over-union of two (x0,y0,x1,y1) boxes."""
     ix0, iy0 = max(a[0], b[0]), max(a[1], b[1])

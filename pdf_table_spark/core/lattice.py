@@ -57,6 +57,8 @@ class RuledTable:
     cell_of: dict  # (base_r, base_c) -> LogicalCell
     accuracy: float = 0.0    # A9: placement score out of 100
     whitespace: float = 0.0  # A9: % empty base cells
+    consumed_ids: list = field(default_factory=list)  # text_lines idxs
+    released: list = field(default_factory=list)      # F1 outside pieces
 
 
 def find_table_regions(horizontal, vertical, tol: float = G.JOINT_TOL):
@@ -264,6 +266,37 @@ def merge_logical_cells(cols, rows, left, right, top, bottom):
     return cells, cell_of
 
 
+def split_line_at_x(t, x_lo, x_hi):
+    """F1 boundary split (reference ``text_in_bbox``'s straddling-box
+    branch, ``pdf_utils.py:757-783``): chars whose extent lies within
+    [x_lo, x_hi] form the inside piece, the rest the outside piece.
+    Char geometry is the uniform-width derivation shared with
+    ``split_text_at_cuts``. Returns (inside, outside); either may be
+    None when empty."""
+    text = t["text"]
+    if not text:
+        return None, t
+    w = (t["x1"] - t["x0"]) / len(text)
+    ins, outs = [], []
+    for i, ch in enumerate(text):
+        cx0 = t["x0"] + i * w
+        if x_lo <= cx0 and cx0 + w <= x_hi:
+            ins.append((i, ch))
+        else:
+            outs.append((i, ch))
+
+    def piece(idx_chars):
+        if not idx_chars:
+            return None
+        i0 = idx_chars[0][0]
+        i1 = idx_chars[-1][0]
+        return {**t, "x0": t["x0"] + i0 * w,
+                "x1": t["x0"] + (i1 + 1) * w,
+                "text": "".join(ch for _, ch in idx_chars)}
+
+    return piece(ins), piece(outs)
+
+
 def split_text_at_cuts(t, cuts):
     """X4 char-level re-bucketing (reference ``split_textline``,
     ``pdf_utils.py:923-1038``): split a text line at column-cut
@@ -371,15 +404,34 @@ def extract_ruled_tables(rects, text_lines, line_tol: float = G.LINE_TOL,
         cells, cell_of = merge_logical_cells(cols, rows, left, right, top, bottom)
         table = RuledTable(bbox=bbox, n_rows=len(rows), n_cols=len(cols),
                            rows=rows, cols=cols, cells=cells, cell_of=cell_of)
-        in_table = [
-            (i, t) for i, t in enumerate(text_lines)
-            if G.bbox_contains_center(bbox, t["x0"], t["y0"], t["x1"], t["y1"])
-        ]
+        # F1 text_in_bbox: y-center in the band, then (a) x-center in →
+        # whole line, (b) starts inside but overruns the right border →
+        # char-split, inside piece placed, outside piece released back
+        # to the page remainder (reference pdf_utils.py:726-801, diff=2)
+        diff = 2.0
+        in_table = []
+        for i, t in enumerate(text_lines):
+            if i in consumed:
+                continue
+            yc = (t["y0"] + t["y1"]) / 2.0
+            if not (bbox[1] - diff <= yc <= bbox[3] + diff):
+                continue
+            xc = (t["x0"] + t["x1"]) / 2.0
+            if bbox[0] - diff <= xc <= bbox[2] + diff:
+                in_table.append((i, t))
+            elif bbox[0] - diff <= t["x0"] <= bbox[2] + diff:
+                inside, outside = split_line_at_x(
+                    t, bbox[0] - diff, bbox[2] + diff)
+                if inside is not None and inside["text"].strip():
+                    in_table.append((i, inside))
+                    if outside is not None and outside["text"].strip():
+                        table.released.append(outside)
         pos_errors = place_text(table, [t for _, t in in_table])
         # A9 quality metrics ride the table (reference attaches them at
         # table_extractor_lattice.py:294-306)
         table.accuracy = compute_accuracy(pos_errors)
         table.whitespace = compute_whitespace(grid_matrix(cells))
-        consumed.update(i for i, _ in in_table)
+        table.consumed_ids = [i for i, _ in in_table]
+        consumed.update(table.consumed_ids)
         tables.append(table)
     return tables, consumed

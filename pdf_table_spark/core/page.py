@@ -67,6 +67,8 @@ def rotate_page_90cw(page: dict) -> dict:
                for t in page.get("text_lines") or []],
            "rects": [box(r) for r in page.get("rects") or []],
            "images": [box(i) for i in page.get("images") or []]}
+    if page.get("layout"):
+        out["layout"] = [box(ly) for ly in page["layout"]]
     if page.get("segs"):
         # explicit ruling segments: endpoints are true points (possibly
         # diagonal), mapped without bbox normalization
@@ -162,6 +164,8 @@ def deskew_page(page: dict) -> dict:
     out["text_lines"] = [unskew_box(t)
                          for t in page.get("text_lines") or []]
     out["images"] = [unskew_box(i) for i in page.get("images") or []]
+    if page.get("layout"):
+        out["layout"] = [unskew_box(ly) for ly in page["layout"]]
     return out
 
 
@@ -208,22 +212,31 @@ def extract_pdf_page(page_json: str, media_ref: str):
     # --- ruled (lattice) tables -------------------------------------
     tables, consumed = L.extract_ruled_tables(rects, text_lines)
 
-    # F6 false-table suppression: a "table" whose bbox coincides with an
-    # embedded image (IoU >= 0.5) is a mis-detected figure → drop it and
-    # release its text.
+    # F6/J4 false-table suppression: a "table" whose bbox coincides
+    # with an embedded image (IoU >= 0.5, F6) or lies inside a
+    # figure-labeled layout region (score >= 0.8, box containment —
+    # J4/F5, reference filter_layout_figure) is a mis-detected figure →
+    # drop it and release its text back to the page.
     kept_tables = []
     img_boxes = [(im["x0"], im["y0"], im["x1"], im["y1"]) for im in images]
+    fig_boxes = [
+        (ly["x0"], ly["y0"], ly["x1"], ly["y1"])
+        for ly in page.get("layout") or []
+        if str(ly.get("label", "")).lower() == "figure"
+        and float(ly.get("score", 0.0)) >= 0.8]
     for t in tables:
-        if any(G.iou(t.bbox, ib) >= FALSE_TABLE_IOU for ib in img_boxes):
-            for i, tl in enumerate(text_lines):
-                if G.bbox_contains_center(
-                        t.bbox, tl["x0"], tl["y0"], tl["x1"], tl["y1"]):
-                    consumed.discard(i)
+        if any(G.iou(t.bbox, ib) >= FALSE_TABLE_IOU for ib in img_boxes) \
+                or any(G.box_contains(fb, t.bbox) for fb in fig_boxes):
+            for i in t.consumed_ids:
+                consumed.discard(i)  # lines return whole to the page
             continue
         kept_tables.append(t)
 
     # --- remainder text (U1 anti-join) --------------------------------
     remainder = [t for i, t in enumerate(text_lines) if i not in consumed]
+    for t in kept_tables:
+        # F1 boundary-split outside pieces rejoin the page prose
+        remainder.extend(t.released)
 
     # --- stream tables over the remainder (Nurminen, A6/A7/A4) --------
     stream_tables, s_consumed = S.extract_stream_tables(remainder)

@@ -48,7 +48,8 @@ def _num(rng):
 
 
 def _ruled_table(rng, x0, y_top, n_rows, n_cols, drop_edges=0,
-                 straddle=False, hairline=False, superscript=False):
+                 straddle=False, hairline=False, superscript=False,
+                 overrun=False):
     """Emit (rects, text_lines) for a ruled table with per-cell-edge
     rulings; ``drop_edges`` interior edges are omitted → merged cells.
     ``straddle`` sometimes adds a line crossing a column boundary —
@@ -113,6 +114,21 @@ def _ruled_table(rng, x0, y_top, n_rows, n_cols, drop_edges=0,
                 line["char_heights"] = ([FONT] * len(content)
                                         + [FONT * 0.6] * len(sup))
             texts.append(line)
+    if overrun:
+        # F1 boundary-split target: a line starting in the last column
+        # whose tail extends far beyond the table's right border (its
+        # center lies OUTSIDE) — the inside chars land in the cell, the
+        # outside chars are released back to page prose
+        r = rng.randint(0, n_rows - 1)
+        content = rng.choice(VOCAB)
+        tx0 = xs[-2] + 4.0
+        # grow until the 6pt/char line's center clears the right border
+        while tx0 + 3.0 * len(content) <= xs[-1] + 6.0:
+            content += " " + rng.choice(VOCAB)
+        ty = ys[r] - row_h / 2.0 - FONT / 2.0 + 3.0
+        texts.append({"x0": tx0, "y0": ty,
+                      "x1": tx0 + 6.0 * len(content),
+                      "y1": ty + FONT, "text": content, "dir": "h"})
     if straddle and n_cols >= 2 and rng.random() < 0.5:
         # a wide line crossing one column boundary (X4 split target)
         r = rng.randint(0, n_rows - 1)
@@ -406,7 +422,8 @@ def gen_page(rng, family, heavy=False):
         rects, texts, _ = _ruled_table(
             rng, 80.0, 700.0, r, c, straddle=True,
             hairline=rng.random() < 0.25,
-            superscript=rng.random() < 0.3)
+            superscript=rng.random() < 0.3,
+            overrun=rng.random() < 0.25)
         return _page_json(texts, rects)
     if family == "F-B":
         r, c, d = ((rng.randint(8, 14), rng.randint(4, 7),
@@ -442,12 +459,29 @@ def gen_page(rng, family, heavy=False):
         return _page_json(texts)
     if family == "F-E":
         rects, ttexts, _ = _ruled_table(rng, 80.0, 720.0, 3, 3)
-        # a fake table (rulings) drawn exactly over an image → suppressed
+        # a fake table (rulings) drawn over a figure → suppressed;
+        # the figure is either an embedded image (F6) or an M2-layout
+        # region labeled 'figure' (J4/F5 path)
         fx0, fy_top = 360.0, 720.0
         frects, ftexts, fbbox = _ruled_table(rng, fx0, fy_top, 2, 2)
-        image = {"x0": fbbox[0], "y0": fbbox[1], "x1": fbbox[2],
-                 "y1": fbbox[3], "name": f"img://{rng.randint(0, 1 << 30)}"}
-        images = [image]
+        layout = []
+        images = []
+        if rng.random() < 0.5:
+            images.append({
+                "x0": fbbox[0], "y0": fbbox[1], "x1": fbbox[2],
+                "y1": fbbox[3], "name": f"img://{rng.randint(0, 1 << 30)}"})
+        else:
+            layout.append({
+                "x0": fbbox[0] - 4.0, "y0": fbbox[1] - 4.0,
+                "x1": fbbox[2] + 4.0, "y1": fbbox[3] + 4.0,
+                "label": "figure",
+                "score": round(rng.uniform(0.85, 0.99), 3)})
+            # a low-score figure box over the REAL table must not
+            # suppress it (F5 score threshold)
+            if rng.random() < 0.5:
+                layout.append({
+                    "x0": 70.0, "y0": 560.0, "x1": 380.0, "y1": 730.0,
+                    "label": "figure", "score": 0.4})
         if rng.random() < 0.4:
             # F3: a tiny decorative bullet image (area 16 < 20) that
             # must neither emit a fragment nor suppress anything
@@ -456,7 +490,10 @@ def gen_page(rng, family, heavy=False):
                            "y1": 94.0,
                            "name": f"img://tiny{rng.randint(0, 999)}"})
         prose, _ = _prose(rng, 72.0, 560.0, rng.randint(1, 3))
-        return _page_json(ttexts + ftexts + prose, rects + frects, images)
+        pj = json.loads(_page_json(
+            ttexts + ftexts + prose, rects + frects, images))
+        pj["layout"] = layout
+        return json.dumps(pj, sort_keys=True)
     if family == "F-H":
         rects1, t1, b1 = _ruled_table(rng, 80.0, 720.0,
                                       rng.randint(2, 4), rng.randint(2, 4))

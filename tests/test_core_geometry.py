@@ -90,3 +90,10 @@ def test_dedup_overlapping_boxes():
     # partial (<80%) overlap keeps both
     part = {"x0": 60.0, "y0": 0.0, "x1": 160.0, "y1": 10.0, "text": "p"}
     assert len(G.dedup_overlapping_boxes([big, part])) == 2
+
+
+def test_box_contains():
+    outer = (0.0, 0.0, 100.0, 50.0)
+    assert G.box_contains(outer, (10, 10, 90, 40))
+    assert G.box_contains(outer, (-1.5, 0, 101.5, 51.5))  # within diff
+    assert not G.box_contains(outer, (10, 10, 110, 40))

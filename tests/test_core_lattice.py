@@ -224,3 +224,40 @@ def test_grow_down_respects_interior_vertical_ruling():
     # separating its cols 0 and 1)
     assert cells[(0, 0)] == (1, 2)
     assert (1, 0) in cells and (1, 1) in cells
+
+
+def test_split_line_at_x_boundary():
+    """F1 boundary split: uniform-width chars partitioned at the table
+    border; extents follow the char runs."""
+    from pdf_table_spark.core.lattice import split_line_at_x
+    t = {"x0": 0.0, "y0": 0.0, "x1": 60.0, "y1": 10.0,
+         "text": "abcdefghij", "dir": "h"}  # 6pt chars
+    inside, outside = split_line_at_x(t, -2.0, 32.0)
+    assert inside["text"] == "abcde" and outside["text"] == "fghij"
+    assert inside["x1"] == 30.0 and outside["x0"] == 30.0
+    # fully inside
+    inside2, outside2 = split_line_at_x(t, -2.0, 100.0)
+    assert inside2["text"] == "abcdefghij" and outside2 is None
+    # empty text passes through
+    assert split_line_at_x({**t, "text": ""}, 0, 10) == (None, {**t, "text": ""})
+
+
+def test_overrun_line_split_between_cell_and_prose():
+    """A line starting in the last column whose center lies beyond the
+    table border: inside chars land in the cell, the tail is released
+    back to the page as prose."""
+    import json
+
+    from pdf_table_spark.core.page import extract_pdf_page
+    from pdf_table_spark.fixtures.generator import _page_json, _ruled_table
+    import random
+    rng = random.Random(0)
+    rects, texts, bbox = _ruled_table(rng, 80.0, 700.0, 3, 3,
+                                      overrun=True)
+    over = texts[-1]
+    frags = extract_pdf_page(_page_json(texts, rects), "m")
+    table = "".join(f[1] for f in frags if f[0] == "table_html")
+    paras = [f[1] for f in frags if f[0] == "paragraph"]
+    assert over["text"][:3] in table
+    assert paras and paras[0].strip()
+    assert paras[0].strip() in over["text"]  # the released tail

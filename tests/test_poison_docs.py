@@ -105,3 +105,31 @@ def test_broadcast_model_stage_scores(spark, fixture_root):
             assert got[(row.doc_id, s.offset)] == exp
             n_checked += 1
     assert n_checked == len(got)
+
+
+def test_layout_figure_suppression_and_score_gate():
+    """J4/F5: a table inside a figure-labeled layout region (score >=
+    0.8) is suppressed and its text released; low-score figure boxes
+    do nothing."""
+    import json
+    import random
+
+    from pdf_table_spark.core.page import extract_pdf_page
+    from pdf_table_spark.fixtures.generator import _page_json, _ruled_table
+    rng = random.Random(4)
+    rects, texts, bbox = _ruled_table(rng, 80.0, 700.0, 2, 2)
+    page = json.loads(_page_json(texts, rects))
+    page["layout"] = [{"x0": bbox[0] - 4, "y0": bbox[1] - 4,
+                       "x1": bbox[2] + 4, "y1": bbox[3] + 4,
+                       "label": "figure", "score": 0.95}]
+    frags = extract_pdf_page(json.dumps(page), "m")
+    assert not any(f[0] == "table_html" for f in frags)
+    assert any(f[0] == "paragraph" for f in frags)  # text released
+
+    page["layout"][0]["score"] = 0.5  # below threshold → table kept
+    frags2 = extract_pdf_page(json.dumps(page), "m")
+    assert any(f[0] == "table_html" for f in frags2)
+
+    page["layout"][0].update(score=0.95, label="text")  # wrong label
+    frags3 = extract_pdf_page(json.dumps(page), "m")
+    assert any(f[0] == "table_html" for f in frags3)
