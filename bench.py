@@ -27,6 +27,12 @@ HEADLINE = [
     "extract_spans",        # the flagship pipeline
     "extract_kind_stats",
     "doc_metrics",
+    "table_quality",        # A9 metrics ride the extraction
+    "ocr_table_match",      # imaged-doc (OCR) path
+    "table_exports",        # S7 export fan-out
+    "page_select",
+    "doc_html",
+    "layout_scores",
     "token_stats",
     "quality_score",
     "lang_id",
