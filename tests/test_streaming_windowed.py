@@ -1,0 +1,114 @@
+"""Event-time streaming semantics: watermarked windows finalize exactly
+once and drop late data; stateful sessionization closes sessions by
+gap and by event-time timeout, exactly once across restarts."""
+
+import os
+from datetime import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture
+def dirs(tmp_path):
+    d = {k: str(tmp_path / k) for k in ("in", "out", "ckpt")}
+    os.makedirs(d["in"])
+    return d
+
+
+def _ts(hh, mm):
+    return datetime(2026, 1, 1, hh, mm)
+
+
+def _write_ingest(dst, name, rows):
+    tbl = pa.Table.from_pylist(
+        [{"doc_id": d, "event_ts": t, "n_spans": n} for d, t, n in rows],
+        schema=pa.schema([("doc_id", pa.string()),
+                          ("event_ts", pa.timestamp("us")),
+                          ("n_spans", pa.int32())]))
+    pq.write_table(tbl, os.path.join(dst, name))
+
+
+def _read_windows(path):
+    return sorted(
+        (r["window_start"].strftime("%H:%M"), r["n_docs"],
+         r["total_spans"])
+        for r in pq.read_table(path).to_pylist())
+
+
+def test_windowed_stats_finalize_and_drop_late(spark, dirs):
+    from pdf_table_spark.streaming.windowed import windowed_ingest_stats
+
+    # wave 1: windows 10:00 (2 docs) and 10:20 (1 doc); the 10:41 event
+    # pushes the watermark to 10:31, finalizing both
+    _write_ingest(dirs["in"], "w1.parquet", [
+        ("a", _ts(10, 0), 3), ("b", _ts(10, 5), 5),
+        ("c", _ts(10, 25), 7), ("d", _ts(10, 41), 1)])
+    windowed_ingest_stats(spark, dirs["in"], dirs["out"], dirs["ckpt"])
+    got1 = _read_windows(dirs["out"])
+    assert ("10:00", 2, 8) in got1 and ("10:20", 1, 7) in got1
+    assert not any(w == "10:40" for w, _, _ in got1)  # not finalized yet
+
+    # wave 2: a LATE event at 10:07 (older than the 10:31 watermark)
+    # must NOT reopen the finalized 10:00 window; the 10:55 event
+    # advances the watermark past 10:50 and finalizes the 10:40 window
+    _write_ingest(dirs["in"], "w2.parquet", [
+        ("late", _ts(10, 7), 100), ("e", _ts(10, 55), 2)])
+    windowed_ingest_stats(spark, dirs["in"], dirs["out"], dirs["ckpt"])
+    got2 = _read_windows(dirs["out"])
+    assert ("10:00", 2, 8) in got2          # unchanged: late row dropped
+    assert sum(1 for w, _, _ in got2 if w == "10:00") == 1  # exactly once
+
+    # wave 3: the watermark advance from wave 2 (→10:45) takes effect
+    # in the next data-bearing batch, which finalizes the 10:40 window;
+    # the late 10:07 row still never resurfaces
+    _write_ingest(dirs["in"], "w3.parquet", [("f", _ts(11, 30), 4)])
+    windowed_ingest_stats(spark, dirs["in"], dirs["out"], dirs["ckpt"])
+    got3 = _read_windows(dirs["out"])
+    assert ("10:40", 1, 1) in got3          # finalized, late row absent
+    assert ("10:00", 2, 8) in got3
+    assert sum(1 for w, _, _ in got3 if w == "10:00") == 1
+
+
+def _write_events(dst, name, rows):
+    tbl = pa.Table.from_pylist(
+        [{"user_id": u, "ts": t, "event_id": e} for u, t, e in rows],
+        schema=pa.schema([("user_id", pa.int64()),
+                          ("ts", pa.timestamp("us")),
+                          ("event_id", pa.int64())]))
+    pq.write_table(tbl, os.path.join(dst, name))
+
+
+def _read_sessions(path):
+    return sorted(
+        (r["user_id"], r["session_start"].strftime("%H:%M"),
+         r["session_end"].strftime("%H:%M"), r["n_events"])
+        for r in pq.read_table(path).to_pylist())
+
+
+def test_stateful_sessionization_gap_and_timeout(spark, dirs):
+    from pdf_table_spark.streaming.windowed import sessionize_stream
+
+    # wave 1: user 1 has a 2-event session (10:00-10:10) closed by the
+    # in-batch gap to 11:00; the 11:00 session stays OPEN in state
+    _write_events(dirs["in"], "e1.parquet", [
+        (1, _ts(10, 0), 1), (1, _ts(10, 10), 2), (1, _ts(11, 0), 3),
+        (2, _ts(10, 30), 4)])
+    sessionize_stream(spark, dirs["in"], dirs["out"], dirs["ckpt"])
+    got1 = _read_sessions(dirs["out"])
+    assert (1, "10:00", "10:10", 2) in got1
+    assert not any(s == "11:00" for _, s, _, _ in got1)  # still open
+
+    # wave 2: watermark jumps to 13:00 → both open sessions time out
+    # and are emitted exactly once; the 13:00 event opens a new one
+    _write_events(dirs["in"], "e2.parquet", [(1, _ts(13, 0), 5)])
+    sessionize_stream(spark, dirs["in"], dirs["out"], dirs["ckpt"])
+    got2 = _read_sessions(dirs["out"])
+    assert (1, "11:00", "11:00", 1) in got2   # closed by timeout
+    assert (2, "10:30", "10:30", 1) in got2   # closed by timeout
+    assert sum(1 for r in got2 if r == (1, "10:00", "10:10", 2)) == 1
+
+    # wave 3: nothing new for user 1 within the gap → re-run is a no-op
+    sessionize_stream(spark, dirs["in"], dirs["out"], dirs["ckpt"])
+    assert _read_sessions(dirs["out"]) == got2
