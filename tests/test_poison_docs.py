@@ -133,3 +133,19 @@ def test_layout_figure_suppression_and_score_gate():
     page["layout"][0].update(score=0.95, label="text")  # wrong label
     frags3 = extract_pdf_page(json.dumps(page), "m")
     assert any(f[0] == "table_html" for f in frags3)
+
+
+def test_malformed_ocr_page_quarantined():
+    """OCR-path payloads are poison-contained like pdf_page ones."""
+    from pdf_table_spark.core.page import extract_document
+    out = extract_document([
+        {"kind": "ocr_page", "text": "{not json", "media_ref": "m1",
+         "offset": 0},
+        {"kind": "ocr_page", "text": '{"width": 1}', "media_ref": "m2",
+         "offset": 1},  # missing keys → empty page, not an error
+        {"kind": "text", "text": "fine", "media_ref": "", "offset": 2},
+    ])
+    kinds = [(o["kind"], o["media_ref"]) for o in out]
+    assert ("error", "m1") in kinds
+    assert ("paragraph", "") in kinds
+    assert out[0]["text"].startswith("ocr_page:")

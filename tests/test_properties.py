@@ -113,3 +113,34 @@ def test_extraction_deterministic_any_doc(doc_idx):
     assert a == b
     offs = [o["offset"] for o in a]
     assert offs == list(range(len(offs)))        # dense 0-based offsets
+
+
+@given(st.lists(
+    st.tuples(st.floats(0, 500), st.floats(0, 500),
+              st.floats(1, 90), st.floats(4, 14)),
+    min_size=0, max_size=12))
+@settings(deadline=None, max_examples=60)
+def test_dedup_overlapping_boxes_idempotent_and_subset(boxes):
+    """U3 properties: output ⊆ input, idempotent, order-stable."""
+    from pdf_table_spark.core.geometry import dedup_overlapping_boxes
+    lines = [{"x0": x, "y0": y, "x1": x + w, "y1": y + h,
+              "text": f"t{i}"} for i, (x, y, w, h) in enumerate(boxes)]
+    once = dedup_overlapping_boxes(lines)
+    ids = [t["text"] for t in once]
+    assert ids == [t["text"] for t in lines if t["text"] in set(ids)]
+    assert dedup_overlapping_boxes(once) == once
+
+
+@given(st.lists(st.floats(0, 1000), min_size=0, max_size=30),
+       st.floats(0.5, 5.0))
+@settings(deadline=None, max_examples=60)
+def test_merge_close_lines_output_sorted_and_spaced(vals, tol):
+    """A1 properties on sorted input: output sorted; consecutive
+    outputs farther apart than tol (no two clusters should have
+    merged); every input within tol·n of some output."""
+    from pdf_table_spark.core.geometry import merge_close_lines
+    vals = sorted(vals)
+    out = merge_close_lines(vals, tol)
+    assert out == sorted(out)
+    for a, b in zip(out, out[1:]):
+        assert b - a > tol * 0.999
