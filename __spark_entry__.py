@@ -99,6 +99,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", "offset", "accuracy", "whitespace")
         )
 
+    def q_extract_spans_lattice(spark, sf_dir):
+        # the read_pdf(flavor='lattice') surface: ruled decoder only
+        from pdf_table_spark.api import read_documents_flat
+        return read_documents_flat(
+            spark, os.path.join(_fixture_dir(sf_dir),
+                                "documents_spans.parquet"),
+            flavor="lattice")
+
+    def q_extract_spans_stream(spark, sf_dir):
+        # the read_pdf(flavor='stream') surface: whitespace decoder only
+        from pdf_table_spark.api import read_documents_flat
+        return read_documents_flat(
+            spark, os.path.join(_fixture_dir(sf_dir),
+                                "documents_spans.parquet"),
+            flavor="stream")
+
     def q_ocr_table_match(spark, sf_dir):
         # the imaged-document path: docs whose spans carry ocr_page
         # payloads (det/rec/TSR stand-in outputs) extract via the J3
@@ -351,6 +367,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         "extract_spans": q_extract_spans,
+        "extract_spans_lattice": q_extract_spans_lattice,
+        "extract_spans_stream": q_extract_spans_stream,
         "table_quality": q_table_quality,
         "ocr_table_match": q_ocr_table_match,
         "extract_kind_stats": q_extract_kind_stats,
@@ -651,6 +669,16 @@ def oracle_sql() -> dict[str, str]:
         "extract_spans": (
             f'select doc_id, "offset" as offset, kind, text, media_ref, '
             f"accuracy, whitespace from {golden}"),
+        "extract_spans_lattice": (
+            f'select doc_id, "offset" as offset, kind, text, media_ref, '
+            f"accuracy, whitespace from read_parquet('"
+            + os.path.join(FIXTURE_ROOT, "sf0.01",
+                           "golden_flat_lattice.parquet") + "')"),
+        "extract_spans_stream": (
+            f'select doc_id, "offset" as offset, kind, text, media_ref, '
+            f"accuracy, whitespace from read_parquet('"
+            + os.path.join(FIXTURE_ROOT, "sf0.01",
+                           "golden_flat_stream.parquet") + "')"),
         # A9 per-table quality (placement accuracy out of 100, % empty
         # base cells) — reference compute_accuracy/compute_whitespace,
         # pdf_utils.py:1142-1193

@@ -169,11 +169,23 @@ def deskew_page(page: dict) -> dict:
     return out
 
 
-def extract_pdf_page(page_json: str, media_ref: str):
+FLAVORS = ("auto", "lattice", "stream")
+
+
+def extract_pdf_page(page_json: str, media_ref: str,
+                     flavor: str = "auto"):
     """Run the full deterministic extraction pipeline on one page.
+
+    ``flavor`` mirrors the reference's ``read_pdf(flavor=…)`` kwarg
+    (``table_extractor.py:55-205``): 'auto' (the reference's unified
+    'pdf' behavior — ruled tables first, whitespace tables over the
+    remainder), 'lattice' (ruled only), 'stream' (whitespace only —
+    ruling lines are ignored entirely, like camelot's stream flavor).
 
     Returns list of (kind, text, media_ref) in reading order.
     """
+    if flavor not in FLAVORS:
+        raise ValueError(f"unknown flavor {flavor!r}; one of {FLAVORS}")
     page = json.loads(page_json)
     if page.get("rotation"):
         page = normalize_rotation(page)
@@ -210,7 +222,10 @@ def extract_pdf_page(page_json: str, media_ref: str):
     text_lines = [t for t in text_lines if t.get("dir") != "v"]
 
     # --- ruled (lattice) tables -------------------------------------
-    tables, consumed = L.extract_ruled_tables(rects, text_lines)
+    if flavor == "stream":
+        tables, consumed = [], set()
+    else:
+        tables, consumed = L.extract_ruled_tables(rects, text_lines)
 
     # F6/J4 false-table suppression: a "table" whose bbox coincides
     # with an embedded image (IoU >= 0.5, F6) or lies inside a
@@ -239,7 +254,10 @@ def extract_pdf_page(page_json: str, media_ref: str):
         remainder.extend(t.released)
 
     # --- stream tables over the remainder (Nurminen, A6/A7/A4) --------
-    stream_tables, s_consumed = S.extract_stream_tables(remainder)
+    if flavor == "lattice":
+        stream_tables, s_consumed = [], set()
+    else:
+        stream_tables, s_consumed = S.extract_stream_tables(remainder)
     for cells, _bbox, _acc, _ws in stream_tables:
         for c in cells:
             c.texts = [ocr_post_process(x) for x in c.texts]
@@ -275,10 +293,13 @@ def extract_pdf_page(page_json: str, media_ref: str):
             for _, _, k, txt, ref, acc, ws in frags]
 
 
-def extract_span(kind: str, text: str, media_ref: str):
+def extract_span(kind: str, text: str, media_ref: str,
+                 flavor: str = "auto"):
     """Dispatch one input span → list of (kind, text, media_ref,
     accuracy, whitespace); the last two are the A9 table-quality
-    metrics, None on non-table fragments.
+    metrics, None on non-table fragments. ``flavor`` selects the
+    pdf_page table decoder (see ``extract_pdf_page``); other span
+    kinds are flavor-independent.
 
     Poison containment: at 10^12 documents some page payloads WILL be
     malformed; a decode exception must quarantine the span, never kill
@@ -298,7 +319,7 @@ def extract_span(kind: str, text: str, media_ref: str):
             return [("table_html", H.canonicalize_table_html(text), "",
                      None, None)]
         if kind == "pdf_page":
-            return extract_pdf_page(text, media_ref)
+            return extract_pdf_page(text, media_ref, flavor)
         if kind == "ocr_page":
             # imaged-document path: det/rec/TSR stand-in outputs →
             # J3 3-tier match + X10 token splice (core.ocrmatch)
@@ -310,7 +331,7 @@ def extract_span(kind: str, text: str, media_ref: str):
     return []  # unknown kinds are dropped (forward compatibility)
 
 
-def extract_document(spans):
+def extract_document(spans, flavor: str = "auto"):
     """Single-process whole-document extraction — the golden oracle.
 
     ``spans``: iterable of dicts with kind/text/media_ref/offset.
@@ -321,7 +342,8 @@ def extract_document(spans):
     out, off = [], 0
     for s in ordered:
         for kind, text, ref, acc, ws in extract_span(
-                s["kind"], s.get("text") or "", s.get("media_ref") or ""):
+                s["kind"], s.get("text") or "", s.get("media_ref") or "",
+                flavor):
             out.append({"kind": kind, "text": text,
                         "media_ref": ref, "offset": off,
                         "accuracy": acc, "whitespace": ws})

@@ -63,9 +63,13 @@ def build_sf(root: str, sf: str, force: bool = False) -> dict:
     docs_path = os.path.join(out_dir, "documents_spans.parquet")
     golden_path = os.path.join(out_dir, "golden_flat.parquet")
     exports_path = os.path.join(out_dir, "golden_exports.parquet")
+    flavor_paths = {
+        fl: os.path.join(out_dir, f"golden_flat_{fl}.parquet")
+        for fl in ("lattice", "stream")}
     if (not force and os.path.isdir(docs_path)
             and os.path.exists(golden_path)
-            and os.path.exists(exports_path)):
+            and os.path.exists(exports_path)
+            and all(os.path.exists(p) for p in flavor_paths.values())):
         return {"sf": sf, "skipped": True}
     if os.path.isfile(docs_path):  # migrate old single-file layout
         os.remove(docs_path)
@@ -122,6 +126,23 @@ def build_sf(root: str, sf: str, force: bool = False) -> dict:
             e[name].append(val)
     pq.write_table(pa.Table.from_pydict(e, schema=EXPORTS_SCHEMA),
                    exports_path)
+
+    # flavor-forced goldens (the read_pdf flavor kwarg surface): same
+    # corpus decoded lattice-only / stream-only
+    for fl, fpath in flavor_paths.items():
+        fg = {k: [] for k in ("doc_id", "offset", "kind", "text",
+                              "media_ref", "accuracy", "whitespace")}
+        for doc_id, spans in zip(doc_ids, span_lists):
+            for o in extract_document(spans, flavor=fl):
+                fg["doc_id"].append(doc_id)
+                fg["offset"].append(o["offset"])
+                fg["kind"].append(o["kind"])
+                fg["text"].append(o["text"])
+                fg["media_ref"].append(o["media_ref"])
+                fg["accuracy"].append(o["accuracy"])
+                fg["whitespace"].append(o["whitespace"])
+        pq.write_table(pa.Table.from_pydict(fg, schema=GOLDEN_SCHEMA),
+                       fpath)
     return {"sf": sf, "docs": n_docs, "pages": n_pages,
             "golden_rows": len(g_doc), "export_rows": len(e["doc_id"]),
             "skipped": False}

@@ -93,7 +93,7 @@ PYTHON_KINDS = ("pdf_page", "html_table")
 
 def extract_documents(docs: DataFrame,
                       balance_partitions: int | None = None,
-                      metrics=None) -> DataFrame:
+                      metrics=None, flavor: str = "auto") -> DataFrame:
     """Full pipeline: documents(doc_id, spans) → (doc_id, out_spans).
 
     ``balance_partitions``: width of the pre-stage repartition. Default
@@ -101,6 +101,8 @@ def extract_documents(docs: DataFrame,
     (only sensible for tiny unit tests).
     ``metrics``: optional ``stages.ExtractionMetrics`` — executor-side
     span/fragment/error/wall counters, readable after any action.
+    ``flavor``: pdf_page table decoder — 'auto' | 'lattice' | 'stream'
+    (the reference's read_pdf flavor kwarg).
     """
     spark = docs.sparkSession
     sp = explode_spans(docs)
@@ -108,7 +110,7 @@ def extract_documents(docs: DataFrame,
         n = balance_partitions or int(
             spark.conf.get("spark.sql.shuffle.partitions"))
         sp = sp.repartition(n, "doc_id", "offset")
-    frags = run_extract_stage(sp, metrics)
+    frags = run_extract_stage(sp, metrics, flavor)
     # Every doc survives reassembly: both routes emit a sentinel
     # fragment for fragment-less spans (and explode_outer emits a null
     # span for zero-span docs), so no join back to the doc_id universe

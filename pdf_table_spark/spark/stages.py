@@ -63,12 +63,13 @@ ARROW_SCHEMA = pa.schema([
 EMPTY_SENTINEL = "__empty__"
 
 
-def _make_extract_batches(metrics: ExtractionMetrics | None):
+def _make_extract_batches(metrics: ExtractionMetrics | None,
+                          flavor: str = "auto"):
     def _extract_batches(
             batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             t0 = time.perf_counter()
-            out = _process_batch(batch, metrics)
+            out = _process_batch(batch, metrics, flavor)
             if metrics is not None:
                 metrics.spans_in.add(batch.num_rows)
                 metrics.frags_out.add(out.num_rows)
@@ -79,7 +80,8 @@ def _make_extract_batches(metrics: ExtractionMetrics | None):
 
 
 def _process_batch(batch: pa.RecordBatch,
-                   metrics: ExtractionMetrics | None) -> pa.RecordBatch:
+                   metrics: ExtractionMetrics | None,
+                   flavor: str = "auto") -> pa.RecordBatch:
     cols = {name: batch.column(i).to_pylist()
             for i, name in enumerate(batch.schema.names)}
     doc_ids, offsets, frag_idxs = [], [], []
@@ -88,7 +90,7 @@ def _process_batch(batch: pa.RecordBatch,
             cols["doc_id"], cols["offset"], cols["kind"],
             cols["text"], cols["media_ref"]):
         frags = [] if kind is None else extract_span(
-            kind, text or "", ref or "")
+            kind, text or "", ref or "", flavor)
         if metrics is not None and frags and frags[0][0] == "error":
             metrics.errors.add(1)
         if not frags:
@@ -121,8 +123,10 @@ def _process_batch(batch: pa.RecordBatch,
 
 
 def run_extract_stage(span_rows: DataFrame,
-                      metrics: ExtractionMetrics | None = None) -> DataFrame:
+                      metrics: ExtractionMetrics | None = None,
+                      flavor: str = "auto") -> DataFrame:
     """span rows (doc_id, offset, kind, text, media_ref) → fragment rows
-    (doc_id, offset, frag_idx, kind, text, media_ref)."""
+    (doc_id, offset, frag_idx, kind, text, media_ref, accuracy,
+    whitespace). ``flavor`` selects the pdf_page table decoder."""
     return span_rows.mapInArrow(
-        _make_extract_batches(metrics), schema=FRAG_SCHEMA)
+        _make_extract_batches(metrics, flavor), schema=FRAG_SCHEMA)

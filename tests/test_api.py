@@ -1,0 +1,68 @@
+"""Public API surface: the read_pdf/TableList analogues with the
+flavor kwarg (reference table_extractor.py:55-205)."""
+
+import os
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def corpus(fixture_root):
+    return os.path.join(fixture_root, "sf0.001", "documents_spans.parquet")
+
+
+def test_flavor_forcing_semantics(spark, corpus):
+    from pdf_table_spark.api import read_documents_flat
+    auto = read_documents_flat(spark, corpus, flavor="auto")
+    lattice = read_documents_flat(spark, corpus, flavor="lattice")
+    stream = read_documents_flat(spark, corpus, flavor="stream")
+
+    def tables_with_width(df):
+        # lattice tables serialize with width="..%"; stream ones don't
+        return df.filter(
+            (df.kind == "table_html") & df.text.contains('width="')
+        ).count()
+
+    assert tables_with_width(lattice) > 0
+    assert tables_with_width(stream) == 0   # no ruled decoding at all
+    # auto ⊇ both: it has ruled AND whitespace tables
+    n_auto = auto.filter(auto.kind == "table_html").count()
+    assert n_auto >= tables_with_width(lattice)
+    # stream flavor still extracts whitespace tables somewhere
+    assert stream.filter(stream.kind == "table_html").count() > 0
+    # html_table/ocr/image spans are flavor-independent
+    for df in (auto, lattice, stream):
+        assert df.filter(df.kind == "image").count() \
+            == auto.filter(auto.kind == "image").count()
+
+
+def test_flavor_validation(spark, corpus):
+    from pdf_table_spark.core.page import extract_pdf_page
+    with pytest.raises(ValueError, match="unknown flavor"):
+        extract_pdf_page("{}", "m", flavor="bogus")
+
+
+def test_extract_tables_tablelist_surface(spark, corpus):
+    from pdf_table_spark.api import extract_tables
+    rows = extract_tables(spark, corpus).limit(50).collect()
+    assert rows
+    for r in rows:
+        assert r.table_html.startswith("<table")
+        assert r.csv is not None and r.markdown is not None
+        assert r.sqlite_sql is not None and r.excel_xml is not None
+        assert r.html_db is not None and "width" not in r.html_db
+
+
+def test_document_html_and_page_spec(spark, corpus):
+    from pdf_table_spark.api import document_html, read_documents_flat
+    html = document_html(spark, corpus).collect()
+    assert all(r.html is not None for r in html)
+    # page spec: page 1 only → no doc yields MORE spans than 'all'
+    all_counts = {r.doc_id: r.n for r in read_documents_flat(
+        spark, corpus).groupBy("doc_id").count()
+        .withColumnRenamed("count", "n").collect()}
+    p1_counts = {r.doc_id: r.n for r in read_documents_flat(
+        spark, corpus, pages="1").groupBy("doc_id").count()
+        .withColumnRenamed("count", "n").collect()}
+    assert all(p1_counts[d] <= all_counts[d] for d in p1_counts)
+    assert any(p1_counts.get(d, 0) < all_counts[d] for d in all_counts)
