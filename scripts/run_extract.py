@@ -62,6 +62,9 @@ def main(argv=None):
                     help="union N tagged copies of the input corpus")
     ap.add_argument("--pages", default=None,
                     help="page spec per doc: '1,3' | '2-end' | 'all'")
+    ap.add_argument("--flavor", default="auto",
+                    choices=("auto", "lattice", "stream"),
+                    help="pdf_page table decoder (read_pdf flavor kwarg)")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--checkpointed", action="store_true")
     ap.add_argument("--buckets", type=int, default=16)
@@ -104,7 +107,7 @@ def main(argv=None):
         extra = {"buckets_done": len(summary["done"]),
                  "buckets_skipped": len(summary["skipped"])}
     else:
-        out = flatten_output(extract_documents(docs))
+        out = flatten_output(extract_documents(docs, flavor=args.flavor))
         out.write.mode("overwrite").parquet(args.output)
         wall = time.perf_counter() - t0
         extra = {}
