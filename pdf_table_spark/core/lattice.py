@@ -123,6 +123,37 @@ def find_table_regions(horizontal, vertical, tol: float = G.JOINT_TOL):
     return regions
 
 
+def merge_stacked_regions(regions, diff: float = 10.0):
+    """U4 table-bbox merge (reference ``table_bbox_merge``,
+    ``table_extractor_pdf.py:1627-1679``): consecutive regions in
+    reading order whose facing borders coincide at both corners
+    (current bottom-left ≈ next top-left AND bottom-right ≈ top-right,
+    ±diff) are one table split by a detection artifact — stitch them:
+    union segments, dedup joints within diff, extend the bbox."""
+    if len(regions) < 2:
+        return regions
+    out = []
+    cur = regions[0]
+    for nxt in regions[1:]:
+        (bb, h, v, j) = cur
+        (bb2, h2, v2, j2) = nxt
+        if (abs(bb[0] - bb2[0]) <= diff and abs(bb[2] - bb2[2]) <= diff
+                and abs(bb[1] - bb2[3]) <= diff):
+            nbb = (min(bb[0], bb2[0]), bb2[1],
+                   max(bb[2], bb2[2]), bb[3])
+            joints = list(j)
+            for p in j2:
+                if not any(abs(p[0] - q[0]) <= diff
+                           and abs(p[1] - q[1]) <= diff for q in joints):
+                    joints.append(p)
+            cur = (nbb, sorted(h + h2), sorted(v + v2), joints)
+        else:
+            out.append(cur)
+            cur = nxt
+    out.append(cur)
+    return out
+
+
 LAST_MERGE_THRESHOLD = 10.0  # A1 thin edge-axis drop (LineCell parity)
 
 
@@ -393,7 +424,8 @@ def extract_ruled_tables(rects, text_lines, line_tol: float = G.LINE_TOL,
     consumed_text_ids) where consumed ids index into ``text_lines``.
     """
     horizontal, vertical = G.rects_to_segments(rects)
-    regions = find_table_regions(horizontal, vertical, joint_tol)
+    regions = merge_stacked_regions(
+        find_table_regions(horizontal, vertical, joint_tol))
     tables: list[RuledTable] = []
     consumed: set[int] = set()
     for bbox, h_segs, v_segs, joints in regions:

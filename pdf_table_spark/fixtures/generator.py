@@ -49,15 +49,15 @@ def _num(rng):
 
 def _ruled_table(rng, x0, y_top, n_rows, n_cols, drop_edges=0,
                  straddle=False, hairline=False, superscript=False,
-                 overrun=False):
+                 overrun=False, col_w=None, row_h=None):
     """Emit (rects, text_lines) for a ruled table with per-cell-edge
     rulings; ``drop_edges`` interior edges are omitted → merged cells.
     ``straddle`` sometimes adds a line crossing a column boundary —
     exercises X4 char-splitting. ``hairline`` adds a 6pt decorative
     edge column left of the table (A1 thin-axis drop target).
     ``superscript`` gives one cell a minority-height char run (X3)."""
-    col_w = rng.choice([70.0, 80.0, 90.0])
-    row_h = rng.choice([22.0, 26.0])
+    col_w = col_w or rng.choice([70.0, 80.0, 90.0])
+    row_h = row_h or rng.choice([22.0, 26.0])
     xs = [x0 + i * col_w for i in range(n_cols + 1)]
     ys = [y_top - i * row_h for i in range(n_rows + 1)]
 
@@ -495,6 +495,20 @@ def gen_page(rng, family, heavy=False):
         pj["layout"] = layout
         return json.dumps(pj, sort_keys=True)
     if family == "F-H":
+        if rng.random() < 0.35:
+            # U4: one table split into two stacked halves by a
+            # detection artifact (5pt gap — beyond joint_tol, so the
+            # halves are DISCONNECTED regions; same columns) — the
+            # stacked-region merge must stitch them back together
+            c = rng.randint(2, 4)
+            r1, r2 = rng.randint(2, 3), rng.randint(2, 3)
+            cw, rh = 80.0, 24.0
+            rectsA, tA, _ = _ruled_table(rng, 80.0, 720.0, r1, c,
+                                         col_w=cw, row_h=rh)
+            y2 = 720.0 - r1 * rh - 5.0
+            rectsB, tB, _ = _ruled_table(rng, 80.0, y2, r2, c,
+                                         col_w=cw, row_h=rh)
+            return _page_json(tA + tB, rectsA + rectsB)
         rects1, t1, b1 = _ruled_table(rng, 80.0, 720.0,
                                       rng.randint(2, 4), rng.randint(2, 4))
         rects2, t2, b2 = _ruled_table(rng, 80.0, 430.0,

@@ -261,3 +261,39 @@ def test_overrun_line_split_between_cell_and_prose():
     assert over["text"][:3] in table
     assert paras and paras[0].strip()
     assert paras[0].strip() in over["text"]  # the released tail
+
+
+def test_stacked_region_stitch_u4():
+    """U4 table_bbox_merge: two disconnected stacked halves with
+    coinciding borders (±10) stitch into one table with a clean grid
+    (facing-boundary joints dedup within the merge tolerance); halves
+    with different widths stay separate."""
+    import random
+
+    from pdf_table_spark.core import geometry as G
+    from pdf_table_spark.core.html import parse_table_html
+    from pdf_table_spark.core.lattice import (
+        extract_ruled_tables, find_table_regions)
+    from pdf_table_spark.fixtures.generator import _ruled_table
+
+    rng = random.Random(3)
+    rectsA, tA, _ = _ruled_table(rng, 80.0, 720.0, 2, 3,
+                                 col_w=80.0, row_h=24.0)
+    y2 = 720.0 - 2 * 24.0 - 5.0
+    rectsB, tB, _ = _ruled_table(rng, 80.0, y2, 2, 3,
+                                 col_w=80.0, row_h=24.0)
+    h, v = G.rects_to_segments(rectsA + rectsB)
+    assert len(find_table_regions(h, v)) == 2  # truly disconnected
+    tables, consumed = extract_ruled_tables(rectsA + rectsB, tA + tB)
+    assert len(tables) == 1
+    assert len(tables[0].rows) == 4  # 2+2, no phantom spacer row
+    assert len(consumed) == len(tA) + len(tB)
+
+    # width mismatch: right corners differ by >10 → no stitch
+    rng = random.Random(3)
+    rectsC, tC, _ = _ruled_table(rng, 80.0, 720.0, 2, 2,
+                                 col_w=80.0, row_h=24.0)
+    rectsD, tD, _ = _ruled_table(rng, 80.0, 720.0 - 48 - 5.0, 2, 4,
+                                 col_w=80.0, row_h=24.0)
+    tables2, _ = extract_ruled_tables(rectsC + rectsD, tC + tD)
+    assert len(tables2) == 2
