@@ -181,6 +181,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_fingerprint(spark, sf_dir):
         return text.fingerprint(_t(spark, sf_dir, "documents"))
 
+    def q_winnow_fingerprint(spark, sf_dir):
+        # rolling-hash winnowing fingerprints, summarized per doc
+        return text.winnow_fingerprints(_t(spark, sf_dir, "documents"))
+
     def q_exact_dedup(spark, sf_dir):
         return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
 
@@ -379,6 +383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "winnow_fingerprint": q_winnow_fingerprint,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
@@ -758,6 +763,30 @@ def oracle_sql() -> dict[str, str]:
             select doc_id,
                    md5(array_to_string({DK_TOKENS}, ' ')) as fingerprint
             from documents
+        """,
+        # winnowing: k=8 char-gram h60 hashes, min per window of 4,
+        # distinct; summarized per doc (count/min/max/xor of the set)
+        "winnow_fingerprint": """
+            with norm as (
+              select doc_id,
+                     regexp_replace(lower(text), '\\s+', ' ', 'g') as t
+              from documents
+            ), grams as (
+              select doc_id, list_transform(
+                generate_series(1, greatest(length(t) - 7, 1)),
+                i -> cast('0x' || substr(md5(substr(t, i, 8)), 1, 15)
+                     as bigint)) as hs
+              from norm
+            ), wins as (
+              select doc_id, unnest(list_distinct(list_transform(
+                generate_series(1, greatest(len(hs) - 3, 1)),
+                i -> list_min(list_slice(hs, i, i + 3))))) as fp
+              from grams
+            )
+            select doc_id, count(*) as n_fps,
+                   min(fp) as min_fp, max(fp) as max_fp,
+                   bit_xor(fp) as xor_fp
+            from wins group by doc_id
         """,
         "exact_dedup": """
             select md5(text) as text_hash, min(doc_id) as keeper_doc_id,

@@ -105,3 +105,48 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.expr(f"md5(array_join({toks}, ' '))").alias("fingerprint"),
     )
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 8,
+                        w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al.'s local
+    algorithm, the rolling-hash dedup classic): hash every char k-gram
+    of the whitespace-normalized text, keep the minimum hash of each
+    window of w consecutive k-grams, distinct per doc. Guarantee: two
+    docs sharing a substring of >= k+w-1 chars share a fingerprint.
+
+    All JVM array expressions — grams via substring (O(n·k) hashing; a
+    true rolling recurrence only changes the constant, not the plan).
+    Returns a per-doc multiset summary (count / min / max / bit_xor of
+    the fingerprint set) so the result stays one row per doc at any
+    scale; use ``winnow_fingerprint_rows`` for the exploded set.
+    """
+    rows = winnow_fingerprint_rows(docs, k, w)
+    return (
+        rows.groupBy("doc_id")
+        .agg(F.count("*").alias("n_fps"),
+             F.min("fp").alias("min_fp"),
+             F.max("fp").alias("max_fp"),
+             F.expr("bit_xor(fp)").alias("xor_fp"))
+    )
+
+
+def winnow_fingerprint_rows(docs: DataFrame, k: int = 8,
+                            w: int = 4) -> DataFrame:
+    """(doc_id, fp) — the distinct winnowing fingerprints themselves
+    (the join key layout for fingerprint-overlap dedup)."""
+    norm = "regexp_replace(lower(text), '\\\\s+', ' ')"
+    h = ("cast(conv(substring(md5(substring(t, i, {k})), 1, 15), 16, 10) "
+         "as bigint)").format(k=k)
+    expr = f"""
+        array_distinct(transform(
+          sequence(1, greatest(size(hs) - {w - 1}, 1)),
+          i -> array_min(slice(hs, i, {w}))))
+    """
+    return (
+        docs.select("doc_id", F.expr(norm).alias("t"))
+        .select("doc_id", F.expr(
+            f"transform(sequence(1, greatest(length(t) - {k - 1}, 1)),"
+            f" i -> {h})").alias("hs"))
+        .select("doc_id", F.explode(F.expr(expr)).alias("fp"))
+    )

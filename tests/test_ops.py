@@ -307,3 +307,22 @@ def test_select_pages_500_page_doc_linear_plan(spark):
         .executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_winnowing_guarantee_shared_substring(spark):
+    """Winnowing theorem: docs sharing a substring of length >= k+w-1
+    (= 11 at k=8, w=4) share at least one fingerprint; fully disjoint
+    texts share none (whp)."""
+    from pdf_table_spark.ops.text import winnow_fingerprint_rows
+    shared = "identical boilerplate passage"
+    docs = spark.createDataFrame(
+        [(1, f"aaa bbb {shared} ccc ddd"),
+         (2, f"xxx yyy zzz {shared} qqq"),
+         (3, "totally unrelated content 0123456789")],
+        "doc_id long, text string")
+    fps = {}
+    for r in winnow_fingerprint_rows(docs).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[1] & fps[2], "shared substring must share a fingerprint"
+    assert not (fps[1] & fps[3])
+    assert not (fps[2] & fps[3])
