@@ -576,17 +576,27 @@ def _dk_layout_scores_sql(spans_rel: str) -> str:
           from (select doc_id, unnest(spans) as s from {spans_rel})
           where s.kind = 'pdf_page'
         ), feats as (
-          select doc_id, "offset",
-                 json_array_length(text, '$.text_lines')::double as f0,
-                 json_array_length(text, '$.rects')::double as f1,
-                 json_array_length(text, '$.images')::double as f2
+          select doc_id, "offset", json_valid(text) as ok,
+                 case when json_valid(text) then coalesce(
+                   json_array_length(text, '$.text_lines'), 0)::double
+                   else 0 end as f0,
+                 case when json_valid(text) then coalesce(
+                   json_array_length(text, '$.rects'), 0)::double
+                   else 0 end as f1,
+                 case when json_valid(text) then coalesce(
+                   json_array_length(text, '$.images'), 0)::double
+                   else 0 end as f2
           from pages
         )
         select doc_id, "offset" as offset,
-               round({s_tab}, 6) as score_table,
-               round({s_txt}, 6) as score_text,
-               round({s_fig}, 6) as score_figure,
-               case when {s_tab} >= {s_txt} and {s_tab} >= {s_fig}
+               case when ok then round({s_tab}, 6) else 0.0 end
+                 as score_table,
+               case when ok then round({s_txt}, 6) else 0.0 end
+                 as score_text,
+               case when ok then round({s_fig}, 6) else 0.0 end
+                 as score_figure,
+               case when not ok then 'error'
+                    when {s_tab} >= {s_txt} and {s_tab} >= {s_fig}
                       then 'table'
                     when {s_txt} >= {s_fig} then 'text'
                     else 'figure' end as layout_class

@@ -571,6 +571,15 @@ def gen_doc(doc_idx: int, seed: int = 42, heavy: bool = False):
         payload = gen_page(rng, fam)
         if rng.random() < 0.15:  # M1: some pages arrive rotated
             payload = _rotate_payload(payload, rng.randint(1, 3))
+        if rng.random() < 0.02:
+            # poison: a malformed payload (real corpora always have
+            # some) — must quarantine to an 'error' span, never kill
+            # the job; which failure mode alternates deterministically
+            payload = (payload[: len(payload) // 2]  # truncated JSON
+                       if rng.random() < 0.5 else
+                       json.dumps({"width": PAGE_W, "height": PAGE_H,
+                                   "text_lines": [{"text": "broken"}],
+                                   "rects": [], "images": []}))
         add("pdf_page", payload, f"page://{doc_id}/{p}")
         if rng.random() < 0.15:
             add("image", "", f"blob://{doc_id}/{rng.randint(0, 1 << 30)}")

@@ -73,7 +73,9 @@ def test_lineage_and_content_metrics(spark, docs, tmp_path):
 
     flat = spark.read.parquet(out)
     cm = {r["kind"]: r for r in content_metrics(flat).collect()}
-    assert set(cm) == {"table_html", "paragraph", "image"}
+    # 'error' appears when the corpus slice contains planted poison
+    assert {"table_html", "paragraph", "image"} <= set(cm) \
+        <= {"table_html", "paragraph", "image", "error"}
     assert all(r["n_spans"] > 0 for r in cm.values())
 
 
