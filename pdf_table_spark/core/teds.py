@@ -83,6 +83,133 @@ def pair_tables(pred_units, gt_units, iou_threshold: float = 0.5) -> dict:
     }
 
 
+class _Node:
+    __slots__ = ("label", "text", "children")
+
+    def __init__(self, label, text="", children=None):
+        self.label = label
+        self.text = text
+        self.children = children or []
+
+
+def _table_tree(html: str) -> _Node:
+    """table HTML → tree: table → tr rows → td cells; a td's label
+    carries its span attrs (a span change is a structural rename), its
+    text rides separately for the graded substitution cost."""
+    cells = parse_table_html(html)
+    by_row: dict[int, list] = {}
+    for c in cells:
+        by_row.setdefault(c.row, []).append(c)
+    rows = []
+    for r in sorted(by_row):
+        tds = [_Node(("td", c.col_span, c.row_span), c.text)
+               for c in sorted(by_row[r], key=lambda c: c.col)]
+        rows.append(_Node(("tr",), children=tds))
+    return _Node(("table",), children=rows)
+
+
+def _postorder(root: _Node):
+    """Zhang-Shasha scaffolding: postorder nodes, leftmost-leaf index
+    per node, keyroots."""
+    nodes, lml = [], []
+
+    def walk(n):
+        first = None
+        for ch in n.children:
+            f = walk(ch)
+            if first is None:
+                first = f
+        idx = len(nodes)
+        nodes.append(n)
+        lml.append(first if first is not None else idx)
+        return lml[idx]
+
+    walk(root)
+    keyroots = [i for i in range(len(nodes))
+                if i == len(nodes) - 1
+                or lml[i] != lml[i + 1] or i + 1 == len(nodes)]
+    # standard definition: i is a keyroot iff no j>i has lml[j]==lml[i]
+    seen = set()
+    keyroots = []
+    for i in range(len(nodes) - 1, -1, -1):
+        if lml[i] not in seen:
+            keyroots.append(i)
+            seen.add(lml[i])
+    return nodes, lml, sorted(keyroots)
+
+
+def _levenshtein_ratio(a: str, b: str) -> float:
+    """Normalized edit distance in [0, 1] (0 = identical)."""
+    if a == b:
+        return 0.0
+    if not a or not b:
+        return 1.0
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1] / max(len(a), len(b))
+
+
+def _rename_cost(a: _Node, b: _Node) -> float:
+    if a.label != b.label:
+        return 1.0
+    if a.label[0] == "td":
+        return _levenshtein_ratio(a.text, b.text)
+    return 0.0
+
+
+def tree_edit_distance(ra: _Node, rb: _Node) -> float:
+    """Zhang-Shasha ordered tree edit distance; unit insert/delete,
+    graded td-text rename (the TEDS cost model,
+    ``table_metric.py:93-201``)."""
+    an, al, ak = _postorder(ra)
+    bn, bl, bk = _postorder(rb)
+    td = [[0.0] * len(bn) for _ in range(len(an))]
+
+    for i in ak:
+        for j in bk:
+            m, n = i - al[i] + 2, j - bl[j] + 2
+            fd = [[0.0] * n for _ in range(m)]
+            ioff, joff = al[i] - 1, bl[j] - 1
+            for x in range(1, m):
+                fd[x][0] = fd[x - 1][0] + 1
+            for y in range(1, n):
+                fd[0][y] = fd[0][y - 1] + 1
+            for x in range(1, m):
+                for y in range(1, n):
+                    if al[x + ioff] == al[i] and bl[y + joff] == bl[j]:
+                        fd[x][y] = min(
+                            fd[x - 1][y] + 1, fd[x][y - 1] + 1,
+                            fd[x - 1][y - 1] + _rename_cost(
+                                an[x + ioff], bn[y + joff]))
+                        td[x + ioff][y + joff] = fd[x][y]
+                    else:
+                        p = al[x + ioff] - 1 - ioff
+                        q = bl[y + joff] - 1 - joff
+                        fd[x][y] = min(
+                            fd[x - 1][y] + 1, fd[x][y - 1] + 1,
+                            fd[p][q] + td[x + ioff][y + joff])
+    return td[-1][-1]
+
+
+def teds(html_pred: str, html_gold: str) -> float:
+    """Tree-Edit-Distance Similarity on table HTML — the reference's §5
+    metric made dependency-free: 1 - TED/max(|Ta|,|Tb|) over the
+    table→tr→td tree with graded cell-text substitution costs."""
+    ta = _table_tree(html_pred)
+    tb = _table_tree(html_gold)
+    na = len(_postorder(ta)[0])
+    nb = len(_postorder(tb)[0])
+    if na <= 1 and nb <= 1:
+        return 1.0
+    dist = tree_edit_distance(ta, tb)
+    return round(max(0.0, 1.0 - dist / max(na, nb)), 6)
+
+
 def teds_like(html_pred: str, html_gold: str) -> float:
     """Structure-weighted text similarity in [0, 1].
 

@@ -69,3 +69,24 @@ def test_pair_tables_from_logical_cells():
     out = pair_tables(units, units)
     assert out["precision"] == out["recall"] == 1.0
     assert out["axis_accuracy"] == 1.0
+
+
+def test_teds_tree_edit_distance_grading():
+    """Real TEDS (Zhang-Shasha): graded cell-text substitution beats a
+    full replacement, which beats structural damage."""
+    from pdf_table_spark.core.teds import teds
+    A = ('<table border="1"><tbody><tr><td>alpha</td><td>bravo</td></tr>'
+         '<tr><td>charlie</td><td>deltax</td></tr></tbody></table>')
+    assert teds(A, A) == 1.0
+    graded = teds(A.replace("deltax", "deltay"), A)   # 1/6 chars
+    replaced = teds(A.replace("deltax", "zzzzzz"), A)
+    row_gone = teds(
+        '<table border="1"><tbody><tr><td>alpha</td><td>bravo</td>'
+        "</tr></tbody></table>", A)
+    span_changed = teds(A.replace(
+        "<td>alpha</td><td>bravo</td>", '<td colspan="2">alpha</td>'), A)
+    assert 1.0 > graded > replaced > row_gone > 0.0
+    assert span_changed < 1.0                # structural rename costs 1
+    assert teds(A, A.replace("deltax", "deltay")) == graded  # symmetric
+    # degenerate inputs
+    assert teds("", "") == 1.0
