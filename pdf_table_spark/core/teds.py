@@ -125,10 +125,7 @@ def _postorder(root: _Node):
         return lml[idx]
 
     walk(root)
-    keyroots = [i for i in range(len(nodes))
-                if i == len(nodes) - 1
-                or lml[i] != lml[i + 1] or i + 1 == len(nodes)]
-    # standard definition: i is a keyroot iff no j>i has lml[j]==lml[i]
+    # keyroot: i such that no j>i shares its leftmost leaf
     seen = set()
     keyroots = []
     for i in range(len(nodes) - 1, -1, -1):
