@@ -14,16 +14,20 @@ from __future__ import annotations
 
 
 def placement_error(t: dict, row_iv: tuple, col_iv: tuple) -> float:
-    """Fraction of text box ``t`` outside cell (row_iv, col_iv).
+    """Placement error of text box ``t`` vs cell (row_iv, col_iv) —
+    the EXACT reference formula (``pdf_utils.py:1104-1120``), quirks
+    included: the y-side offsets trigger only when the box lies
+    entirely above/below the row (t.y0 > row_top / t.y1 < row_bottom),
+    while the x-side offsets trigger on any partial overflow.
 
     ``row_iv`` = (y_top, y_bottom) and ``col_iv`` = (x_left, x_right),
-    matching the decoders' interval conventions. Mirrors the reference's
-    offset formula: X·(y-overflow) + Y·(x-overflow) over the char area.
+    matching the decoders' interval conventions (PDF coords, y up;
+    t['y0'] is the box bottom, t['y1'] the top).
     """
     y_top, y_bot = row_iv
     x_l, x_r = col_iv
-    y0_off = abs(t["y1"] - y_top) if t["y1"] > y_top else 0.0
-    y1_off = abs(t["y0"] - y_bot) if t["y0"] < y_bot else 0.0
+    y0_off = abs(t["y0"] - y_top) if t["y0"] > y_top else 0.0
+    y1_off = abs(t["y1"] - y_bot) if t["y1"] < y_bot else 0.0
     x0_off = abs(t["x0"] - x_l) if t["x0"] < x_l else 0.0
     x1_off = abs(t["x1"] - x_r) if t["x1"] > x_r else 0.0
     x_ext = abs(t["x0"] - t["x1"]) or 1.0

@@ -97,3 +97,22 @@ def test_box_contains():
     assert G.box_contains(outer, (10, 10, 90, 40))
     assert G.box_contains(outer, (-1.5, 0, 101.5, 51.5))  # within diff
     assert not G.box_contains(outer, (10, 10, 110, 40))
+
+
+def test_placement_error_reference_quirks():
+    """A9 placement error mirrors the reference exactly: x-side counts
+    partial overflow, y-side only fully-outside boxes."""
+    from pdf_table_spark.core.quality import placement_error
+    row, col = (100.0, 80.0), (0.0, 50.0)  # cell: y 80..100, x 0..50
+    inside = {"x0": 5, "y0": 85, "x1": 45, "y1": 95}
+    assert placement_error(inside, row, col) == 0.0
+    # partially overflows right: x-side triggers
+    xover = {"x0": 40, "y0": 85, "x1": 60, "y1": 95}
+    assert placement_error(xover, row, col) > 0.0
+    # partially overflows the top (box top above row top, bottom
+    # inside): the reference's y-rule does NOT trigger
+    ypart = {"x0": 5, "y0": 95, "x1": 45, "y1": 110}
+    assert placement_error(ypart, row, col) == 0.0
+    # entirely above the row: triggers
+    yfull = {"x0": 5, "y0": 105, "x1": 45, "y1": 115}
+    assert placement_error(yfull, row, col) > 0.0
