@@ -56,10 +56,18 @@ def read_documents_flat(spark: SparkSession, path: str,
 def extract_tables(spark: SparkSession, path: str, pages: str = "all",
                    flavor: str = "auto") -> DataFrame:
     """TableList analogue: one row per extracted table with its HTML,
-    A9 quality metrics, and the full export fan-out."""
+    A9 quality metrics, and the full export fan-out.
+
+    The table subset is persisted before fanning out into the export
+    stage + join: without it both join branches would re-run the whole
+    extraction (Catalyst does not dedupe common subplans across a
+    join), and the persisted set is only the table fragments — tiny
+    relative to the corpus at any scale."""
     flat = read_documents_flat(spark, path, pages, flavor)
-    tables = flat.filter(F.col("kind") == "table_html")
-    exports = export_tables(flat)
+    tables = flat.filter(F.col("kind") == "table_html").select(
+        "doc_id", "offset", "kind", "text", "accuracy", "whitespace"
+    ).persist()
+    exports = export_tables(tables)
     return (
         tables.select("doc_id", "offset",
                       F.col("text").alias("table_html"),

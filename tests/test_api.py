@@ -66,3 +66,17 @@ def test_document_html_and_page_spec(spark, corpus):
         .withColumnRenamed("count", "n").collect()}
     assert all(p1_counts[d] <= all_counts[d] for d in p1_counts)
     assert any(p1_counts.get(d, 0) < all_counts[d] for d in all_counts)
+
+
+def test_extract_tables_single_extraction_pass(spark, corpus):
+    """The export fan-out + join must reuse the persisted table subset,
+    not re-run the extraction per branch."""
+    import re
+
+    from pdf_table_spark.api import extract_tables
+    df = extract_tables(spark, corpus)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # both join branches read the cached table fragments
+    assert plan.count("InMemoryTableScan") >= 2
+    n = df.count()
+    assert n > 0
