@@ -99,8 +99,13 @@ def _sessionize_group(key, pdfs, state):
             out.append((start, last, n))
             start, last, n = t, t, 1
         else:
-            last = t
+            # an out-of-order event inside the gap extends the session
+            # but must never move its boundaries backward (a regressed
+            # `last` would mis-time the event-time timeout and truncate
+            # session_end)
             n += 1
+            last = max(last, t)
+            start = min(start, t)
     if last is not None:
         state.update((start, last, n))
         # close the open session once the watermark passes last + gap
@@ -110,15 +115,19 @@ def _sessionize_group(key, pdfs, state):
 
 
 def sessionize_stream(spark: SparkSession, input_dir: str,
-                      output_dir: str, checkpoint_dir: str) -> None:
+                      output_dir: str, checkpoint_dir: str,
+                      watermark: str = "0 seconds") -> None:
     """30-min-gap user sessionization as a custom stateful streaming
     operator (the streaming W1): sessions closed by an in-batch gap or
-    by event-time timeout are appended to the sink exactly once."""
+    by event-time timeout are appended to the sink exactly once.
+    ``watermark`` is the lateness allowance: stragglers younger than it
+    still extend their open session (without ever regressing its
+    boundaries); older ones are dropped by the engine."""
     from pyspark.sql.streaming.state import GroupStateTimeout
     os.makedirs(checkpoint_dir, exist_ok=True)
     stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
     sessions = (
-        stream.withWatermark("ts", "0 seconds")
+        stream.withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
             _sessionize_group,

@@ -112,3 +112,30 @@ def test_stateful_sessionization_gap_and_timeout(spark, dirs):
     # wave 3: nothing new for user 1 within the gap → re-run is a no-op
     sessionize_stream(spark, dirs["in"], dirs["out"], dirs["ckpt"])
     assert _read_sessions(dirs["out"]) == got2
+
+
+def test_sessionization_out_of_order_straggler(spark, dirs):
+    """A cross-batch in-gap straggler (admitted by a lateness
+    allowance) extends the open session but must never regress its
+    boundaries — session_end stays the MAX ts so the event-time
+    timeout fires at the right moment."""
+    from pdf_table_spark.streaming.windowed import sessionize_stream
+    wm = "40 minutes"
+    _write_events(dirs["in"], "o1.parquet", [
+        (9, _ts(10, 20), 1), (9, _ts(10, 0), 2)])
+    sessionize_stream(spark, dirs["in"], dirs["out"], dirs["ckpt"],
+                      watermark=wm)
+    # straggler at 10:05 — younger than the watermark (10:20 - 40min),
+    # in-gap vs the open session's last=10:20: joins the session
+    _write_events(dirs["in"], "o2.parquet", [(9, _ts(10, 5), 3)])
+    sessionize_stream(spark, dirs["in"], dirs["out"], dirs["ckpt"],
+                      watermark=wm)
+    # close by timeout via a much later event
+    _write_events(dirs["in"], "o3.parquet", [(9, _ts(14, 0), 4)])
+    sessionize_stream(spark, dirs["in"], dirs["out"], dirs["ckpt"],
+                      watermark=wm)
+    _write_events(dirs["in"], "o4.parquet", [(9, _ts(18, 0), 5)])
+    sessionize_stream(spark, dirs["in"], dirs["out"], dirs["ckpt"],
+                      watermark=wm)
+    got = _read_sessions(dirs["out"])
+    assert (9, "10:00", "10:20", 3) in got  # end = MAX ts, straggler in
