@@ -28,6 +28,21 @@ from .ops.export import export_tables
 from .ops.pages import select_pages
 from .spark.pipeline import extract_documents, flatten_output
 
+# intermediates persisted by extract_tables; long-lived drivers should
+# release between corpora (same pattern as ops.dedup.release_caches)
+_PERSISTED: list = []
+
+
+def release_caches() -> int:
+    """Unpersist every intermediate this module cached; returns the
+    count released. Results of prior extract_tables calls remain valid
+    (they recompute from source if re-used)."""
+    n = len(_PERSISTED)
+    for df in _PERSISTED:
+        df.unpersist()
+    _PERSISTED.clear()
+    return n
+
 
 def _load(spark: SparkSession, path: str, pages: str) -> DataFrame:
     docs = spark.read.parquet(path)
@@ -67,6 +82,7 @@ def extract_tables(spark: SparkSession, path: str, pages: str = "all",
     tables = flat.filter(F.col("kind") == "table_html").select(
         "doc_id", "offset", "kind", "text", "accuracy", "whitespace"
     ).persist()
+    _PERSISTED.append(tables)
     exports = export_tables(tables)
     return (
         tables.select("doc_id", "offset",

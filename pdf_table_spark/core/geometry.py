@@ -33,8 +33,11 @@ def merge_close_lines(values, line_tol: float = LINE_TOL,
     ``last_merge_threshold`` > 0 enables the A1 thin edge-axis drop
     (reference ``pdf_utils.py:830-846``, used by the LineCell decoders
     with threshold 10-20): when >2 axis points survive and the first or
-    last gap is both below the threshold and below 20% of the average
-    gap, that hairline edge coordinate is dropped.
+    last gap is both below the threshold and below 20% of range/len —
+    the reference's own approximation of the average gap (it divides by
+    the point count, not the gap count, and evaluates both edge checks
+    against the pre-drop average) — that hairline edge coordinate is
+    dropped.
     """
     out: list[float] = []
     for v in values:

@@ -47,16 +47,7 @@ ROW_GROUP_TOL = 3.0  # sort_bbox's same-row y threshold (":186-193")
 
 # ---------------------------------------------------------------- geometry
 
-def rect_iou(a, b) -> float:
-    """Axis-aligned IoU (intersection / union)."""
-    ix0, iy0 = max(a[0], b[0]), max(a[1], b[1])
-    ix1, iy1 = min(a[2], b[2]), min(a[3], b[3])
-    if ix0 >= ix1 or iy0 >= iy1:
-        return 0.0
-    inter = (ix1 - ix0) * (iy1 - iy0)
-    sa = (a[2] - a[0]) * (a[3] - a[1])
-    sb = (b[2] - b[0]) * (b[3] - b[1])
-    return inter / (sa + sb - inter)
+from .geometry import iou as rect_iou  # axis-aligned IoU, one source
 
 
 def corner_distance(a, b) -> float:
@@ -73,13 +64,20 @@ def _center(b):
 
 # ---------------------------------------------------------------- F4
 
+def _f4_keep(pred_bboxes):
+    """The F4 predicate: keep a det cell unless it lies entirely above
+    the predicted table's top edge."""
+    if not pred_bboxes:
+        return lambda c: True
+    y_top = min(b[1] for b in pred_bboxes)
+    return lambda c: max(c["y0"], c["y1"]) >= y_top
+
+
 def filter_ocr_cells(pred_bboxes, det_cells):
     """Drop det cells lying entirely above the predicted table's top
     edge (F4, ``matcher.py:185-195``)."""
-    if not pred_bboxes:
-        return list(det_cells)
-    y_top = min(b[1] for b in pred_bboxes)
-    return [c for c in det_cells if max(c["y0"], c["y1"]) >= y_top]
+    keep = _f4_keep(pred_bboxes)
+    return [c for c in det_cells if keep(c)]
 
 
 # ---------------------------------------------------------------- J2
@@ -345,27 +343,29 @@ def deal_bb(html: str) -> str:
 
 # ---------------------------------------------------------------- page
 
-def _td_token_count(tokens: list[str]) -> int:
-    return sum(1 for t in merge_span_tokens(tokens)
-               if t.startswith("<td"))
+def extract_table(table: dict, det_cells: list[dict]):
+    """One table: F4 filter → J3 match → X10 splice.
 
-
-def extract_table(table: dict, det_cells: list[dict]) -> str:
-    """One table: F4 filter → J3 match → X10 splice → spliced HTML.
-    Every det cell handed in is consumed (extra_match guarantees a
-    virtual cell for any leftover)."""
+    Returns (html, used_ids): ``used_ids`` indexes ``det_cells`` and
+    contains exactly the dets whose text actually landed in the spliced
+    HTML — F4-dropped boxes and extra-matched boxes whose virtual rows
+    were NOT rendered (complete predictions skip the extension, the
+    reference's fake-extend behavior) stay unconsumed so their text
+    survives as page prose instead of vanishing."""
     boxes = [(c["x0"], c["y0"], c["x1"], c["y1"]) for c in det_cells]
     masters = [tuple(b) for b in table["cell_bboxes"]]
-    y_top = min(b[1] for b in masters) if masters else None
-    kept = [i for i, b in enumerate(boxes)
-            if y_top is None or max(b[1], b[3]) >= y_top]  # F4
+    keep = _f4_keep(masters)
+    kept = [i for i, c in enumerate(det_cells) if keep(c)]  # F4
     match_list, extra_rows = match_3tier(
         [boxes[i] for i in kept], masters)
     match_list = [(kept[i], j) for i, j in match_list]
     texts = [c["text"] for c in det_cells]
     tokens = extend_virtual_rows(table["tokens"], extra_rows)
+    extended = len(tokens) > len(table["tokens"])
     html = insert_text_to_tokens(tokens, match_texts(match_list, texts))
-    return "<table>" + deal_bb(html) + "</table>"
+    used = {i for i, j in match_list
+            if j < len(masters) or extended}
+    return "<table>" + deal_bb(html) + "</table>", used
 
 
 def orientation_vote_flip(page: dict) -> dict:
@@ -429,8 +429,12 @@ def extract_ocr_page(payload: str):
                 if i not in used_all
                 and tx0 <= (c["x0"] + c["x1"]) / 2.0 <= tx1
                 and ty0 - pad <= (c["y0"] + c["y1"]) / 2.0 <= ty1 + pad]
-        html = extract_table(table, [det_cells[i] for i in mine])
-        used_all.update(mine)  # every handed-in det is consumed
+        html, used_local = extract_table(
+            table, [det_cells[i] for i in mine])
+        # only dets whose text actually landed in the HTML are
+        # consumed; F4-dropped or unrendered-extra dets fall through to
+        # the page-text remainder below
+        used_all.update(mine[i] for i in used_local)
         frags.append((ty0, tx0, "table_html", html, "", None, None))
 
     # remainder det cells → page text: row-grouped, x-sorted, one

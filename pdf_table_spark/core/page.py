@@ -140,7 +140,16 @@ def deskew_page(page: dict) -> dict:
         dx, dy = x - cx, y - cy
         return cx + dx * cos_t - dy * sin_t, cy + dx * sin_t + dy * cos_t
 
-    rects = list(page.get("rects") or [])
+    def unskew_box(o):
+        bx, by = rot((o["x0"] + o["x1"]) / 2.0, (o["y0"] + o["y1"]) / 2.0)
+        w = (o["x1"] - o["x0"]) / 2.0
+        h = (o["y1"] - o["y0"]) / 2.0
+        return {**o, "x0": bx - w, "y0": by - h, "x1": bx + w, "y1": by + h}
+
+    # pre-existing ordinary rects rotate with everything else — mixing
+    # skewed segs with unrotated rects would intersect the two frames
+    # and fabricate/miss joints
+    rects = [unskew_box(r) for r in page.get("rects") or []]
     for s in segs:
         x0, y0 = rot(s["x0"], s["y0"])
         x1, y1 = rot(s["x1"], s["y1"])
@@ -152,12 +161,6 @@ def deskew_page(page: dict) -> dict:
             xc = (x0 + x1) / 2.0
             rects.append({"x0": xc - 0.5, "y0": min(y0, y1),
                           "x1": xc + 0.5, "y1": max(y0, y1)})
-
-    def unskew_box(o):
-        bx, by = rot((o["x0"] + o["x1"]) / 2.0, (o["y0"] + o["y1"]) / 2.0)
-        w = (o["x1"] - o["x0"]) / 2.0
-        h = (o["y1"] - o["y0"]) / 2.0
-        return {**o, "x0": bx - w, "y0": by - h, "x1": bx + w, "y1": by + h}
 
     out = {k: v for k, v in page.items() if k != "segs"}
     out["rects"] = rects

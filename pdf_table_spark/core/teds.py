@@ -55,18 +55,24 @@ def table_units(cells) -> list[dict]:
 
 
 def pair_tables(pred_units, gt_units, iou_threshold: float = 0.5) -> dict:
-    """J6 pred↔gt cell pairing: each gt unit takes the FIRST pred unit
-    with bbox IoU ≥ threshold (reference ``PairTable.matching`` —
-    greedy in list order, preds not consumed). Returns bbox
+    """J6 pred↔gt cell pairing: each gt unit takes the first unmatched
+    pred unit with bbox IoU ≥ threshold (greedy in list order, like the
+    reference ``PairTable.matching`` — but each pred is consumed once;
+    the reference lets one pred match several gts, which can report
+    precision > 1 and negative false positives). Returns bbox
     precision/recall, false positives/negatives, and axis accuracy
     (all four logical indices equal) over the matched pairs; None where
     the reference reports 'null' (empty denominators)."""
     matches = []
+    taken: set[int] = set()
     for gt in gt_units:
         hit = None
-        for pred in pred_units:
+        for k, pred in enumerate(pred_units):
+            if k in taken:
+                continue
             if _rect_iou(gt["bbox"], pred["bbox"]) >= iou_threshold:
                 hit = pred
+                taken.add(k)
                 break
         matches.append(hit)
     tp = sum(1 for m in matches if m is not None)

@@ -209,33 +209,7 @@ def minhash_lsh_pairs(docs: DataFrame,
     OTHER 15 bands unless they are pathological duplicates — which an
     exact-dedup pass upstream should have removed). None = exhaustive
     (the oracle-checked default)."""
-    sig = minhash_signatures(docs)
-    band_cols = []
-    for bidx in range(BANDS):
-        cols = [f"s{bidx * ROWS_PER_BAND + j}" for j in range(ROWS_PER_BAND)]
-        band_cols.append(F.struct(
-            F.lit(bidx).alias("band"),
-            F.md5(F.concat_ws(",", *cols)).alias("bh")))
-    bands = sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("b")
-    ).select("doc_id", F.col("b.band").alias("band"),
-             F.col("b.bh").alias("bh"))
-    if max_bucket is not None:
-        ok = (bands.groupBy("band", "bh")
-              .agg(F.count("*").alias("n"))
-              .filter(F.col("n") <= max_bucket)
-              .select("band", "bh"))
-        bands = bands.join(ok, ["band", "bh"])
-    x = bands.alias("x")
-    y = bands.alias("y")
-    return (
-        x.join(y, (F.col("x.band") == F.col("y.band"))
-               & (F.col("x.bh") == F.col("y.bh"))
-               & (F.col("x.doc_id") < F.col("y.doc_id")))
-        .select(F.col("x.doc_id").alias("doc_a"),
-                F.col("y.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    return _lsh_pairs_from_signatures(minhash_signatures(docs), max_bucket)
 
 
 def minhash_signatures_from_hashes(sh: DataFrame) -> DataFrame:

@@ -69,8 +69,12 @@ def input_fingerprint(docs: DataFrame, part_id_col: str = "part_id") -> DataFram
         F.expr("bit_xor(h)").alias("fp"), F.count("*").alias("n_docs"))
 
 
-def _manifest_path(out_dir: str, part_id: int) -> str:
-    return os.path.join(out_dir, MANIFEST_DIR, f"{part_id}.json")
+def _manifest_path(out_dir: str, part_id) -> str:
+    # escape like the data partition dirs: '/' (→%2F) and friends can
+    # appear in part_col values and must not create subdirectories (or
+    # traverse out of _manifests/) in the manifest filename
+    return os.path.join(out_dir, MANIFEST_DIR,
+                        f"{escape_partition_value(str(part_id))}.json")
 
 
 def read_manifests(out_dir: str) -> list[dict]:

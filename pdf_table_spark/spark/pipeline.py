@@ -104,6 +104,12 @@ def extract_documents(docs: DataFrame,
     ``flavor``: pdf_page table decoder — 'auto' | 'lattice' | 'stream'
     (the reference's read_pdf flavor kwarg).
     """
+    from ..core.page import FLAVORS
+    if flavor not in FLAVORS:
+        # validate on the DRIVER: inside the Arrow stage a bad flavor
+        # would be swallowed by per-span poison containment, silently
+        # quarantining the entire corpus as 'error' rows
+        raise ValueError(f"unknown flavor {flavor!r}; one of {FLAVORS}")
     spark = docs.sparkSession
     sp = explode_spans(docs)
     if balance_partitions != 0:

@@ -98,6 +98,11 @@ def _sessionize_group(key, pdfs, state):
         elif t - last > SESSION_GAP_SEC:
             out.append((start, last, n))
             start, last, n = t, t, 1
+        elif t < start - SESSION_GAP_SEC:
+            # a straggler older than the open session by more than the
+            # gap is its OWN (already closed) session — fusing it in
+            # would span a silence the batch semantics always splits
+            out.append((t, t, 1))
         else:
             # an out-of-order event inside the gap extends the session
             # but must never move its boundaries backward (a regressed

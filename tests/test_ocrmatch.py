@@ -181,3 +181,26 @@ def test_upside_down_page_extracts_all_text():
             for c in p["det_cells"]:
                 assert c["text"].split()[0] in html, (s, c["text"])
     assert flipped_seen >= 3  # the variant actually occurs
+
+
+def test_unconsumed_dets_survive_as_page_text():
+    """Review regression: a det fully above the table (F4-dropped) and
+    a stray det near a COMPLETE prediction (extra_match not rendered)
+    must fall through to page text, never vanish."""
+    payload = json.dumps({
+        "width": 600, "height": 800,
+        "det_cells": [
+            CELL(10, 12, 80, 28, "caption_above"),  # fully above table
+            CELL(10, 50, 60, 70, "in_cell"),
+            CELL(200, 52, 240, 68, "stray_no_overlap"),
+        ],
+        "tables": [{"tokens": ["<tbody>", "<tr>", "<td></td>", "</tr>",
+                               "</tbody>"],            # COMPLETE stream
+                    "cell_bboxes": [[0, 40, 100, 80]]}]})
+    frags = M.extract_ocr_page(payload)
+    all_text = " ".join(f[1] for f in frags)
+    assert "caption_above" in all_text
+    assert "in_cell" in all_text
+    assert "stray_no_overlap" in all_text
+    paras = " ".join(f[1] for f in frags if f[0] == "paragraph")
+    assert "caption_above" in paras  # specifically as page prose

@@ -139,3 +139,25 @@ def test_sessionization_out_of_order_straggler(spark, dirs):
                       watermark=wm)
     got = _read_sessions(dirs["out"])
     assert (9, "10:00", "10:20", 3) in got  # end = MAX ts, straggler in
+
+
+def test_sessionization_ancient_straggler_is_own_session(spark, dirs):
+    """A straggler older than the open session by more than the gap
+    must NOT fuse into it (the batch semantics always splits there)."""
+    from pdf_table_spark.streaming.windowed import sessionize_stream
+    wm = "6 hours"
+    _write_events(dirs["in"], "a1.parquet", [(7, _ts(12, 0), 1)])
+    sessionize_stream(spark, dirs["in"], dirs["out"], dirs["ckpt"],
+                      watermark=wm)
+    _write_events(dirs["in"], "a2.parquet", [(7, _ts(9, 0), 2)])
+    sessionize_stream(spark, dirs["in"], dirs["out"], dirs["ckpt"],
+                      watermark=wm)
+    _write_events(dirs["in"], "a3.parquet", [(7, _ts(23, 0), 3)])
+    sessionize_stream(spark, dirs["in"], dirs["out"], dirs["ckpt"],
+                      watermark=wm)
+    _write_events(dirs["in"], "a4.parquet", [(7, _ts(23, 59), 4)])
+    sessionize_stream(spark, dirs["in"], dirs["out"], dirs["ckpt"],
+                      watermark=wm)
+    got = _read_sessions(dirs["out"])
+    assert (7, "09:00", "09:00", 1) in got   # its own session
+    assert (7, "12:00", "12:00", 1) in got   # not fused across 3h
