@@ -144,3 +144,37 @@ def test_merge_close_lines_output_sorted_and_spaced(vals, tol):
     assert out == sorted(out)
     for a, b in zip(out, out[1:]):
         assert b - a > tol * 0.999
+
+
+@given(st.text(max_size=300))
+@settings(deadline=None, max_examples=80)
+def test_extract_span_never_raises_on_garbage_page(payload):
+    """Poison containment is total: ANY pdf_page/ocr_page payload either
+    extracts or quarantines — never an exception, always 5-tuples."""
+    from pdf_table_spark.core.page import extract_span
+    for kind in ("pdf_page", "ocr_page", "html_table"):
+        out = extract_span(kind, payload, "m")
+        assert isinstance(out, list)
+        assert all(len(f) == 5 for f in out)
+
+
+@given(st.recursive(
+    st.none() | st.booleans() | st.floats(allow_nan=False) |
+    st.text(max_size=8),
+    lambda ch: st.lists(ch, max_size=4) |
+    st.dictionaries(st.sampled_from(
+        ["width", "height", "text_lines", "rects", "images", "segs",
+         "layout", "rotation", "x0", "y0", "x1", "y1", "text", "dir",
+         "char_heights", "det_cells", "tables", "tokens",
+         "cell_bboxes", "flipped"]), ch, max_size=6),
+    max_leaves=20))
+@settings(deadline=None, max_examples=60)
+def test_extract_span_never_raises_on_structured_garbage(obj):
+    import json as _json
+
+    from pdf_table_spark.core.page import extract_span
+    payload = _json.dumps(obj)
+    for kind in ("pdf_page", "ocr_page"):
+        out = extract_span(kind, payload, "m")
+        assert isinstance(out, list)
+        assert all(len(f) == 5 for f in out)
