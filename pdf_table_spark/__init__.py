@@ -25,8 +25,13 @@ Layout
               tables: dedup (exact / MinHash-LSH / SimHash / n-gram
               Jaccard), ANN similarity search, text analysis, multimodal
               plumbing.
-``streaming`` incremental Structured Streaming ingest of the same
-              pipeline (exactly-once per corpus file).
+``streaming`` Structured Streaming: incremental ingest (exactly-once
+              per corpus file), watermarked event-time windows, and
+              applyInPandasWithState sessionization.
+``sources``   corpus readers/writers (parquet + JSONL interchange).
+``api``       the reference's user surface: read_documents /
+              extract_tables / document_html with the page-spec string
+              and the read_pdf flavor kwarg.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
