@@ -77,7 +77,14 @@ def extract_tables(spark: SparkSession, path: str, pages: str = "all",
     stage + join: without it both join branches would re-run the whole
     extraction (Catalyst does not dedupe common subplans across a
     join), and the persisted set is only the table fragments — tiny
-    relative to the corpus at any scale."""
+    relative to the corpus at any scale.
+
+    Each call releases the previous call's cached intermediate, so a
+    long-lived driver iterating many corpora holds at most ONE table
+    subset in executor memory; earlier results stay valid (they
+    recompute from source if re-used). ``release_caches()`` drops the
+    last one too."""
+    release_caches()
     flat = read_documents_flat(spark, path, pages, flavor)
     tables = flat.filter(F.col("kind") == "table_html").select(
         "doc_id", "offset", "kind", "text", "accuracy", "whitespace"

@@ -32,11 +32,21 @@ def _sniff(path: str) -> str:
         names = os.listdir(path)
     elif os.path.exists(path):
         names = [path]
+    else:
+        # remote URI (s3://, hdfs://, …) or not-yet-mounted path: the
+        # local filesystem can't enumerate it, so sniff the path string
+        # itself rather than silently defaulting to parquet
+        names = [path.rstrip("/")]
     for n in names:
         if n.endswith((".json", ".jsonl", ".ndjson")):
             return "json"
         if n.endswith(".parquet"):
             return "parquet"
+    if not os.path.exists(path):
+        raise ValueError(
+            f"fmt='auto' cannot sniff {path!r}: the local filesystem "
+            "cannot see it and the path carries no format extension; "
+            "pass fmt='parquet' or fmt='json' explicitly")
     return "parquet"
 
 

@@ -35,6 +35,30 @@ SESSION_OUT_SCHEMA = ("user_id long, session_start timestamp, "
 SESSION_STATE_SCHEMA = ("start long, last long, n long")
 
 
+class _utc_session_tz:
+    """Pin ``spark.sql.session.timeZone`` to UTC for the duration of a
+    streaming query and restore it afterwards.
+
+    applyInPandasWithState hands the Python side tz-NAIVE pandas
+    timestamps rendered in the session timezone, but
+    ``setTimeoutTimestamp`` is compared against the engine's true-UTC
+    watermark. Any non-UTC session timezone therefore skews epoch
+    arithmetic: west of UTC the timeout can fall below the current
+    watermark (IllegalArgumentException kills the query); east of UTC
+    idle sessions close late by the offset. Pinning UTC makes
+    ``Timestamp.timestamp()`` the true epoch on both sides."""
+
+    def __init__(self, spark: SparkSession):
+        self._spark = spark
+
+    def __enter__(self):
+        self._old = self._spark.conf.get("spark.sql.session.timeZone")
+        self._spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    def __exit__(self, *exc):
+        self._spark.conf.set("spark.sql.session.timeZone", self._old)
+
+
 def windowed_ingest_stats(spark: SparkSession, input_dir: str,
                           output_dir: str, checkpoint_dir: str,
                           window: str = "10 minutes",
@@ -43,21 +67,22 @@ def windowed_ingest_stats(spark: SparkSession, input_dir: str,
     windows finalize once the watermark passes their end; rows arriving
     later than the watermark never mutate a finalized window."""
     os.makedirs(checkpoint_dir, exist_ok=True)
-    stream = spark.readStream.schema(INGEST_SCHEMA).parquet(input_dir)
-    agg = (
-        stream.withWatermark("event_ts", watermark)
-        .groupBy(F.window("event_ts", window))
-        .agg(F.count("*").alias("n_docs"),
-             F.sum("n_spans").alias("total_spans"))
-        .select(F.col("window.start").alias("window_start"),
-                F.col("window.end").alias("window_end"),
-                "n_docs", "total_spans")
-    )
-    q = (agg.writeStream.outputMode("append")
-         .format("parquet").option("path", output_dir)
-         .option("checkpointLocation", checkpoint_dir)
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
+    with _utc_session_tz(spark):
+        stream = spark.readStream.schema(INGEST_SCHEMA).parquet(input_dir)
+        agg = (
+            stream.withWatermark("event_ts", watermark)
+            .groupBy(F.window("event_ts", window))
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_spans").alias("total_spans"))
+            .select(F.col("window.start").alias("window_start"),
+                    F.col("window.end").alias("window_end"),
+                    "n_docs", "total_spans")
+        )
+        q = (agg.writeStream.outputMode("append")
+             .format("parquet").option("path", output_dir)
+             .option("checkpointLocation", checkpoint_dir)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
 
 
 def _sessionize_group(key, pdfs, state):
@@ -92,17 +117,19 @@ def _sessionize_group(key, pdfs, state):
         start = last = None
         n = 0
     out = []
+    pre = []  # stragglers older than the open session by > the gap
     for t in ts_list:
         if last is None:
             start, last, n = t, t, 1
+        elif t < start - SESSION_GAP_SEC:
+            # a straggler older than the open session by more than the
+            # gap belongs to an already-closed EARLIER session — fusing
+            # it into the open one would span a silence the batch
+            # semantics always splits; collect, gap-group below
+            pre.append(t)
         elif t - last > SESSION_GAP_SEC:
             out.append((start, last, n))
             start, last, n = t, t, 1
-        elif t < start - SESSION_GAP_SEC:
-            # a straggler older than the open session by more than the
-            # gap is its OWN (already closed) session — fusing it in
-            # would span a silence the batch semantics always splits
-            out.append((t, t, 1))
         else:
             # an out-of-order event inside the gap extends the session
             # but must never move its boundaries backward (a regressed
@@ -111,6 +138,21 @@ def _sessionize_group(key, pdfs, state):
             n += 1
             last = max(last, t)
             start = min(start, t)
+    if pre:
+        # gap-group the pre-session stragglers with the same sweep as
+        # the main loop (several within one gap of each other form ONE
+        # session, per the batch event_sessions semantics); every group
+        # is closed — each member lies > gap before the open session
+        ps, pl, pn = pre[0], pre[0], 1
+        for t in pre[1:]:
+            if t - pl > SESSION_GAP_SEC:
+                out.append((ps, pl, pn))
+                ps, pl, pn = t, t, 1
+            else:
+                pn += 1
+                pl = t
+        out.append((ps, pl, pn))
+        out.sort()
     if last is not None:
         state.update((start, last, n))
         # close the open session once the watermark passes last + gap
@@ -130,19 +172,20 @@ def sessionize_stream(spark: SparkSession, input_dir: str,
     boundaries); older ones are dropped by the engine."""
     from pyspark.sql.streaming.state import GroupStateTimeout
     os.makedirs(checkpoint_dir, exist_ok=True)
-    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
-    sessions = (
-        stream.withWatermark("ts", watermark)
-        .groupBy("user_id")
-        .applyInPandasWithState(
-            _sessionize_group,
-            outputStructType=SESSION_OUT_SCHEMA,
-            stateStructType=SESSION_STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.EventTimeTimeout)
-    )
-    q = (sessions.writeStream.outputMode("append")
-         .format("parquet").option("path", output_dir)
-         .option("checkpointLocation", checkpoint_dir)
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
+    with _utc_session_tz(spark):
+        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
+        sessions = (
+            stream.withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _sessionize_group,
+                outputStructType=SESSION_OUT_SCHEMA,
+                stateStructType=SESSION_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout)
+        )
+        q = (sessions.writeStream.outputMode("append")
+             .format("parquet").option("path", output_dir)
+             .option("checkpointLocation", checkpoint_dir)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()

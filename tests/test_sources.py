@@ -30,3 +30,14 @@ def test_read_corpus_rejects_unknown_format(spark):
     from pdf_table_spark.sources import read_corpus
     with pytest.raises(ValueError, match="unknown corpus format"):
         read_corpus(spark, "/nonexistent", fmt="xml")
+
+
+def test_sniff_remote_uri_by_extension():
+    """Paths the local filesystem cannot see (s3://, hdfs://) sniff by
+    the path string's extension instead of silently defaulting to
+    parquet; extension-less remote paths refuse fmt='auto'."""
+    from pdf_table_spark.sources.corpus import _sniff
+    assert _sniff("s3://bucket/corpus/dump.jsonl") == "json"
+    assert _sniff("hdfs://nn/corpus/part-0.parquet") == "parquet"
+    with pytest.raises(ValueError, match="cannot sniff"):
+        _sniff("s3://bucket/corpus/")

@@ -161,3 +161,53 @@ def test_sessionization_ancient_straggler_is_own_session(spark, dirs):
     got = _read_sessions(dirs["out"])
     assert (7, "09:00", "09:00", 1) in got   # its own session
     assert (7, "12:00", "12:00", 1) in got   # not fused across 3h
+
+
+def test_sessionization_straggler_group_is_one_session(spark, dirs):
+    """Several ancient stragglers arriving in ONE batch, each within
+    the 30-min gap of the next, form ONE session (the batch
+    event_sessions semantics) — not one singleton session apiece."""
+    from pdf_table_spark.streaming.windowed import sessionize_stream
+    wm = "6 hours"
+    _write_events(dirs["in"], "g1.parquet", [(5, _ts(14, 0), 1)])
+    sessionize_stream(spark, dirs["in"], dirs["out"], dirs["ckpt"],
+                      watermark=wm)
+    # three stragglers, 10 min apart, all > gap before the open 14:00
+    # session — one group; plus a fourth > gap earlier than those (but
+    # inside the 6h lateness allowance) — its own group
+    _write_events(dirs["in"], "g2.parquet", [
+        (5, _ts(9, 0), 2), (5, _ts(9, 10), 3), (5, _ts(9, 20), 4),
+        (5, _ts(8, 10), 5)])
+    sessionize_stream(spark, dirs["in"], dirs["out"], dirs["ckpt"],
+                      watermark=wm)
+    got = _read_sessions(dirs["out"])
+    assert (5, "09:00", "09:20", 3) in got   # gap-grouped, not 3 rows
+    assert (5, "08:10", "08:10", 1) in got   # separate earlier group
+    assert not any(r == (5, "09:00", "09:00", 1) for r in got)
+    assert not any(r == (5, "09:10", "09:10", 1) for r in got)
+
+
+def test_sessionization_non_utc_session_timezone(spark, dirs):
+    """The stateful sessionizer must survive (and stay correct under) a
+    non-UTC spark.sql.session.timeZone: timestamps reach Python tz-naive
+    in the session zone while setTimeoutTimestamp compares against the
+    true-UTC watermark — west-of-UTC zones killed the query before the
+    UTC pin."""
+    from pdf_table_spark.streaming.windowed import sessionize_stream
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        _write_events(dirs["in"], "z1.parquet", [
+            (3, _ts(10, 0), 1), (3, _ts(10, 10), 2)])
+        sessionize_stream(spark, dirs["in"], dirs["out"], dirs["ckpt"])
+        # timeout close via a later event — this is where a sub-watermark
+        # timeout timestamp would raise before the fix
+        _write_events(dirs["in"], "z2.parquet", [(3, _ts(13, 0), 3)])
+        sessionize_stream(spark, dirs["in"], dirs["out"], dirs["ckpt"])
+        got = _read_sessions(dirs["out"])
+        assert (3, "10:00", "10:10", 2) in got
+        # context manager restored the caller's timezone
+        assert (spark.conf.get("spark.sql.session.timeZone")
+                == "America/Los_Angeles")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
