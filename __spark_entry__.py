@@ -129,6 +129,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", "offset", "kind", "text")
         )
 
+    def q_ocr_table_logi(spark, sf_dir):
+        # the polygon + logical-axis TSR contract (LORE / CenterNet /
+        # LGPMA family): docs whose ocr_page payloads carry "logi"
+        # axes decode via core.logicell (process_logic_output rounding
+        # -> is_priori sort -> build_table_cell_from_axis grid ->
+        # cell-grid text match)
+        spans = _spans_df(spark, sf_dir)
+        logi_docs = spans.filter(
+            F.expr("exists(spans, s -> s.kind = 'ocr_page' "
+                   "and s.text like '%\"logi\"%')")
+        ).select("doc_id")
+        return (
+            _extract_flat(spark, sf_dir)
+            .join(F.broadcast(logi_docs), "doc_id")
+            .select("doc_id", "offset", "kind", "text")
+        )
+
     def q_extract_kind_stats(spark, sf_dir):
         return (
             _extract_flat(spark, sf_dir)
@@ -375,6 +392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_spans_stream": q_extract_spans_stream,
         "table_quality": q_table_quality,
         "ocr_table_match": q_ocr_table_match,
+        "ocr_table_logi": q_ocr_table_logi,
         "extract_kind_stats": q_extract_kind_stats,
         "extract_tables_per_doc": q_extract_tables_per_doc,
         "imaged_doc_classifier": q_imaged_doc_classifier,
@@ -706,6 +724,15 @@ def oracle_sql() -> dict[str, str]:
             join (select doc_id from {spans}
                   where len(list_filter(spans,
                         s -> s.kind = 'ocr_page')) > 0) d
+              on g.doc_id = d.doc_id
+        """,
+        "ocr_table_logi": f"""
+            select g.doc_id, g."offset" as offset, g.kind, g.text
+            from {golden} g
+            join (select doc_id from {spans}
+                  where len(list_filter(spans,
+                        s -> s.kind = 'ocr_page'
+                        and s.text like '%"logi"%')) > 0) d
               on g.doc_id = d.doc_id
         """,
         # casts: DuckDB sum(bigint) returns HUGEINT (int128); Spark

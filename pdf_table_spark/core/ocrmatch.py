@@ -29,12 +29,26 @@ rectangles that both sides of this matching always are.
 
     {"width": W, "height": H,
      "det_cells": [{"x0","y0","x1","y1","text"}, ...],
-     "tables": [{"tokens": [...structure tokens...],
-                 "cell_bboxes": [[x0,y0,x1,y1], ...]}, ...]}
+     "tables": [
+        # token-stream contract (SLANet / TableMaster family):
+        {"tokens": [...structure tokens...],
+         "cell_bboxes": [[x0,y0,x1,y1], ...],
+         "use_master": true|false,          # model-type dispatch:
+                                            # true (default) = 3-tier
+                                            # match + X10 master splice;
+                                            # false = J2 argmin + plain
+                                            # get_pred_html splice
+         "region": [x0,y0,x1,y1]},          # optional layout-crop bbox
+        # polygon + logical-axis contract (LORE / CenterNet / LGPMA):
+        {"polygons": [[x1,y1,...,x4,y4], ...],
+         "logi": [[left,right,top,bottom] floats, ...],
+         "region": [x0,y0,x1,y1]},
+        ...]}
 
 ``cell_bboxes[i]`` pairs with the i-th ``<td``-starting token after
 span-token merging; ``<eb*>`` empty-cell tokens carry no bbox (the
 reference's zero-bbox convention after ``remove_empty_bboxes``).
+The polygon/logi contract decodes via ``core.logicell``.
 """
 
 from __future__ import annotations
@@ -341,6 +355,75 @@ def deal_bb(html: str) -> str:
     return html.replace(thead, new)
 
 
+# ---------------------------------------------------------------- J2 splice
+
+def splice_plain(tokens, matched: dict, texts: list[str]) -> str:
+    """The non-master splice (``TableMatch.get_pred_html``,
+    ``matcher.py:102-140``): walk the raw token stream, insert each
+    matched det's text before the ``</td>``-bearing token. Multi-det
+    cells strip a leading space and any ``<b>``/``</b>`` wrappers per
+    piece and join with single spaces; a first piece carrying ``<b>``
+    bolds the whole cell. No ``<eb>`` expansion, no ``deal_bb`` — the
+    reference's plain path does neither."""
+    out = []
+    td_index = 0
+    for tag in tokens:
+        if "</td>" in tag:
+            if tag == "<td></td>":
+                out.append("<td>")
+            if td_index in matched:
+                idxs = matched[td_index]
+                b_with = ("<b>" in texts[idxs[0]] and len(idxs) > 1)
+                if b_with:
+                    out.append("<b>")
+                for i, di in enumerate(idxs):
+                    content = texts[di]
+                    if len(idxs) > 1:
+                        if not content:
+                            continue
+                        if content[0] == " ":
+                            content = content[1:]
+                        if "<b>" in content:
+                            content = content[3:]
+                        if "</b>" in content:
+                            content = content[:-4]
+                        if not content:
+                            continue
+                        if i != len(idxs) - 1 and content[-1] != " ":
+                            content += " "
+                    out.append(content)
+                if b_with:
+                    out.append("</b>")
+            if tag == "<td></td>":
+                out.append("</td>")
+            else:
+                out.append(tag)
+            td_index += 1
+        else:
+            out.append(tag)
+    return "".join(out)
+
+
+def extract_table_plain(table: dict, det_cells: list[dict]):
+    """One token-stream table through the NON-master route the
+    reference selects for SLANet-type models
+    (``ocr_table_to_html_task.py:100-167`` picks use_master per model;
+    ``TableMatch.__call__``, ``matcher.py:62-77``): F4 filter → J2
+    ``match_result`` argmin → plain ``get_pred_html`` splice. Returns
+    (html, used_ids) like ``extract_table``; F4-dropped dets stay
+    unconsumed and fall through to page prose."""
+    boxes = [(c["x0"], c["y0"], c["x1"], c["y1"]) for c in det_cells]
+    masters = [tuple(b) for b in table["cell_bboxes"]]
+    keep = _f4_keep(masters)
+    kept = [i for i, c in enumerate(det_cells) if keep(c)]  # F4
+    matched = match_result([boxes[i] for i in kept], masters)
+    matched = {j: [kept[i] for i in idxs] for j, idxs in matched.items()}
+    texts = [c["text"] for c in det_cells]
+    html = splice_plain(table["tokens"], matched, texts)
+    used = {i for idxs in matched.values() for i in idxs}
+    return "<table>" + html + "</table>", used
+
+
 # ---------------------------------------------------------------- page
 
 def extract_table(table: dict, det_cells: list[dict]):
@@ -384,14 +467,26 @@ def orientation_vote_flip(page: dict) -> dict:
         return {**b, "x0": w - b["x1"], "y0": h - b["y1"],
                 "x1": w - b["x0"], "y1": h - b["y0"]}
 
+    def flip_table(t):
+        new = dict(t)
+        if t.get("cell_bboxes"):
+            new["cell_bboxes"] = [
+                [w - b[2], h - b[3], w - b[0], h - b[1]]
+                for b in t["cell_bboxes"]]
+        if t.get("polygons"):
+            new["polygons"] = [
+                [w - p[0], h - p[1], w - p[2], h - p[3],
+                 w - p[4], h - p[5], w - p[6], h - p[7]]
+                for p in t["polygons"]]
+        if t.get("region"):
+            r = t["region"]
+            new["region"] = [w - r[2], h - r[3], w - r[0], h - r[1]]
+        return new
+
     return {
         **page,
         "det_cells": [flip_box(c) for c in det_cells],
-        "tables": [
-            {**t, "cell_bboxes": [
-                [w - b[2], h - b[3], w - b[0], h - b[1]]
-                for b in t.get("cell_bboxes") or []]}
-            for t in page.get("tables") or []],
+        "tables": [flip_table(t) for t in page.get("tables") or []],
     }
 
 
@@ -408,29 +503,54 @@ def extract_ocr_page(payload: str):
     frags = []
     used_all: set[int] = set()
     for table in tables:
-        if not table.get("cell_bboxes"):
-            continue
-        # dets belonging to this table: center inside the table extent
-        bx = table["cell_bboxes"]
+        is_logi = bool(table.get("polygons")) and bool(table.get("logi"))
+        if is_logi:
+            from .logicell import _poly_rect, extract_logi_table
+            bx = [_poly_rect(p) for p in table["polygons"]]
+        else:
+            bx = table.get("cell_bboxes")
+            if not bx:
+                continue
         tx0 = min(b[0] for b in bx)
         ty0 = min(b[1] for b in bx)
         tx1 = max(b[2] for b in bx)
         ty1 = max(b[3] for b in bx)
-        # vertical band padded by one median cell height both ways:
-        # boxes overhanging the table top (tier-2 IoU matches, F4 keeps
-        # them), dets in a tall row's lower band (tier-3 distance
-        # matches), and extra rows just below a truncated prediction
-        # (extra_match) all belong to this table's matching region —
-        # the reference hands the matcher the full det list of the
-        # table's cropped region, which is exactly this band
-        heights = sorted(b[3] - b[1] for b in bx)
-        pad = max(heights[len(heights) // 2], 2.0 * ROW_GROUP_TOL)
-        mine = [i for i, c in enumerate(det_cells)
-                if i not in used_all
-                and tx0 <= (c["x0"] + c["x1"]) / 2.0 <= tx1
-                and ty0 - pad <= (c["y0"] + c["y1"]) / 2.0 <= ty1 + pad]
-        html, used_local = extract_table(
-            table, [det_cells[i] for i in mine])
+        if table.get("region"):
+            # the layout stage's table crop (the reference hands the
+            # matcher exactly the dets of this cropped region,
+            # ``ocr_system_task.py:184-201`` + ``get_text_in_table_bbox``
+            # center-in-bbox ±2, ``table_common.py:1303-1325``) — always
+            # preferred over the band heuristic below
+            rx0, ry0, rx1, ry1 = table["region"]
+            diff = 2.0
+            mine = [i for i, c in enumerate(det_cells)
+                    if i not in used_all
+                    and rx0 - diff <= (c["x0"] + c["x1"]) / 2.0 <= rx1 + diff
+                    and ry0 - diff <= (c["y0"] + c["y1"]) / 2.0 <= ry1 + diff]
+        else:
+            # no declared region: vertical band padded by one median
+            # cell height both ways. Boxes overhanging the table top
+            # (tier-2 IoU matches, F4 keeps them), dets in a tall row's
+            # lower band (tier-3 distance matches), and extra rows just
+            # below a truncated prediction (extra_match) all belong to
+            # this table's matching region. HEURISTIC stand-in for the
+            # crop: pages stacking two tables closer than one cell
+            # height should carry explicit regions.
+            heights = sorted(b[3] - b[1] for b in bx)
+            pad = max(heights[len(heights) // 2], 2.0 * ROW_GROUP_TOL)
+            mine = [i for i, c in enumerate(det_cells)
+                    if i not in used_all
+                    and tx0 <= (c["x0"] + c["x1"]) / 2.0 <= tx1
+                    and ty0 - pad <= (c["y0"] + c["y1"]) / 2.0 <= ty1 + pad]
+        mine_cells = [det_cells[i] for i in mine]
+        if is_logi:
+            html, used_local = extract_logi_table(table, mine_cells)
+            if html is None:
+                continue
+        elif table.get("use_master", True):
+            html, used_local = extract_table(table, mine_cells)
+        else:
+            html, used_local = extract_table_plain(table, mine_cells)
         # only dets whose text actually landed in the HTML are
         # consumed; F4-dropped or unrendered-extra dets fall through to
         # the page-text remainder below

@@ -328,6 +328,179 @@ def _ocr_page(rng):
         sort_keys=True)
 
 
+def _grid_dets(rng, x0, y0, n_rows, n_cols, col_w, row_h,
+               skip=(), multiline_p=0.15):
+    """Det cells for a plain grid: one text per cell, occasionally two
+    stacked lines (exercises the in-cell line grouping)."""
+    dets = []
+    for r in range(n_rows):
+        for c in range(n_cols):
+            if (r, c) in skip:
+                continue
+            cx0, cy0 = x0 + c * col_w, y0 + r * row_h
+            txt = _words(rng, 1, 2)
+            if rng.random() < multiline_p and row_h >= 24.0:
+                # two lines inside one cell: line-grouped by top-y,
+                # joined with NO separator (the reference's ''.join)
+                h2 = row_h / 2.0
+                dets.append({"x0": cx0 + 4.0, "y0": cy0 + 2.0,
+                             "x1": cx0 + 4.0 + 6.0 * len(txt),
+                             "y1": cy0 + h2 - 2.0, "text": txt})
+                txt2 = rng.choice(VOCAB)
+                dets.append({"x0": cx0 + 4.0, "y0": cy0 + h2 + 2.0,
+                             "x1": cx0 + 4.0 + 6.0 * len(txt2),
+                             "y1": cy0 + row_h - 2.0, "text": txt2})
+            else:
+                dets.append({"x0": cx0 + 4.0, "y0": cy0 + 4.0,
+                             "x1": cx0 + 4.0 + 6.0 * len(txt),
+                             "y1": cy0 + row_h - 4.0, "text": txt})
+    return dets
+
+
+def _ocr_page_logi(rng):
+    """F-J variant: the polygon + logical-axis TSR contract (LORE /
+    CenterNet / LGPMA family). The model emits float logical axes with
+    jitter and the cell polygons in MODEL order (not reading order) —
+    the decode must round (process_logic_output), sort (is_priori), and
+    build the spanning grid (build_table_cell_from_axis)."""
+    n_rows, n_cols = rng.randint(3, 5), rng.randint(2, 4)
+    x0, y0 = 60.0, 80.0
+    col_w, row_h = 130.0, 28.0
+    span_row = rng.randint(0, n_rows - 1) if rng.random() < 0.5 else -1
+
+    units = []  # (left, right, top, bottom, poly)
+    skip = set()
+    for r in range(n_rows):
+        c = 0
+        while c < n_cols:
+            if r == span_row and c == 0:
+                w = 2 if n_cols >= 2 else 1
+                units.append((0, w - 1, r, r, (
+                    x0, y0 + r * row_h, x0 + w * col_w, y0 + (r + 1) * row_h)))
+                for cc in range(w):
+                    skip.add((r, cc))
+                # the spanning cell still gets ONE det (in its middle)
+                c += w
+                continue
+            units.append((c, c, r, r, (
+                x0 + c * col_w, y0 + r * row_h,
+                x0 + (c + 1) * col_w, y0 + (r + 1) * row_h)))
+            c += 1
+    rng.shuffle(units)  # model order ≠ reading order
+
+    polygons, logi = [], []
+    for left, right, top, bottom, (bx0, by0, bx1, by1) in units:
+        polygons.append([bx0, by0, bx1, by0, bx1, by1, bx0, by1])
+        # float axes with jitter the rounding must undo; strictly
+        # inside (-0.5, 0.5) so the rounded value is unambiguous
+        logi.append([v + rng.uniform(-0.45, 0.45)
+                     for v in (left, right, top, bottom)])
+
+    dets = _grid_dets(rng, x0, y0, n_rows, n_cols, col_w, row_h,
+                      skip=skip)
+    if span_row >= 0:
+        txt = _words(rng, 1, 2)
+        dets.append({"x0": x0 + 8.0, "y0": y0 + span_row * row_h + 4.0,
+                     "x1": x0 + 8.0 + 6.0 * len(txt),
+                     "y1": y0 + (span_row + 1) * row_h - 4.0,
+                     "text": txt})
+    if rng.random() < 0.3 and dets:
+        # drop one det → its cell renders EMPTY (unmatched-cell path)
+        dets.pop(rng.randrange(len(dets)))
+
+    # prose below the table, beyond the band pad, → paragraphs
+    py = y0 + n_rows * row_h + 3.0 * row_h
+    for _ in range(rng.randint(0, 2)):
+        line = _words(rng, 4, 8)
+        dets.append({"x0": x0, "y0": py, "x1": x0 + 6.0 * len(line),
+                     "y1": py + 12.0, "text": line})
+        py += 22.0
+
+    table = {"polygons": polygons, "logi": logi}
+    if rng.random() < 0.5:
+        # layout-crop region (S-task table crop) — preferred over the
+        # band heuristic when present
+        table["region"] = [x0 - 4.0, y0 - 4.0,
+                           x0 + n_cols * col_w + 4.0,
+                           y0 + n_rows * row_h + 4.0]
+    return json.dumps({
+        "width": PAGE_W, "height": PAGE_H,
+        "det_cells": dets, "tables": [table]}, sort_keys=True)
+
+
+def _ocr_page_plain(rng):
+    """F-J variant: the SLANet-type NON-master route (use_master=false):
+    J2 match_result argmin + plain get_pred_html splice. Includes an F4
+    casualty above the table and a multi-det cell (space-joined with
+    the plain path's stripping semantics)."""
+    n_rows, n_cols = rng.randint(2, 4), rng.randint(2, 4)
+    x0, y0 = 70.0, 90.0
+    col_w, row_h = 120.0, 26.0
+    tokens, cell_bboxes = [], []
+    for r in range(n_rows):
+        tokens.append("<tr>")
+        for c in range(n_cols):
+            tokens.append("<td></td>")
+            cell_bboxes.append([x0 + c * col_w, y0 + r * row_h,
+                                x0 + (c + 1) * col_w,
+                                y0 + (r + 1) * row_h])
+        tokens.append("</tr>")
+    dets = _grid_dets(rng, x0, y0, n_rows, n_cols, col_w, row_h,
+                      multiline_p=0.0)
+    if rng.random() < 0.5:
+        # multi-det cell: second det right of the first in cell (0,0)
+        extra = rng.choice(VOCAB)
+        dets.append({"x0": x0 + 62.0, "y0": y0 + 4.0,
+                     "x1": x0 + 62.0 + 6.0 * len(extra),
+                     "y1": y0 + row_h - 4.0, "text": extra})
+    if rng.random() < 0.5:
+        # F4: entirely above the table top → dropped, lands in prose
+        cap = _words(rng, 2, 4)
+        dets.append({"x0": x0, "y0": y0 - 30.0,
+                     "x1": x0 + 6.0 * len(cap), "y1": y0 - 16.0,
+                     "text": cap})
+    return json.dumps({
+        "width": PAGE_W, "height": PAGE_H,
+        "det_cells": dets,
+        "tables": [{"tokens": tokens, "cell_bboxes": cell_bboxes,
+                    "use_master": False}]}, sort_keys=True)
+
+
+def _ocr_page_stacked(rng):
+    """F-J variant: two tables stacked closer than one cell height,
+    each with an explicit layout-crop region — the case the band
+    heuristic mis-assigns (tests pin that failure; regions fix it)."""
+    x0 = 70.0
+    col_w, row_h = 120.0, 26.0
+    gap = row_h * 0.6  # < one cell height
+    pages = []
+    y = 90.0
+    for _ in range(2):
+        n_rows, n_cols = rng.randint(2, 3), rng.randint(2, 3)
+        tokens, cell_bboxes = [], []
+        for r in range(n_rows):
+            tokens.append("<tr>")
+            for c in range(n_cols):
+                tokens.append("<td></td>")
+                cell_bboxes.append([x0 + c * col_w, y + r * row_h,
+                                    x0 + (c + 1) * col_w,
+                                    y + (r + 1) * row_h])
+            tokens.append("</tr>")
+        dets = _grid_dets(rng, x0, y, n_rows, n_cols, col_w, row_h,
+                          multiline_p=0.0)
+        pages.append((tokens, cell_bboxes, dets,
+                      [x0 - 4.0, y - gap / 2.0,
+                       x0 + n_cols * col_w + 4.0,
+                       y + n_rows * row_h + gap / 2.0]))
+        y += n_rows * row_h + gap
+    det_cells = [d for _, _, ds, _ in pages for d in ds]
+    tables = [{"tokens": t, "cell_bboxes": b, "use_master": False,
+               "region": rg} for t, b, _, rg in pages]
+    return json.dumps({
+        "width": PAGE_W, "height": PAGE_H,
+        "det_cells": det_cells, "tables": tables}, sort_keys=True)
+
+
 def _skewed_page(rng):
     """F-K: a ruled-table page 'scanned' at a small skew angle — ruling
     lines become explicit (slightly diagonal) ``segs`` and every text
@@ -555,10 +728,23 @@ def gen_doc(doc_idx: int, seed: int = 42, heavy: bool = False):
     if family == "F-J":
         # imaged document: page image blobs + OCR-path payloads, no
         # digital text at all (S6 classifies it imaged; the OCR
-        # dataflow extracts it anyway)
+        # dataflow extracts it anyway). Pages mix the decoder output
+        # contracts: master token stream (TableMaster/MtlTabNet),
+        # plain token stream (SLANet, use_master=false), polygon +
+        # logical axis (LORE/CenterNet/LGPMA), and stacked tables
+        # with layout-crop regions.
         for p in range(rng.randint(1, 2)):
             add("image", "", f"blob://{doc_id}/page{p}")
-            add("ocr_page", _ocr_page(rng), f"page://{doc_id}/{p}")
+            draw = rng.random()
+            if draw < 0.5:
+                payload = _ocr_page(rng)
+            elif draw < 0.7:
+                payload = _ocr_page_logi(rng)
+            elif draw < 0.9:
+                payload = _ocr_page_plain(rng)
+            else:
+                payload = _ocr_page_stacked(rng)
+            add("ocr_page", payload, f"page://{doc_id}/{p}")
         return doc_id, spans, family
 
     n_pages = rng.randint(200, 500) if family == "F-G" else rng.randint(1, 3)

@@ -18,9 +18,13 @@ def test_flavor_forcing_semantics(spark, corpus):
     stream = read_documents_flat(spark, corpus, flavor="stream")
 
     def tables_with_width(df):
-        # lattice tables serialize with width="..%"; stream ones don't
+        # lattice tables serialize with width="..%"; stream ones don't.
+        # Restrict to the digital path (accuracy non-null): OCR-path
+        # tables are flavor-INdependent and the logi contract also
+        # serializes widths.
         return df.filter(
             (df.kind == "table_html") & df.text.contains('width="')
+            & df.accuracy.isNotNull()
         ).count()
 
     assert tables_with_width(lattice) > 0
