@@ -1,0 +1,296 @@
+"""FROZEN mini-goldens — hand-written literal expectations.
+
+THESE LITERALS MUST NEVER BE REGENERATED FROM THE CODE UNDER TEST.
+
+The fixture goldens (fixtures/sf*/golden_flat.parquet) are produced by
+``core.page.extract_document`` — the same code the Spark stage runs —
+so the e2e oracle gate proves distributed-plumbing equivalence, not
+reference parity: a semantic regression shared by both sides is
+invisible there. THIS file is the reference anchor: one crafted page
+per fixture family with its expected output derived BY HAND from the
+reference's semantics (file:line cited per case) and verified by
+inspection at freeze time (round 3, 2026-08-16).
+
+If one of these tests fails, the pipeline's SEMANTICS changed. Either
+the change is a bug (fix it) or it is a deliberate, reference-justified
+semantic change — in that case update the literal IN THE SAME COMMIT
+with a comment citing the reference lines that justify the new value.
+Never re-derive these by running the pipeline and pasting its output.
+"""
+
+import json
+import math
+
+import pytest
+
+from pdf_table_spark.core.page import extract_document, rotate_page_90cw
+
+W, H = 612.0, 792.0
+FONT, LINE_H = 10.0, 14.0
+
+
+def _page(text_lines, rects=None, images=None, **extra):
+    d = {"width": W, "height": H, "text_lines": text_lines,
+         "rects": rects or [], "images": images or []}
+    d.update(extra)
+    return json.dumps(d, sort_keys=True)
+
+
+def _t(x0, y0, x1, y1, s, d="h"):
+    return {"x0": x0, "y0": y0, "x1": x1, "y1": y1, "text": s, "dir": d}
+
+
+def _rect(x0, y0, x1, y1):
+    return {"x0": x0, "y0": y0, "x1": x1, "y1": y1}
+
+
+def _hline(x0, x1, y):
+    return _rect(x0, y - 0.5, x1, y + 0.5)
+
+
+def _vline(y0, y1, x):
+    return _rect(x - 0.5, y0, x + 0.5, y1)
+
+
+def _extract(kind, payload, ref="m"):
+    return extract_document(
+        [{"kind": kind, "text": payload, "media_ref": ref, "offset": 0}])
+
+
+# A 2x2 ruled grid, x 100..300 / y 600..660 (PDF coords, y up), texts
+# centered per cell. Reading order is top-down, so row (a b) precedes
+# (c d); widths are per-cell share of the table width (100/200 = 50%).
+_GRID_2X2 = [_hline(100, 300, 660), _hline(100, 300, 630),
+             _hline(100, 300, 600), _vline(600, 660, 100),
+             _vline(600, 660, 200), _vline(600, 660, 300)]
+_TEXTS_2X2 = [_t(110, 636, 150, 648, "a"), _t(210, 636, 250, 648, "b"),
+              _t(110, 606, 150, 618, "c"), _t(210, 606, 250, 618, "d")]
+# cell_to_html parity: table_common.py:578-667 (border="1", tbody, td,
+# width%); placement accuracy 100 / whitespace 0: pdf_utils.py:1142-1193
+_HTML_2X2 = ('<table border="1"><tbody>'
+             '<tr><td width="50%">a</td><td width="50%">b</td></tr>'
+             '<tr><td width="50%">c</td><td width="50%">d</td></tr>'
+             "</tbody></table>")
+
+
+def test_frozen_ruled_2x2():
+    out = _extract("pdf_page", _page(_TEXTS_2X2, _GRID_2X2))
+    assert [(o["kind"], o["text"]) for o in out] == \
+        [("table_html", _HTML_2X2)]
+    assert out[0]["accuracy"] == pytest.approx(100.0)
+    assert out[0]["whitespace"] == 0.0
+
+
+def test_frozen_ruled_spanning_header():
+    # same grid minus the header row's middle vertical → the header
+    # cell spans both columns (joint-absence merge, the lattice cell
+    # sweep: table_core.py / W3-W4)
+    grid = [_hline(100, 300, 660), _hline(100, 300, 630),
+            _hline(100, 300, 600), _vline(600, 660, 100),
+            _vline(600, 630, 200), _vline(600, 660, 300)]
+    texts = [_t(150, 636, 250, 648, "hdr"),
+             _t(110, 606, 150, 618, "c"), _t(210, 606, 250, 618, "d")]
+    out = _extract("pdf_page", _page(texts, grid))
+    assert [(o["kind"], o["text"]) for o in out] == [(
+        "table_html",
+        '<table border="1"><tbody>'
+        '<tr><td colspan="2" width="100%">hdr</td></tr>'
+        '<tr><td width="50%">c</td><td width="50%">d</td></tr>'
+        "</tbody></table>")]
+
+
+def test_frozen_stream_6x2():
+    # Nurminen whitespace table (no rulings): 6 aligned rows x 2 cols,
+    # _stream_table layout (col starts 90/200, rows LINE_H apart).
+    # Stream tables serialize WITHOUT width attrs.
+    rows = [("alpha", "1.00"), ("bravo", "2.50"), ("charlie", "3.25"),
+            ("delta", "4.00"), ("echo", "5.75"), ("foxtrot", "6.50")]
+    st = []
+    for r, (a, b) in enumerate(rows):
+        ty = 680.0 - r * LINE_H - FONT
+        st.append(_t(90.0, ty, 90.0 + 6.0 * len(a), ty + FONT, a))
+        st.append(_t(200.0, ty, 200.0 + 6.0 * len(b), ty + FONT, b))
+    out = _extract("pdf_page", _page(st))
+    assert [(o["kind"], o["text"]) for o in out] == [(
+        "table_html",
+        '<table border="1"><tbody>'
+        "<tr><td>alpha</td><td>1.00</td></tr>"
+        "<tr><td>bravo</td><td>2.50</td></tr>"
+        "<tr><td>charlie</td><td>3.25</td></tr>"
+        "<tr><td>delta</td><td>4.00</td></tr>"
+        "<tr><td>echo</td><td>5.75</td></tr>"
+        "<tr><td>foxtrot</td><td>6.50</td></tr>"
+        "</tbody></table>")]
+    assert out[0]["accuracy"] == pytest.approx(100.0)
+
+
+def test_frozen_prose_two_paragraphs():
+    # W1/W2: indented first lines start paragraphs; in-paragraph lines
+    # merge in order (fixture lines carry a trailing space)
+    pr = []
+    y = 720.0
+    for lines in (["one two three four five ",
+                   "six seven eight nine ten ", "eleven twelve "],
+                  ["second paragraph starts here ", "and ends short "]):
+        for li, line in enumerate(lines):
+            indent = 2.0 * FONT if li == 0 else 0.0
+            w = 440.0 if li < len(lines) - 1 else 220.0
+            pr.append(_t(72.0 + indent, y - FONT,
+                         72.0 + indent + w, y, line))
+            y -= LINE_H
+        y -= LINE_H
+    out = _extract("pdf_page", _page(pr))
+    assert [(o["kind"], o["text"]) for o in out] == [
+        ("paragraph",
+         "one two three four five six seven eight nine ten "
+         "eleven twelve "),
+        ("paragraph", "second paragraph starts here and ends short "),
+    ]
+
+
+def test_frozen_ocr_master_thead_bold():
+    # master token-stream contract: deal_bb bolds every thead cell
+    # (table_master_match.py:664-736); page remainder dets become
+    # reading-order paragraphs
+    tokens = ["<thead>", "<tr>", "<td></td>", "<td></td>", "</tr>",
+              "</thead>", "<tbody>", "<tr>", "<td></td>", "<td></td>",
+              "</tr>", "</tbody>"]
+    bb = [[50, 60, 150, 90], [150, 60, 250, 90],
+          [50, 90, 150, 120], [150, 90, 250, 120]]
+    dets = [{"x0": 60, "y0": 65, "x1": 100, "y1": 85, "text": "h1"},
+            {"x0": 160, "y0": 65, "x1": 200, "y1": 85, "text": "h2"},
+            {"x0": 60, "y0": 95, "x1": 100, "y1": 115, "text": "v1"},
+            {"x0": 160, "y0": 95, "x1": 200, "y1": 115, "text": "v2"},
+            {"x0": 50, "y0": 300, "x1": 200, "y1": 315,
+             "text": "ocr prose line"}]
+    ocr = json.dumps({"width": W, "height": H, "det_cells": dets,
+                      "tables": [{"tokens": tokens, "cell_bboxes": bb}]},
+                     sort_keys=True)
+    out = _extract("ocr_page", ocr)
+    assert [(o["kind"], o["text"]) for o in out] == [
+        ("table_html",
+         "<table><thead><tr><td><b>h1</b></td><td><b>h2</b></td></tr>"
+         "</thead><tbody><tr><td>v1</td><td>v2</td></tr></tbody>"
+         "</table>"),
+        ("paragraph", "ocr prose line"),
+    ]
+    assert out[0]["accuracy"] is None  # OCR path carries no A9 metrics
+
+
+def test_frozen_ocr_three_tier_match():
+    # J3 composition (table_master_match.py:308-404): t1/t3 by center
+    # rule, t2 overhanging above the top by IoU rule (F4 keeps it:
+    # its bottom is below the table top), t4 by the distance rule
+    # (master (1,1) det-less, t4 below the grid)
+    tokens = ["<tbody>", "<tr>", "<td></td>", "<td></td>", "</tr>",
+              "<tr>", "<td></td>", "<td></td>", "</tr>", "</tbody>"]
+    bb = [[50, 60, 150, 90], [150, 60, 250, 90],
+          [50, 90, 150, 120], [150, 90, 250, 120]]
+    dets = [
+        {"x0": 60, "y0": 65, "x1": 100, "y1": 85, "text": "t1"},
+        {"x0": 160, "y0": 40, "x1": 240, "y1": 65, "text": "t2"},
+        {"x0": 60, "y0": 95, "x1": 100, "y1": 115, "text": "t3"},
+        {"x0": 160, "y0": 122, "x1": 200, "y1": 138, "text": "t4"},
+    ]
+    ocr = json.dumps({"width": W, "height": H, "det_cells": dets,
+                      "tables": [{"tokens": tokens, "cell_bboxes": bb}]},
+                     sort_keys=True)
+    out = _extract("ocr_page", ocr)
+    assert [(o["kind"], o["text"]) for o in out] == [(
+        "table_html",
+        "<table><tbody><tr><td>t1</td><td>t2</td></tr>"
+        "<tr><td>t3</td><td>t4</td></tr></tbody></table>")]
+
+
+def test_frozen_ocr_logi_contract():
+    # LORE/CenterNet polygon + logical-axis contract: float axes round
+    # per process_logic_output (lineless_table_process.py:661-666),
+    # spanning bottom cell from (left,right)=(0,1); widths from the
+    # decoded pixel grid (cell_to_html add_width)
+    def poly(x0, y0, x1, y1):
+        return [x0, y0, x1, y0, x1, y1, x0, y1]
+
+    table = {
+        "polygons": [poly(50, 60, 150, 90), poly(150, 60, 250, 90),
+                     poly(50, 90, 250, 120)],
+        "logi": [[0.2, -0.3, 0.1, 0.4], [0.8, 1.2, -0.2, 0.3],
+                 [0.1, 1.3, 0.7, 1.2]],
+    }
+    dets = [{"x0": 60, "y0": 65, "x1": 100, "y1": 85, "text": "k1"},
+            {"x0": 160, "y0": 65, "x1": 200, "y1": 85, "text": "k2"},
+            {"x0": 60, "y0": 95, "x1": 140, "y1": 115, "text": "wide"}]
+    ocr = json.dumps({"width": W, "height": H, "det_cells": dets,
+                      "tables": [table]}, sort_keys=True)
+    out = _extract("ocr_page", ocr)
+    assert [(o["kind"], o["text"]) for o in out] == [(
+        "table_html",
+        '<table border="1"><tbody>'
+        '<tr><td width="50%">k1</td><td width="50%">k2</td></tr>'
+        '<tr><td colspan="2" width="100%">wide</td></tr>'
+        "</tbody></table>")]
+
+
+def test_frozen_rotation_90_normalizes():
+    # M1: a page declared rotated 90° cw extracts exactly like the
+    # upright page
+    p = json.loads(_page(_TEXTS_2X2, _GRID_2X2))
+    p = rotate_page_90cw(p)
+    p["rotation"] = 90
+    out = _extract("pdf_page", json.dumps(p, sort_keys=True))
+    assert [(o["kind"], o["text"]) for o in out] == \
+        [("table_html", _HTML_2X2)]
+
+
+def test_frozen_deskew_small_angle():
+    # M1/X8: the same 2x2 grid scanned at +1.0° (rulings as diagonal
+    # segs, text centers rotated) deskews back to the upright result
+    theta = 1.0
+    cx, cy = W / 2, H / 2
+    c_ = math.cos(math.radians(theta))
+    s_ = math.sin(math.radians(theta))
+
+    def rot(x, y):
+        dx, dy = x - cx, y - cy
+        return cx + dx * c_ - dy * s_, cy + dx * s_ + dy * c_
+
+    segs = []
+    for (x0, y0, x1, y1) in [(100, 660, 300, 660), (100, 630, 300, 630),
+                             (100, 600, 300, 600), (100, 600, 100, 660),
+                             (200, 600, 200, 660), (300, 600, 300, 660)]:
+        p0, p1 = rot(x0, y0), rot(x1, y1)
+        segs.append({"x0": p0[0], "y0": p0[1], "x1": p1[0], "y1": p1[1]})
+    texts = []
+    for tx in _TEXTS_2X2:
+        ctr = rot((tx["x0"] + tx["x1"]) / 2, (tx["y0"] + tx["y1"]) / 2)
+        w, h = (tx["x1"] - tx["x0"]) / 2, (tx["y1"] - tx["y0"]) / 2
+        texts.append(_t(ctr[0] - w, ctr[1] - h, ctr[0] + w, ctr[1] + h,
+                        tx["text"]))
+    payload = json.dumps(
+        {"width": W, "height": H, "text_lines": texts, "rects": [],
+         "images": [], "segs": segs}, sort_keys=True)
+    out = _extract("pdf_page", payload)
+    assert [(o["kind"], o["text"]) for o in out] == \
+        [("table_html", _HTML_2X2)]
+
+
+def test_frozen_image_spans_and_tiny_filter():
+    # S5 embedded-image emit + F3 tiny-image drop (area 16 < 20)
+    imgs = [{"x0": 100, "y0": 500, "x1": 200, "y1": 600,
+             "name": "img://big"},
+            {"x0": 300, "y0": 500, "x1": 304, "y1": 504,
+             "name": "img://tiny"}]
+    out = _extract("pdf_page", _page([], None, imgs))
+    assert [(o["kind"], o["media_ref"]) for o in out] == \
+        [("image", "img://big")]
+
+
+def test_frozen_html_table_canonicalization():
+    # F-F: html_table spans re-serialize through the same cell_to_html
+    # alphabet (border="1", tbody) with spans preserved
+    frag = ('<table><tr><td rowspan="2">x</td><td>y</td></tr>'
+            "<tr><td>z</td></tr></table>")
+    out = _extract("html_table", frag, ref="")
+    assert [(o["kind"], o["text"]) for o in out] == [(
+        "table_html",
+        '<table border="1"><tbody><tr><td rowspan="2">x</td><td>y</td>'
+        "</tr><tr><td>z</td></tr></tbody></table>")]
