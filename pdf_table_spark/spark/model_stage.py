@@ -33,13 +33,29 @@ from pyspark.sql import functions as F
 
 # fixed 4x3 linear head: rows = (n_text_lines, n_rects, n_images, bias),
 # cols = (table, text, figure). Literal so the DuckDB oracle can embed
-# the identical values.
+# the identical values. This is the FALLBACK when no serialized
+# artifact is supplied — production loads a .npz via ``weights_path``
+# (the reference's weights come off disk too, base_infer_task.py:171-303).
 WEIGHTS = [
     [0.05, 0.40, -0.10],
     [0.80, -0.20, 0.05],
     [-0.30, -0.10, 2.00],
     [0.10, 0.50, 0.20],
 ]
+
+
+def save_weights(path: str, weights, version: str) -> None:
+    """Serialize a layout head to ``.npz`` (weights matrix + version
+    string) — the artifact format ``score_page_layout(weights_path=…)``
+    loads on the driver and broadcasts."""
+    np.savez(path, weights=np.asarray(weights, dtype=np.float64),
+             version=np.array(version))
+
+
+def load_weights(path: str):
+    """Load a ``.npz`` layout head → (weights ndarray, version str)."""
+    with np.load(path) as npz:
+        return npz["weights"], str(npz["version"])
 
 CLASSES = ["table", "text", "figure"]
 
@@ -52,22 +68,26 @@ MODEL_VERSION = "layout-linear-v1"
 _MODEL_SINGLETON: dict = {}
 
 
-def _get_model(version: str, weights_bc):
+def _get_model(version: str, weights_bc, mat_counter=None):
     """Executor-side lazy singleton: one materialized model per Python
     worker per model VERSION. Keyed by an explicit version string, not
     the broadcast object — each task deserializes a fresh Broadcast
     wrapper, so an id()-based key would re-materialize (and leak) the
-    model on every task."""
+    model on every task. ``mat_counter`` (an Accumulator) counts actual
+    materializations so tests can assert once-per-worker-per-version."""
     model = _MODEL_SINGLETON.get(version)
     if model is None:
         model = np.asarray(weights_bc.value, dtype=np.float64)
         _MODEL_SINGLETON[version] = model
+        if mat_counter is not None:
+            mat_counter.add(1)
     return model
 
 
-def _make_stage(weights_bc):
+def _make_stage(weights_bc, version: str = MODEL_VERSION,
+                mat_counter=None):
     def stage(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        w = _get_model(MODEL_VERSION, weights_bc)
+        w = _get_model(version, weights_bc, mat_counter)
         for batch in batches:
             cols = {n: batch.column(i).to_pylist()
                     for i, n in enumerate(batch.schema.names)}
@@ -98,19 +118,35 @@ def _make_stage(weights_bc):
     return stage
 
 
-def score_page_layout(docs_spans: DataFrame) -> DataFrame:
+def score_page_layout(docs_spans: DataFrame,
+                      weights_path: str | None = None,
+                      _mat_counter=None) -> DataFrame:
     """documents(doc_id, spans) → one scored row per pdf_page span.
 
     Plan: explode → filter to pages (codegen) → broadcast-weights Arrow
     stage. The same shape carries a real PicoDet/SLANet/LORE model at
     production scale — only ``_get_model``/the matmul change.
+
+    ``weights_path``: a ``.npz`` artifact (see ``save_weights``) loaded
+    ONCE on the driver and broadcast; its embedded version string keys
+    the executor-side singleton, so two different artifacts coexist in
+    one long-lived worker without re-materializing either. Omitted →
+    the module-literal WEIGHTS / MODEL_VERSION fallback (what the
+    DuckDB oracle embeds).
     """
     spark = docs_spans.sparkSession
-    weights_bc = spark.sparkContext.broadcast(WEIGHTS)
+    if weights_path is not None:
+        weights, version = load_weights(weights_path)
+        weights_bc = spark.sparkContext.broadcast(weights.tolist())
+    else:
+        weights, version = WEIGHTS, MODEL_VERSION
+        weights_bc = spark.sparkContext.broadcast(WEIGHTS)
     pages = (
         docs_spans.select("doc_id", F.explode("spans").alias("s"))
         .filter(F.col("s.kind") == "pdf_page")
         .select("doc_id", F.col("s.offset").alias("offset"),
                 F.col("s.text").alias("text"))
     )
-    return pages.mapInArrow(_make_stage(weights_bc), schema=SCORE_SCHEMA)
+    return pages.mapInArrow(
+        _make_stage(weights_bc, version, _mat_counter),
+        schema=SCORE_SCHEMA)
