@@ -218,6 +218,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_simhash(spark, sf_dir):
         return dedup.simhash(_t(spark, sf_dir, "documents"))
 
+    def q_simhash_pairs(spark, sf_dir):
+        # banded hamming pair join (pigeonhole: d+1 bands find every
+        # pair within hamming d) + exact bit_count verify
+        return dedup.simhash_pairs(_t(spark, sf_dir, "documents"),
+                                   max_hamming=3)
+
     def q_cosine_topk(spark, sf_dir):
         return similarity.cosine_topk(_t(spark, sf_dir, "embeddings"), k=5)
 
@@ -407,6 +413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "cosine_topk": q_cosine_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
         "embedding_neardup": q_embedding_neardup,
@@ -926,6 +933,16 @@ def oracle_sql() -> dict[str, str]:
               on x.band = y.band and x.bh = y.bh and x.doc_id < y.doc_id
         """,
         "simhash": _dk_simhash_sql(),
+        # oracle = brute-force hamming self-join; equals the banded
+        # plan because d+1 bands have perfect recall at hamming <= d
+        "simhash_pairs": f"""
+            with sims as ({_dk_simhash_sql()})
+            select x.doc_id as doc_a, y.doc_id as doc_b,
+                   cast(bit_count(xor(x.simhash, y.simhash)) as int)
+                     as hamming
+            from sims x join sims y on x.doc_id < y.doc_id
+            where bit_count(xor(x.simhash, y.simhash)) <= 3
+        """,
         "cosine_topk": cosine,
         "ann_topk_lsh": _dk_ann_lsh_sql(),
         "embedding_neardup": _dk_neardup_sql(),

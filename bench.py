@@ -44,6 +44,8 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "lsh_dedup_keep",
     "simhash",
+    "simhash_pairs",        # banded hamming join + exact verify
+    "ocr_table_logi",       # polygon + logical-axis TSR contract
     "cosine_topk",
     "ann_topk_lsh",
     "embedding_neardup",

@@ -343,3 +343,69 @@ def simhash(docs: DataFrame, n_bits: int = 60) -> DataFrame:
     bit_terms = " + ".join(
         f"if(v{b} > 0, cast({1 << b} as bigint), 0L)" for b in range(n_bits))
     return agg.select("doc_id", F.expr(bit_terms).alias("simhash"))
+
+
+def simhash_pairs_from_fingerprints(sig: DataFrame, max_hamming: int = 3,
+                                    n_bits: int = 60,
+                                    max_bucket: int | None = None
+                                    ) -> DataFrame:
+    """Hamming-close pairs from a (doc_id, simhash) fingerprint table.
+
+    Banding with the pigeonhole guarantee: the n_bits fingerprint is
+    split into (max_hamming + 1) bit bands; two fingerprints within
+    hamming distance max_hamming differ in at most max_hamming bands,
+    so they share AT LEAST ONE band verbatim — the band equi-join
+    finds every qualifying pair (no recall loss), and the exact
+    ``bit_count(a ^ b)`` verification then filters the collisions.
+    The 100 TB plan: only same-band-value docs ever join (like the
+    MinHash band join — no cross join), verification runs on candidate
+    pairs only, and ``max_bucket`` drops degenerate buckets (one
+    all-zeros fingerprint cluster of 10^6 docs would otherwise emit
+    5*10^11 pairs) — capped buckets still pair through their other
+    bands unless the docs are pathological duplicates that exact-dedup
+    should have removed upstream.
+    """
+    n_bands = max_hamming + 1
+    width = n_bits // n_bands
+    band_cols = []
+    for bidx in range(n_bands):
+        shift = bidx * width
+        w = (n_bits - shift) if bidx == n_bands - 1 else width
+        band_cols.append(F.struct(
+            F.lit(bidx).alias("band"),
+            F.expr(f"(simhash div {1 << shift}) % {1 << w}").alias("bv")))
+    bands = (
+        sig.select("doc_id", "simhash",
+                   F.explode(F.array(*band_cols)).alias("b"))
+        .select("doc_id", "simhash",
+                F.col("b.band").alias("band"), F.col("b.bv").alias("bv"))
+    )
+    if max_bucket is not None:
+        ok = (bands.groupBy("band", "bv")
+              .agg(F.count("*").alias("n"))
+              .filter(F.col("n") <= max_bucket)
+              .select("band", "bv"))
+        bands = bands.join(ok, ["band", "bv"])
+    x = bands.alias("x")
+    y = bands.alias("y")
+    return (
+        x.join(y, (F.col("x.band") == F.col("y.band"))
+               & (F.col("x.bv") == F.col("y.bv"))
+               & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"),
+                F.expr("bit_count(x.simhash ^ y.simhash)").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
+                  n_bits: int = 60,
+                  max_bucket: int | None = None) -> DataFrame:
+    """SimHash near-dup candidate pairs end-to-end: fingerprint →
+    banded hamming join → exact verify. Exhaustive for the given
+    max_hamming when max_bucket is None (the oracle-checked contract);
+    set max_bucket in production."""
+    return simhash_pairs_from_fingerprints(
+        simhash(docs, n_bits), max_hamming, n_bits, max_bucket)

@@ -326,3 +326,48 @@ def test_winnowing_guarantee_shared_substring(spark):
     assert fps[1] & fps[2], "shared substring must share a fingerprint"
     assert not (fps[1] & fps[3])
     assert not (fps[2] & fps[3])
+
+
+def test_simhash_pairs_banding_has_perfect_recall(spark):
+    """Pigeonhole guarantee: with max_hamming+1 bands, the banded join
+    finds EVERY pair within hamming distance max_hamming — banded
+    output equals the brute-force self-join on crafted fingerprints."""
+    from itertools import combinations
+
+    from pdf_table_spark.ops.dedup import simhash_pairs_from_fingerprints
+    base = 0b101010101010101010101010101010101010101010101010101010101010
+    sigs = [
+        ("a", base),
+        ("b", base ^ 0b111),                  # d=3 from a, same band 1-3
+        ("c", base ^ (1 << 14) ^ (1 << 15) ^ (1 << 29)),  # d=3, spread
+        ("d", base ^ ((1 << 4) - 1)),         # d=4 from a — excluded
+        ("e", 0),                             # far from everything
+    ]
+    sig = spark.createDataFrame(sigs, "doc_id string, simhash long")
+    got = {(r.doc_a, r.doc_b, r.hamming)
+           for r in simhash_pairs_from_fingerprints(
+               sig, max_hamming=3).collect()}
+    brute = set()
+    for (ida, sa), (idb, sb) in combinations(sigs, 2):
+        d = bin(sa ^ sb).count("1")
+        if d <= 3:
+            a, b = sorted((ida, idb))
+            brute.add((a, b, d))
+    assert got == brute
+    assert ("a", "b", 3) in got and ("a", "c", 3) in got
+    assert not any({p[0], p[1]} == {"a", "d"} for p in got)
+
+
+def test_simhash_pairs_max_bucket_cap(spark):
+    """A degenerate bucket above the cap is dropped whole; its members
+    still pair through their other bands when they truly are close."""
+    from pdf_table_spark.ops.dedup import simhash_pairs_from_fingerprints
+    # 12 docs all sharing band 0 (low 15 bits identical) but far apart
+    # in the upper bits (d > 3 pairwise) plus one true near-dup pair
+    rows = [(f"far{i}", (i * 0b1001001 << 20) | 0x1234) for i in range(12)]
+    rows += [("n1", 0x7000000001234), ("n2", 0x7000000001234 ^ 0b11)]
+    sig = spark.createDataFrame(rows, "doc_id string, simhash long")
+    got = {(r.doc_a, r.doc_b)
+           for r in simhash_pairs_from_fingerprints(
+               sig, max_hamming=3, max_bucket=5).collect()}
+    assert ("n1", "n2") in got  # survives: close in EVERY band
