@@ -69,6 +69,64 @@ def input_fingerprint(docs: DataFrame, part_id_col: str = "part_id") -> DataFram
         F.expr("bit_xor(h)").alias("fp"), F.count("*").alias("n_docs"))
 
 
+def unescape_partition_value(v: str) -> str:
+    """Invert ``escape_partition_value`` (percent-decoding)."""
+    out, i = [], 0
+    while i < len(v):
+        if v[i] == "%" and i + 3 <= len(v):
+            try:
+                out.append(chr(int(v[i + 1:i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(v[i])
+        i += 1
+    return "".join(out)
+
+
+def metadata_fingerprints(spark: SparkSession, docs: DataFrame,
+                          part_col: str) -> dict | None:
+    """Per-partition fingerprint from FILE METADATA (path, length,
+    modification time) via the Hadoop FS — a directory listing instead
+    of a content pass over the whole input. At 10^12 docs the content
+    fingerprint is itself a full 100 TB read per resume; unchanged
+    partitions should be provable from the catalog/file metadata alone
+    (the same contract as an Iceberg snapshot id).
+
+    Requires the scan to be Hive-layout partitioned on ``part_col``
+    (every input file under a ``{part_col}=<value>`` directory);
+    returns None otherwise so the caller can fall back to content
+    fingerprints. Fingerprints are prefixed ``md:`` — switching modes
+    between runs mismatches every manifest and forces one full re-run,
+    by design."""
+    import hashlib
+
+    files = docs.inputFiles()
+    if not files:
+        return None
+    seg = f"/{part_col}="
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    entries: dict[str, list] = {}
+    for f in files:
+        idx = f.find(seg)
+        if idx < 0:
+            return None  # not hive-partitioned on part_col
+        val = unescape_partition_value(
+            f[idx + len(seg):].split("/", 1)[0])
+        path = jvm.org.apache.hadoop.fs.Path(f)
+        st = path.getFileSystem(conf).getFileStatus(path)
+        entries.setdefault(val, []).append(
+            (f, st.getLen(), st.getModificationTime()))
+    fps = {}
+    for val, ents in entries.items():
+        digest = hashlib.md5(
+            json.dumps(sorted(ents)).encode()).hexdigest()
+        fps[val] = (f"md:{digest}", None)  # doc count unknown (no scan)
+    return fps
+
+
 def _manifest_path(out_dir: str, part_id) -> str:
     # escape like the data partition dirs: '/' (→%2F) and friends can
     # appear in part_col values and must not create subdirectories (or
@@ -91,7 +149,8 @@ def read_manifests(out_dir: str) -> list[dict]:
 
 def run_checkpointed(spark: SparkSession, docs: DataFrame, out_dir: str,
                      n_buckets: int = 64, run_id: str = "run0",
-                     part_col: str | None = None) -> dict:
+                     part_col: str | None = None,
+                     fingerprint_mode: str = "auto") -> dict:
     """Extract ``docs`` to ``out_dir`` (parquet, partitioned by
     part_id), resuming past completed buckets. Returns a summary dict.
 
@@ -106,9 +165,20 @@ def run_checkpointed(spark: SparkSession, docs: DataFrame, out_dir: str,
     part_id = pmod(xxhash64(doc_id), n_buckets) is stable but every
     bucket job must rescan the input (fine at sandbox scale; at 10^12
     docs always feed a partitioned table).
+
+    ``fingerprint_mode``: 'metadata' fingerprints each partition from
+    its files' (path, size, mtime) — a listing, NO input scan, so a
+    fully-skipped resume runs zero Spark jobs; requires ``part_col``
+    with a Hive-layout scan. 'content' is the order-insensitive per-doc
+    content hash (a full input pass per resume — the 100 TB resume
+    killer, but layout-independent). 'auto' (default) uses metadata
+    when the input layout allows it, else content. Modes don't mix:
+    switching re-runs every bucket once.
     """
     os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    if fingerprint_mode not in ("auto", "metadata", "content"):
+        raise ValueError(f"unknown fingerprint_mode {fingerprint_mode!r}")
 
     if part_col is not None:
         # keep the partition values as-is (string form): dates/strings
@@ -117,8 +187,17 @@ def run_checkpointed(spark: SparkSession, docs: DataFrame, out_dir: str,
             "part_id", F.col(part_col).cast("string"))
     else:
         bucketed = with_part_id(docs, n_buckets)
-    fps = {r["part_id"]: (r["fp"], r["n_docs"])
-           for r in input_fingerprint(bucketed).collect()}
+
+    fps = None
+    if part_col is not None and fingerprint_mode in ("auto", "metadata"):
+        fps = metadata_fingerprints(spark, docs, part_col)
+    if fps is None:
+        if fingerprint_mode == "metadata":
+            raise ValueError(
+                "fingerprint_mode='metadata' needs a Hive-layout scan "
+                f"partitioned on {part_col!r}; this input is not")
+        fps = {r["part_id"]: (r["fp"], r["n_docs"])
+               for r in input_fingerprint(bucketed).collect()}
     if None in fps:
         raise ValueError(
             f"NULL values in partition column {part_col!r}: "

@@ -155,3 +155,72 @@ def test_failed_bucket_recorded_and_retried(spark, docs, tmp_path,
     s2 = run_checkpointed(spark, docs, out, n_buckets=3, run_id="r2")
     assert s2["done"] == [bad] and len(s2["skipped"]) == 2
     assert {x["status"] for x in read_manifests(out)} == {"ok"}
+
+
+def test_metadata_fingerprint_resume_no_input_pass(spark, docs,
+                                                   tmp_path, monkeypatch):
+    """Hive-layout part_col input: resume fingerprints come from file
+    metadata (a listing), so a fully-skipped re-run performs NO content
+    pass over the input — content fingerprinting is made unreachable
+    and the resume still skips everything. Touching one partition's
+    file re-runs exactly that bucket."""
+    import os
+    import time as _time
+
+    import pdf_table_spark.spark.checkpoint as cp
+    from pyspark.sql import functions as F
+
+    part_in = str(tmp_path / "part_in")
+    docs.withColumn(
+        "part_id", F.pmod(F.xxhash64("doc_id"), F.lit(3)).cast("int")
+    ).write.partitionBy("part_id").parquet(part_in)
+    pdocs = spark.read.parquet(part_in)
+
+    out = str(tmp_path / "out")
+    s1 = cp.run_checkpointed(spark, pdocs, out, run_id="r1",
+                             part_col="part_id",
+                             fingerprint_mode="metadata")
+    assert sorted(s1["done"]) == ["0", "1", "2"] and not s1["failed"]
+    for m in cp.read_manifests(out):
+        assert str(m["input_fingerprint"]).startswith("md:")
+
+    def no_content_pass(*a, **k):
+        raise AssertionError("content fingerprint pass on resume")
+
+    monkeypatch.setattr(cp, "input_fingerprint", no_content_pass)
+    s2 = cp.run_checkpointed(spark, pdocs, out, run_id="r2",
+                             part_col="part_id",
+                             fingerprint_mode="metadata")
+    assert not s2["done"] and len(s2["skipped"]) == 3
+
+    # touch ONE partition's data file → only that bucket re-runs
+    pdir = os.path.join(part_in, "part_id=1")
+    victim = next(os.path.join(pdir, n) for n in os.listdir(pdir)
+                  if n.endswith(".parquet"))
+    os.utime(victim, (int(_time.time()) + 10, int(_time.time()) + 10))
+    s3 = cp.run_checkpointed(spark, spark.read.parquet(part_in), out,
+                             run_id="r3", part_col="part_id",
+                             fingerprint_mode="metadata")
+    assert s3["done"] == ["1"] and len(s3["skipped"]) == 2
+
+
+def test_metadata_mode_rejects_non_hive_input(spark, docs, tmp_path):
+    """A computed (non-layout) part_col cannot be metadata-
+    fingerprinted: explicit 'metadata' raises; 'auto' falls back to
+    content fingerprints and still resumes."""
+    import pdf_table_spark.spark.checkpoint as cp
+    from pyspark.sql import functions as F
+
+    pdocs = docs.withColumn(
+        "day", F.when(F.xxhash64("doc_id") % 2 == 0, F.lit("d1"))
+                .otherwise(F.lit("d2")))
+    out = str(tmp_path / "out")
+    with pytest.raises(ValueError, match="metadata"):
+        cp.run_checkpointed(spark, pdocs.drop("part_id"), out,
+                            part_col="day", fingerprint_mode="metadata")
+    s1 = cp.run_checkpointed(spark, pdocs.drop("part_id"), out,
+                             run_id="r1", part_col="day")
+    assert sorted(s1["done"]) == ["d1", "d2"]
+    s2 = cp.run_checkpointed(spark, pdocs.drop("part_id"), out,
+                             run_id="r2", part_col="day")
+    assert not s2["done"] and len(s2["skipped"]) == 2
