@@ -108,7 +108,8 @@ def fingerprint(docs: DataFrame) -> DataFrame:
 
 
 def winnow_fingerprints(docs: DataFrame, k: int = 8,
-                        w: int = 4) -> DataFrame:
+                        w: int = 4,
+                        hash_fn: str = "md5") -> DataFrame:
     """Winnowing document fingerprints (Schleimer et al.'s local
     algorithm, the rolling-hash dedup classic): hash every char k-gram
     of the whitespace-normalized text, keep the minimum hash of each
@@ -121,7 +122,7 @@ def winnow_fingerprints(docs: DataFrame, k: int = 8,
     the fingerprint set) so the result stays one row per doc at any
     scale; use ``winnow_fingerprint_rows`` for the exploded set.
     """
-    rows = winnow_fingerprint_rows(docs, k, w)
+    rows = winnow_fingerprint_rows(docs, k, w, hash_fn)
     return (
         rows.groupBy("doc_id")
         .agg(F.count("*").alias("n_fps"),
@@ -132,12 +133,26 @@ def winnow_fingerprints(docs: DataFrame, k: int = 8,
 
 
 def winnow_fingerprint_rows(docs: DataFrame, k: int = 8,
-                            w: int = 4) -> DataFrame:
+                            w: int = 4,
+                            hash_fn: str = "md5") -> DataFrame:
     """(doc_id, fp) — the distinct winnowing fingerprints themselves
-    (the join key layout for fingerprint-overlap dedup)."""
+    (the join key layout for fingerprint-overlap dedup).
+
+    ``hash_fn``: the winnowing guarantee holds for ANY deterministic
+    k-gram hash, so production uses ``'xxhash64'`` (one native JVM hash
+    per gram); ``'md5'`` (default) is the ORACLE CONTRACT — DuckDB has
+    no xxhash64, so the driver-checked query pays md5 + hex-string
+    conversion per gram purely for cross-engine comparability. The cost
+    is per-gram CPU only; the plan is identical.
+    """
     norm = "regexp_replace(lower(text), '\\\\s+', ' ')"
-    h = ("cast(conv(substring(md5(substring(t, i, {k})), 1, 15), 16, 10) "
-         "as bigint)").format(k=k)
+    if hash_fn == "xxhash64":
+        h = "xxhash64(substring(t, i, {k}))".format(k=k)
+    elif hash_fn == "md5":
+        h = ("cast(conv(substring(md5(substring(t, i, {k})), 1, 15), "
+             "16, 10) as bigint)").format(k=k)
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     expr = f"""
         array_distinct(transform(
           sequence(1, greatest(size(hs) - {w - 1}, 1)),

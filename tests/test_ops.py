@@ -371,3 +371,24 @@ def test_simhash_pairs_max_bucket_cap(spark):
            for r in simhash_pairs_from_fingerprints(
                sig, max_hamming=3, max_bucket=5).collect()}
     assert ("n1", "n2") in got  # survives: close in EVERY band
+
+
+def test_winnowing_xxhash64_variant_same_guarantee(spark):
+    """The production hash (xxhash64, native JVM — no per-gram md5 +
+    hex conversion) keeps the winnowing guarantee; md5 stays only as
+    the DuckDB-comparable oracle contract."""
+    from pdf_table_spark.ops.text import winnow_fingerprint_rows
+    shared = "identical boilerplate passage"
+    docs = spark.createDataFrame(
+        [(1, f"aaa bbb {shared} ccc ddd"),
+         (2, f"xxx yyy zzz {shared} qqq"),
+         (3, "totally unrelated content 0123456789")],
+        "doc_id long, text string")
+    fps = {}
+    for r in winnow_fingerprint_rows(docs, hash_fn="xxhash64").collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[1] & fps[2]
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="hash_fn"):
+        winnow_fingerprint_rows(docs, hash_fn="sha1")
