@@ -54,35 +54,9 @@ def run_once(cores: int, zip_path: str, input_path: str) -> dict:
     raise RuntimeError(f"no result line from local[{cores}] run")
 
 
-_PROBE_BEST = [0.0]
-
-
-def _cpu_probe(seconds: float = 0.6) -> float:
-    """Single-thread hash rate — a load canary. Background activity on
-    the shared box depresses it proportionally."""
-    import hashlib
-    import time
-    t0 = time.perf_counter()
-    n, x = 0, b"x" * 1000
-    while time.perf_counter() - t0 < seconds:
-        hashlib.md5(x).digest()
-        n += 1
-    return n / seconds
-
-
-def _wait_quiet(max_wait: float = 120.0, threshold: float = 0.93) -> float:
-    """Block until the load canary reads within ``threshold`` of the
-    best rate seen this session (or max_wait expires). Measuring
-    through a background burst only ever understates throughput."""
-    import time
-    waited = 0.0
-    while True:
-        rate = _cpu_probe()
-        _PROBE_BEST[0] = max(_PROBE_BEST[0], rate)
-        if rate >= threshold * _PROBE_BEST[0] or waited >= max_wait:
-            return rate
-        time.sleep(10)
-        waited += 10
+# load canary shared with the headline bench (same discipline)
+sys.path.insert(0, REPO)
+from pdf_table_spark.canary import wait_quiet as _wait_quiet  # noqa: E402
 
 
 def run_best(cores: int, zip_path: str, input_path: str,
