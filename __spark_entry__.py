@@ -317,23 +317,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_doc_html(spark, sf_dir):
         # S7 merged multi-page HTML: per doc, spans in offset order
-        # rendered and concatenated — all JVM array expressions
-        # (reference: make_pdf_output_html, cli/main.py:154-226)
+        # rendered and concatenated, source spans (pages) joined with
+        # the reference CLI's '@@@@@@' merge separator — all JVM array
+        # expressions (make_pdf_output_html, cli/main.py:154-226)
         out = _extract_flat(spark, sf_dir)
         return (
             out.groupBy("doc_id")
             .agg(F.array_sort(F.collect_list(F.struct(
-                "offset", "kind", "text", "media_ref"))).alias("a"))
+                "offset", "kind", "text", "media_ref",
+                "src_offset"))).alias("a"))
             .select(
                 "doc_id",
                 F.expr(
-                    "array_join(transform(a, s -> case"
+                    "array_join(transform(a, (s, i) -> concat("
+                    "  if(i > 0 and s.src_offset != "
+                    "     element_at(a, i).src_offset, '@@@@@@\\n', ''),"
+                    "  case"
                     "  when s.kind = 'paragraph'"
                     "    then concat('<p>', s.text, '</p>')"
                     "  when s.kind = 'table_html' then s.text"
                     "  when s.kind = 'image'"
                     "    then concat('<img src=\"', s.media_ref, '\"/>')"
-                    "  else '' end), '\\n')"
+                    "  else '' end)), '\\n')"
                 ).alias("html"),
             )
         )
@@ -708,15 +713,15 @@ def oracle_sql() -> dict[str, str]:
     return {
         "extract_spans": (
             f'select doc_id, "offset" as offset, kind, text, media_ref, '
-            f"accuracy, whitespace from {golden}"),
+            f"src_offset, accuracy, whitespace from {golden}"),
         "extract_spans_lattice": (
             f'select doc_id, "offset" as offset, kind, text, media_ref, '
-            f"accuracy, whitespace from read_parquet('"
+            f"src_offset, accuracy, whitespace from read_parquet('"
             + os.path.join(FIXTURE_ROOT, "sf0.01",
                            "golden_flat_lattice.parquet") + "')"),
         "extract_spans_stream": (
             f'select doc_id, "offset" as offset, kind, text, media_ref, '
-            f"accuracy, whitespace from read_parquet('"
+            f"src_offset, accuracy, whitespace from read_parquet('"
             + os.path.join(FIXTURE_ROOT, "sf0.01",
                            "golden_flat_stream.parquet") + "')"),
         # A9 per-table quality (placement accuracy out of 100, % empty
@@ -915,8 +920,17 @@ def oracle_sql() -> dict[str, str]:
             f"csv, markdown, json_rows, sqlite_sql, excel_xml, html_db "
             f"from read_parquet('{EXPORTS_001}')"),
         "doc_html": f"""
+            with g as (
+              select doc_id, "offset", kind, text, media_ref,
+                     lag(src_offset) over (partition by doc_id
+                                           order by "offset") as prev,
+                     src_offset
+              from {golden}
+            )
             select doc_id,
                    string_agg(
+                     (case when prev is not null and prev <> src_offset
+                           then '@@@@@@' || chr(10) else '' end) ||
                      case when kind = 'paragraph'
                             then '<p>' || text || '</p>'
                           when kind = 'table_html' then text
@@ -924,7 +938,7 @@ def oracle_sql() -> dict[str, str]:
                             then '<img src="' || media_ref || '"/>'
                           else '' end,
                      chr(10) order by "offset") as html
-            from {golden} group by doc_id
+            from g group by doc_id
         """,
         "minhash_signatures": _dk_minhash_sig_sql(8),
         "minhash_lsh_pairs": _dk_minhash_bands_cte() + """

@@ -99,17 +99,30 @@ def extract_tables(spark: SparkSession, path: str, pages: str = "all",
     )
 
 
+# the reference CLI's multi-page merge separator (cli/main.py:164-226:
+# per-page HTML joined with f"{merge_sep}\n", merge_sep default below)
+PAGE_SEP = "@@@@@@"
+
+
 def document_html(spark: SparkSession, path: str, pages: str = "all",
-                  flavor: str = "auto") -> DataFrame:
-    """Merged per-document HTML (the CLI's multi-page output)."""
+                  flavor: str = "auto",
+                  merge_sep: str = PAGE_SEP) -> DataFrame:
+    """Merged per-document HTML (the CLI's multi-page output):
+    fragments of one source span (page) join with newlines; source
+    spans join with ``merge_sep + '\\n'`` — the reference's '@@@@@@'
+    page separator. Pass ``merge_sep=''`` for an unseparated merge."""
     out = read_documents(spark, path, pages, flavor)
+    sep = (merge_sep + "\\n") if merge_sep else ""
     return out.select(
         "doc_id",
         F.expr(
-            "array_join(transform(out_spans, s -> case"
+            "array_join(transform(out_spans, (s, i) -> concat("
+            f"  if(i > 0 and s.src_offset != "
+            f"     element_at(out_spans, i).src_offset, '{sep}', ''),"
+            "  case"
             "  when s.kind = 'paragraph'"
             "    then concat('<p>', s.text, '</p>')"
             "  when s.kind = 'table_html' then s.text"
             "  when s.kind = 'image'"
             "    then concat('<img src=\"', s.media_ref, '\"/>')"
-            "  else '' end), '\\n')").alias("html"))
+            "  else '' end)), '\\n')").alias("html"))

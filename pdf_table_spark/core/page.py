@@ -349,6 +349,7 @@ def extract_document(spans, flavor: str = "auto"):
                 flavor):
             out.append({"kind": kind, "text": text,
                         "media_ref": ref, "offset": off,
+                        "src_offset": s["offset"],
                         "accuracy": acc, "whitespace": ws})
             off += 1
     return out

@@ -44,6 +44,7 @@ DOCS_SCHEMA = pa.schema([
 GOLDEN_SCHEMA = pa.schema([
     ("doc_id", pa.string()), ("offset", pa.int32()), ("kind", pa.string()),
     ("text", pa.string()), ("media_ref", pa.string()),
+    ("src_offset", pa.int32()),
     ("accuracy", pa.float64()), ("whitespace", pa.float64())])
 
 EXPORTS_SCHEMA = pa.schema([
@@ -78,7 +79,7 @@ def build_sf(root: str, sf: str, force: bool = False) -> dict:
     n_docs = DOC_COUNTS[sf]
     doc_ids, span_lists = [], []
     g_doc, g_off, g_kind, g_text, g_ref = [], [], [], [], []
-    g_acc, g_ws = [], []
+    g_src, g_acc, g_ws = [], [], []
     n_pages = 0
     for doc_id, spans, _family in gen_corpus(n_docs):
         doc_ids.append(doc_id)
@@ -90,6 +91,7 @@ def build_sf(root: str, sf: str, force: bool = False) -> dict:
             g_kind.append(o["kind"])
             g_text.append(o["text"])
             g_ref.append(o["media_ref"])
+            g_src.append(o["src_offset"])
             g_acc.append(o["accuracy"])
             g_ws.append(o["whitespace"])
 
@@ -107,7 +109,7 @@ def build_sf(root: str, sf: str, force: bool = False) -> dict:
             docs_path, f"part-{shard:05d}.parquet"))
     golden_tbl = pa.Table.from_pydict(
         {"doc_id": g_doc, "offset": g_off, "kind": g_kind,
-         "text": g_text, "media_ref": g_ref,
+         "text": g_text, "media_ref": g_ref, "src_offset": g_src,
          "accuracy": g_acc, "whitespace": g_ws}, schema=GOLDEN_SCHEMA)
     pq.write_table(golden_tbl, golden_path)
 
@@ -131,7 +133,8 @@ def build_sf(root: str, sf: str, force: bool = False) -> dict:
     # corpus decoded lattice-only / stream-only
     for fl, fpath in flavor_paths.items():
         fg = {k: [] for k in ("doc_id", "offset", "kind", "text",
-                              "media_ref", "accuracy", "whitespace")}
+                              "media_ref", "src_offset",
+                              "accuracy", "whitespace")}
         for doc_id, spans in zip(doc_ids, span_lists):
             for o in extract_document(spans, flavor=fl):
                 fg["doc_id"].append(doc_id)
@@ -139,6 +142,7 @@ def build_sf(root: str, sf: str, force: bool = False) -> dict:
                 fg["kind"].append(o["kind"])
                 fg["text"].append(o["text"])
                 fg["media_ref"].append(o["media_ref"])
+                fg["src_offset"].append(o["src_offset"])
                 fg["accuracy"].append(o["accuracy"])
                 fg["whitespace"].append(o["whitespace"])
         pq.write_table(pa.Table.from_pydict(fg, schema=GOLDEN_SCHEMA),

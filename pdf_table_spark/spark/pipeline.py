@@ -62,7 +62,9 @@ def explode_spans(docs: DataFrame) -> DataFrame:
 
 def reassemble(frags: DataFrame) -> DataFrame:
     """fragments(doc_id, offset, frag_idx, kind, text, media_ref) →
-    (doc_id, out_spans) with dense output offsets.
+    (doc_id, out_spans) with dense output offsets; ``src_offset`` keeps
+    each fragment's SOURCE span (page) provenance — the page boundary
+    the reference's per-page output files carry implicitly.
 
     array_sort over struct(offset, frag_idx, ...) gives the total
     order; transform() re-indexes to dense offsets — all JVM-side.
@@ -80,6 +82,7 @@ def reassemble(frags: DataFrame) -> DataFrame:
                 "  (x, i) -> struct("
                 "    x.kind as kind, x.text as text, "
                 "    x.media_ref as media_ref, cast(i as int) as offset, "
+                "    x.offset as src_offset, "
                 "    x.accuracy as accuracy, x.whitespace as whitespace))"
             ).alias("out_spans"),
         )
@@ -136,6 +139,7 @@ def flatten_output(out: DataFrame) -> DataFrame:
         F.col("s.kind").alias("kind"),
         F.col("s.text").alias("text"),
         F.col("s.media_ref").alias("media_ref"),
+        F.col("s.src_offset").alias("src_offset"),
         F.col("s.accuracy").alias("accuracy"),
         F.col("s.whitespace").alias("whitespace"),
     )

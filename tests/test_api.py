@@ -84,3 +84,30 @@ def test_extract_tables_single_extraction_pass(spark, corpus):
     assert plan.count("InMemoryTableScan") >= 2
     n = df.count()
     assert n > 0
+
+
+def test_document_html_page_separator(spark, corpus):
+    """Multi-source-span docs join page HTML with the reference CLI's
+    '@@@@@@' merge separator (cli/main.py:164-226); single-span docs
+    carry none; merge_sep='' restores the unseparated merge."""
+    from pyspark.sql import functions as F
+
+    from pdf_table_spark.api import document_html
+
+    html = document_html(spark, corpus)
+    docs = spark.read.parquet(corpus).select(
+        "doc_id", F.size("spans").alias("n_spans"))
+    joined = {r.doc_id: (r.html, r.n_spans)
+              for r in html.join(docs, "doc_id").collect()}
+    multi = [h for h, n in joined.values() if n > 1 and "@@@@@@" in h]
+    assert multi, "some multi-span doc must carry the page separator"
+    for h, n in joined.values():
+        seps = h.count("@@@@@@")
+        assert seps <= n - 1  # at most one separator per span boundary
+        if n == 1:
+            assert seps == 0
+        if seps:
+            assert "@@@@@@\n" in h  # reference joins with sep + newline
+
+    plain = document_html(spark, corpus, merge_sep="")
+    assert not any("@@@@@@" in r.html for r in plain.collect())
