@@ -90,28 +90,106 @@ def pair_tables(pred_units, gt_units, iou_threshold: float = 0.5) -> dict:
 
 
 class _Node:
-    __slots__ = ("label", "text", "children")
+    __slots__ = ("label", "content", "children")
 
-    def __init__(self, label, text="", children=None):
+    def __init__(self, label, content=None, children=None):
         self.label = label
-        self.text = text
+        self.content = content or []
         self.children = children or []
 
 
-def _table_tree(html: str) -> _Node:
-    """table HTML → tree: table → tr rows → td cells; a td's label
-    carries its span attrs (a span change is a structural rename), its
-    text rides separately for the graded substitution cost."""
-    cells = parse_table_html(html)
-    by_row: dict[int, list] = {}
-    for c in cells:
-        by_row.setdefault(c.row, []).append(c)
-    rows = []
-    for r in sorted(by_row):
-        tds = [_Node(("td", c.col_span, c.row_span), c.text)
-               for c in sorted(by_row[r], key=lambda c: c.col)]
-        rows.append(_Node(("tr",), children=tds))
-    return _Node(("table",), children=rows)
+class _Elem:
+    """Raw HTML element: ordered children interleave text strings and
+    child elements (covers lxml's text/tail without two slots)."""
+    __slots__ = ("tag", "attrs", "children")
+
+    def __init__(self, tag, attrs):
+        self.tag = tag
+        self.attrs = dict(attrs)
+        self.children = []
+
+
+def _find_table(html: str):
+    """Parse with the stdlib HTMLParser and return the first <table>
+    element (the reference's ``html.fromstring(...).xpath('body/table')``)."""
+    from html.parser import HTMLParser
+
+    root = _Elem("__root__", {})
+    stack = [root]
+
+    class P(HTMLParser):
+        def handle_starttag(self, tag, attrs):
+            e = _Elem(tag, attrs)
+            stack[-1].children.append(e)
+            stack.append(e)
+
+        def handle_startendtag(self, tag, attrs):
+            stack[-1].children.append(_Elem(tag, attrs))
+
+        def handle_endtag(self, tag):
+            for k in range(len(stack) - 1, 0, -1):
+                if stack[k].tag == tag:
+                    del stack[k:]
+                    break
+
+        def handle_data(self, data):
+            if data:
+                stack[-1].children.append(data)
+
+    P(convert_charrefs=True).feed(html or "")
+
+    def find(e):
+        for ch in e.children:
+            if isinstance(ch, _Elem):
+                if ch.tag == "table":
+                    return ch
+                hit = find(ch)
+                if hit is not None:
+                    return hit
+        return None
+
+    return find(root)
+
+
+def _count_elements(e: _Elem) -> int:
+    """Element descendants of ``e`` (the reference's ``.//*`` count —
+    includes thead/tbody/tr/td AND in-cell markup elements)."""
+    n = 0
+    for ch in e.children:
+        if isinstance(ch, _Elem):
+            n += 1 + _count_elements(ch)
+    return n
+
+
+def _tokenize(e: _Elem, out: list) -> None:
+    """The reference's td tokenizer (``table_metric.py:105-116``):
+    '<tag>' markers, text exploded into single chars, '</tag>' closers."""
+    out.append(f"<{e.tag}>")
+    for ch in e.children:
+        if isinstance(ch, _Elem):
+            _tokenize(ch, out)
+        else:
+            out.extend(ch)
+    out.append(f"</{e.tag}>")
+
+
+def _load_tree(e: _Elem, structure_only: bool = False) -> _Node:
+    """The reference's ``load_html_tree``: td becomes a LEAF labeled
+    (td, colspan, rowspan) whose content is its tokenized subtree
+    (stripped of the outer td markers); other elements keep their
+    element children."""
+    if e.tag == "td":
+        if structure_only:
+            cell = []
+        else:
+            toks: list = []
+            _tokenize(e, toks)
+            cell = toks[1:-1]
+        return _Node(("td", int(e.attrs.get("colspan", "1") or 1),
+                      int(e.attrs.get("rowspan", "1") or 1)), cell)
+    return _Node((e.tag,), children=[
+        _load_tree(ch, structure_only) for ch in e.children
+        if isinstance(ch, _Elem)])
 
 
 def _postorder(root: _Node):
@@ -141,8 +219,9 @@ def _postorder(root: _Node):
     return nodes, lml, sorted(keyroots)
 
 
-def _levenshtein_ratio(a: str, b: str) -> float:
-    """Normalized edit distance in [0, 1] (0 = identical)."""
+def _levenshtein_ratio(a, b) -> float:
+    """Normalized edit distance in [0, 1] over two sequences (token
+    lists or strings); 0 = identical."""
     if a == b:
         return 0.0
     if not a or not b:
@@ -158,10 +237,13 @@ def _levenshtein_ratio(a: str, b: str) -> float:
 
 
 def _rename_cost(a: _Node, b: _Node) -> float:
+    """The reference's CustomConfig.rename (``table_metric.py:41-51``):
+    1 when tag/colspan/rowspan differ; graded token-sequence
+    Levenshtein for td content; 0 otherwise."""
     if a.label != b.label:
         return 1.0
-    if a.label[0] == "td":
-        return _levenshtein_ratio(a.text, b.text)
+    if a.label[0] == "td" and (a.content or b.content):
+        return _levenshtein_ratio(a.content, b.content)
     return 0.0
 
 
@@ -199,18 +281,29 @@ def tree_edit_distance(ra: _Node, rb: _Node) -> float:
     return td[-1][-1]
 
 
-def teds(html_pred: str, html_gold: str) -> float:
+def teds(html_pred: str, html_gold: str,
+         structure_only: bool = False) -> float:
     """Tree-Edit-Distance Similarity on table HTML — the reference's §5
-    metric made dependency-free: 1 - TED/max(|Ta|,|Tb|) over the
-    table→tr→td tree with graded cell-text substitution costs."""
-    ta = _table_tree(html_pred)
-    tb = _table_tree(html_gold)
-    na = len(_postorder(ta)[0])
-    nb = len(_postorder(tb)[0])
-    if na <= 1 and nb <= 1:
-        return 1.0
+    metric (``table_metric.py:93-201``) made dependency-free: the exact
+    ordered tree edit distance (Zhang-Shasha computes the same distance
+    APTED does) over the raw element tree (thead/tbody/tr and td
+    leaves), td content tokenized into markup markers + single chars,
+    normalized by max element count: 1 - TED / max(|Ta|, |Tb|).
+    Reference semantics pinned: empty/table-less inputs score 0.0;
+    ``structure_only`` ignores cell content."""
+    if not html_pred or not html_gold:
+        return 0.0
+    ea = _find_table(html_pred)
+    eb = _find_table(html_gold)
+    if ea is None or eb is None:
+        return 0.0
+    n = max(_count_elements(ea), _count_elements(eb))
+    ta = _load_tree(ea, structure_only)
+    tb = _load_tree(eb, structure_only)
     dist = tree_edit_distance(ta, tb)
-    return round(max(0.0, 1.0 - dist / max(na, nb)), 6)
+    if n == 0:
+        return 1.0 if dist == 0 else 0.0
+    return round(max(0.0, 1.0 - dist / n), 6)
 
 
 def teds_like(html_pred: str, html_gold: str) -> float:

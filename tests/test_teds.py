@@ -88,5 +88,30 @@ def test_teds_tree_edit_distance_grading():
     assert 1.0 > graded > replaced > row_gone > 0.0
     assert span_changed < 1.0                # structural rename costs 1
     assert teds(A, A.replace("deltax", "deltay")) == graded  # symmetric
-    # degenerate inputs
-    assert teds("", "") == 1.0
+    # degenerate inputs: the reference scores empty/table-less input
+    # 0.0 (table_metric.py:146-149 `if (not pred) or (not true)`)
+    assert teds("", "") == 0.0
+    assert teds("<p>no table</p>", A) == 0.0
+
+
+def test_teds_reference_cost_model():
+    """Parity details of the reference cost model: thead/tbody count in
+    the denominator, in-cell markup rides in the token stream, and
+    structure_only ignores text entirely."""
+    from pdf_table_spark.core.teds import teds
+    A = ("<table><thead><tr><td>h1</td><td>h2</td></tr></thead>"
+         "<tbody><tr><td>a</td><td>b</td></tr></tbody></table>")
+    assert teds(A, A) == 1.0
+    # bolding one header cell is a graded (token-level) change, not a
+    # structural one; dropping tbody IS structural
+    bolded = teds(A.replace("<td>h1</td>", "<td><b>h1</b></td>"), A)
+    assert 0.0 < bolded < 1.0
+    assert teds(A, A, structure_only=True) == 1.0
+    assert teds(A.replace("h1", "zz"), A, structure_only=True) == 1.0
+    # denominator = max element count (.//* under table): A has
+    # thead+tbody+2*tr+4*td = 8; removing the thead row deletes
+    # thead+tr+2td = 4 nodes -> similarity 1 - 4/8
+    import pytest as _pytest
+    no_head = teds("<table><tbody><tr><td>a</td><td>b</td></tr>"
+                   "</tbody></table>", A)
+    assert no_head == _pytest.approx(1 - 4 / 8)
