@@ -230,6 +230,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_ann_topk_lsh(spark, sf_dir):
         return similarity.ann_topk_lsh(_t(spark, sf_dir, "embeddings"), k=5)
 
+    def q_ann_topk_ivf(spark, sf_dir):
+        # IVF-Flat: narrow centroid-cell assignment, probe n nearest
+        # cells, exact search within — the second ANN scale path
+        return similarity.ann_topk_ivf(_t(spark, sf_dir, "embeddings"),
+                                       k=5)
+
     def q_embedding_neardup(spark, sf_dir):
         return similarity.embedding_neardup_pairs(
             _t(spark, sf_dir, "embeddings"), threshold=0.95)
@@ -421,6 +427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "cosine_topk": q_cosine_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "embedding_neardup": q_embedding_neardup,
         "media_features": q_media_features,
         "doc_metrics": q_doc_metrics,
@@ -506,6 +513,49 @@ def _dk_simhash_sql(n_bits: int = 60) -> str:
           select doc_id, {votes} from hashed group by doc_id
         )
         select doc_id, {bits} as simhash from votes
+    """
+
+
+def _dk_ann_ivf_sql(k: int = 5, n_centroids: int = 16,
+                    n_probe: int = 4) -> str:
+    # same deterministic quantizer (smallest-vec_id seeds), assignment
+    # and probe ranking by (cosine desc, centroid_id asc) on rounded
+    # cosines — mirrors ops.similarity.ann_topk_ivf exactly
+    cos = ("round(list_dot_product({a}, {b}) / "
+           "(sqrt(list_dot_product({a}, {a})) * "
+           "sqrt(list_dot_product({b}, {b}))), 9)")
+    return f"""
+        with emb as (
+          select vec_id, embedding::DOUBLE[] as emb from embeddings
+        ), cents as (
+          select vec_id as cid, emb as c_emb from emb
+          order by vec_id limit {n_centroids}
+        ), scored as (
+          select e.vec_id, e.emb, c.cid,
+                 {cos.format(a='e.emb', b='c.c_emb')} as cos
+          from emb e cross join cents c
+        ), cells as (
+          select vec_id, emb, cid from (
+            select *, row_number() over (
+              partition by vec_id order by cos desc, cid) as rn
+            from scored) where rn = 1
+        ), qprobes as (
+          select vec_id as query_id, emb as q_emb, cid as probe from (
+            select *, row_number() over (
+              partition by vec_id order by cos desc, cid) as rn
+            from scored where vec_id < 10) where rn <= {n_probe}
+        ), pairs as (
+          select p.query_id, b.vec_id as neighbor_id,
+                 {cos.format(a='p.q_emb', b='b.emb')} as cosine
+          from cells b, qprobes p
+          where b.cid = p.probe and b.vec_id <> p.query_id
+        ), ranked as (
+          select *, row_number() over (
+            partition by query_id order by cosine desc, neighbor_id
+          ) as rank from pairs
+        )
+        select query_id, neighbor_id, cosine, cast(rank as int) as rank
+        from ranked where rank <= {k}
     """
 
 
@@ -959,6 +1009,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cosine_topk": cosine,
         "ann_topk_lsh": _dk_ann_lsh_sql(),
+        "ann_topk_ivf": _dk_ann_ivf_sql(),
         "embedding_neardup": _dk_neardup_sql(),
         "media_features": f"""
             with refs as (

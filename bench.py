@@ -55,6 +55,7 @@ HEADLINE = [
     "ocr_table_logi",       # polygon + logical-axis TSR contract
     "cosine_topk",
     "ann_topk_lsh",
+    "ann_topk_ivf",
     "embedding_neardup",
     "media_features",
     "pricing_summary",

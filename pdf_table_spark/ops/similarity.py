@@ -134,6 +134,86 @@ def ann_topk_lsh(emb: DataFrame, query_ids=None, k: int = 5,
     )
 
 
+def _vec_literal(vals) -> str:
+    comps = ", ".join(f"cast({float(v)!r} as double)" for v in vals)
+    return f"array({comps})"
+
+
+def ivf_centroids(emb: DataFrame, n_centroids: int = 16) -> list:
+    """IVF coarse quantizer: the ``n_centroids`` vectors with the
+    smallest vec_id, collected to the driver (16 x dim floats — the
+    same driver-held-small-model shape as broadcast weights). A
+    deterministic seed-vector quantizer rather than k-means: FAISS
+    would Lloyd-refine these seeds, which only moves the centroids —
+    the plan (assign → probe → search-within-cells) is identical, and
+    determinism is what lets the DuckDB oracle replicate the cells.
+    Returns [(centroid_id, [float, ...]), ...]."""
+    rows = (emb.orderBy("vec_id").limit(n_centroids)
+            .select("vec_id", "embedding").collect())
+    return [(int(r.vec_id), [float(x) for x in r.embedding])
+            for r in rows]
+
+
+def _cell_structs(cents, col: str = "embedding") -> str:
+    """Per-centroid (cosine, -centroid_id) structs; array_max picks the
+    max cosine and, on a rounded tie, the SMALLEST centroid id."""
+    structs = []
+    for cid, vec in cents:
+        cos = COS_EXPR.format(a=col, b=_vec_literal(vec))
+        structs.append(f"struct(round({cos}, 9) as c, {-cid}L as nid)")
+    return ", ".join(structs)
+
+
+def ann_topk_ivf(emb: DataFrame, query_ids=None, k: int = 5,
+                 n_centroids: int = 16, n_probe: int = 4) -> DataFrame:
+    """IVF-Flat approximate top-k: every vector is assigned to its
+    max-cosine centroid cell (a NARROW projection against driver-held
+    centroid literals — no shuffle, no join), each query probes its
+    ``n_probe`` nearest cells, and the exact search runs only inside
+    the probed cells. Same output schema as cosine_topk.
+
+    The 100 TB plan: assignment is embarrassingly parallel scan work;
+    the candidate join keys on the cell id with the tiny probe set
+    broadcast — the search space shrinks ~n_centroids/n_probe-fold and
+    no cross join ever materializes. A vector lives in exactly one
+    cell, so probes yield no duplicate (query, neighbor) rows."""
+    cents = ivf_centroids(emb, n_centroids)
+    cells = emb.withColumn(
+        "cell",
+        F.expr(f"(array_max(array({_cell_structs(cents)})).nid * -1L)"))
+    queries = cells.filter(
+        F.col("vec_id").isin(list(query_ids)) if query_ids is not None
+        else F.col("vec_id") < 10
+    ).select(F.col("vec_id").alias("query_id"),
+             F.col("embedding").alias("q_emb"))
+    # n_probe nearest cells per query: sort (cosine asc, -cid asc) then
+    # reverse → cosine desc with centroid_id asc on rounded ties
+    probes = queries.select(
+        "query_id", "q_emb",
+        F.explode(F.expr(
+            f"transform(slice(reverse(array_sort(array("
+            f"{_cell_structs(cents, col='q_emb')}"
+            f"))), 1, {n_probe}), s -> s.nid * -1L)")).alias("probe"))
+    pairs = (
+        cells.join(
+            F.broadcast(probes),
+            (F.col("cell") == F.col("probe"))
+            & (F.col("vec_id") != F.col("query_id")))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"),
+            F.round(F.expr(COS_EXPR.format(a="q_emb", b="embedding")), 9)
+            .alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine",
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
 NEARDUP_BANDS = 6
 NEARDUP_ROWS = 8  # planes per band
 

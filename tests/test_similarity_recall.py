@@ -76,3 +76,43 @@ def test_ann_multiprobe_nn_recall(planted):
     hits = sum(1 for q in query_ids if got_nn.get(q) == true_nn[q])
     recall = hits / len(query_ids)
     assert recall >= 0.9, f"multi-probe ANN recall@1 {recall:.3f} < 0.9"
+
+
+def test_ann_ivf_nn_recall(planted):
+    """IVF-Flat recall@1 on the planted dups: a near-copy lands in (or
+    one probe away from) its source's centroid cell, so probing the 4
+    nearest of 16 cells recovers the true nearest neighbor."""
+    from pdf_table_spark.ops.similarity import ann_topk_ivf
+    df, arr, dup_src = planted
+    a64 = arr.astype(np.float64)
+    sims = a64 @ a64.T
+    np.fill_diagonal(sims, -2.0)
+    query_ids = list(range(N_BASE, N_BASE + N_DUP))
+    true_nn = {q: int(np.argmax(sims[q])) for q in query_ids}
+    rows = ann_topk_ivf(df, query_ids=query_ids, k=5,
+                        n_centroids=16, n_probe=4).collect()
+    got_nn = {r.query_id: r.neighbor_id for r in rows if r.rank == 1}
+    hits = sum(1 for q in query_ids if got_nn.get(q) == true_nn[q])
+    recall = hits / len(query_ids)
+    assert recall >= 0.9, f"IVF ANN recall@1 {recall:.3f} < 0.9"
+
+
+def test_ann_ivf_search_space_shrinks(planted):
+    """The point of IVF: probing 4 of 16 cells must examine a strict
+    subset of the corpus per query (scale path, not a rename of brute
+    force)."""
+    from pyspark.sql import functions as F
+
+    from pdf_table_spark.ops.similarity import (
+        _cell_structs, ivf_centroids)
+    df, arr, _ = planted
+    cents = ivf_centroids(df, 16)
+    cells = df.withColumn(
+        "cell",
+        F.expr(f"(array_max(array({_cell_structs(cents)})).nid * -1L)"))
+    sizes = {r.cell: r.n for r in
+             cells.groupBy("cell").agg(F.count("*").alias("n")).collect()}
+    assert len(sizes) > 4  # vectors actually spread over cells
+    # any 4 cells cover well under the whole corpus
+    top4 = sum(sorted(sizes.values(), reverse=True)[:4])
+    assert top4 < len(arr)
