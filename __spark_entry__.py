@@ -224,6 +224,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.simhash_pairs(_t(spark, sf_dir, "documents"),
                                    max_hamming=3)
 
+    def q_audio_chunks(spark, sf_dir):
+        # audio modality: windowed 30s chunk enumeration (JVM-side
+        # sequence/explode; only kept windows would reach a decoder).
+        # Audio metadata is hash-derived from media refs (no audio
+        # table in the corpus): duration 1-90s at 16 kHz.
+        from pdf_table_spark.ops.dedup import H60_SPARK
+        from pdf_table_spark.ops.multimodal import (
+            chunk_audio, media_refs_with_payloads)
+        refs = media_refs_with_payloads(
+            _spans_df(spark, sf_dir)).select("media_ref")
+        audio = refs.select(
+            "media_ref",
+            F.expr(f"(({H60_SPARK.format(s='media_ref')} % 90) + 1) "
+                   "* 16000").alias("n_samples"),
+            F.lit(16000).alias("sample_rate"))
+        return chunk_audio(audio, window_sec=30.0, hop_sec=30.0).select(
+            "media_ref", "chunk_idx", "start_sec", "end_sec")
+
     def q_cosine_topk(spark, sf_dir):
         return similarity.cosine_topk(_t(spark, sf_dir, "embeddings"), k=5)
 
@@ -428,6 +446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
+        "audio_chunks": q_audio_chunks,
         "embedding_neardup": q_embedding_neardup,
         "media_features": q_media_features,
         "doc_metrics": q_doc_metrics,
@@ -1010,6 +1029,29 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": cosine,
         "ann_topk_lsh": _dk_ann_lsh_sql(),
         "ann_topk_ivf": _dk_ann_ivf_sql(),
+        "audio_chunks": f"""
+            with refs as (
+              select distinct s.media_ref as media_ref
+              from (select unnest(spans) as s from {spans})
+              where s.kind = 'image'
+            ), audio as (
+              select media_ref,
+                     cast(({DK_H60.format(s='media_ref')} % 90) + 1
+                          as double) as dur
+              from refs
+            ), chunks as (
+              select media_ref, dur,
+                     unnest(generate_series(0,
+                       greatest(cast(ceil((dur - 30.0) / 30.0) as int),
+                                0), 1)) as chunk_idx
+              from audio
+            )
+            select media_ref, cast(chunk_idx as int) as chunk_idx,
+                   cast(chunk_idx * 30.0 as double) as start_sec,
+                   cast(least(chunk_idx * 30.0 + 30.0, dur) as double)
+                     as end_sec
+            from chunks where chunk_idx * 30.0 < dur
+        """,
         "embedding_neardup": _dk_neardup_sql(),
         "media_features": f"""
             with refs as (

@@ -58,6 +58,7 @@ HEADLINE = [
     "ann_topk_ivf",
     "embedding_neardup",
     "media_features",
+    "audio_chunks",
     "pricing_summary",
     "top_revenue_orders",
     "event_sessions",

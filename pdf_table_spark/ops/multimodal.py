@@ -144,6 +144,56 @@ def sample_frames(videos: DataFrame, every_n: int = 5) -> DataFrame:
     return frames.mapInPandas(batches, schema=FRAME_SCHEMA)
 
 
+CHUNK_SCHEMA = ("media_ref string, chunk_idx int, start_sec double, "
+                "end_sec double, chunk_feature array<float>")
+
+
+def chunk_audio(audio: DataFrame, window_sec: float = 30.0,
+                hop_sec: float = 30.0) -> DataFrame:
+    """Windowed chunking over audio rows (media_ref, n_samples,
+    sample_rate): chunk *enumeration* is pure JVM SQL (sequence +
+    explode over sample counts — no Python touches a row that isn't
+    kept), and only the enumerated chunks reach the Arrow feature
+    stage (the decode stub; ffmpeg/soundfile seek + decode in
+    production). The same ordering as ``sample_frames``: at 100 TB,
+    enumerate cheap, decode only the kept windows. The final partial
+    window is kept (ASR-style chunking never drops the tail)."""
+    if window_sec <= 0 or hop_sec <= 0:
+        raise ValueError("window_sec and hop_sec must be positive")
+    chunks = audio.filter(
+        (F.coalesce(F.col("n_samples"), F.lit(0)) > 0)
+        & (F.coalesce(F.col("sample_rate"), F.lit(0)) > 0)
+    ).select(
+        "media_ref", "sample_rate",
+        F.explode(F.expr(
+            f"sequence(0, greatest(cast(ceil((n_samples / sample_rate "
+            f"- {window_sec}) / {hop_sec}) as int), 0), 1)"
+        )).alias("chunk_idx"),
+        (F.col("n_samples") / F.col("sample_rate")).alias("dur_sec"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"media_ref": [], "chunk_idx": [], "start_sec": [],
+                    "end_sec": [], "chunk_feature": []}
+            for ref, idx, dur in zip(pdf["media_ref"].values,
+                                     pdf["chunk_idx"].values,
+                                     pdf["dur_sec"].values):
+                start = float(idx) * hop_sec
+                if start >= float(dur):
+                    continue  # guard the ceil edge on exact multiples
+                key = f"{ref}#chunk{int(idx)}".encode()
+                _w, _h, _fmt, feat = _decode_image(key)
+                rows["media_ref"].append(ref)
+                rows["chunk_idx"].append(int(idx))
+                rows["start_sec"].append(start)
+                rows["end_sec"].append(min(start + window_sec,
+                                           float(dur)))
+                rows["chunk_feature"].append(feat)
+            yield pd.DataFrame(rows)
+
+    return chunks.mapInPandas(batches, schema=CHUNK_SCHEMA)
+
+
 def media_refs_with_payloads(docs_spans: DataFrame) -> DataFrame:
     """Pull media refs out of an interleaved spans table and attach a
     deterministic synthetic payload (the blob store is out of scope in

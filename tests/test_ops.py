@@ -392,3 +392,25 @@ def test_winnowing_xxhash64_variant_same_guarantee(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="hash_fn"):
         winnow_fingerprint_rows(docs, hash_fn="sha1")
+
+
+def test_chunk_audio_window_semantics(spark):
+    """Audio chunk enumeration: JVM-side windows, tail kept, degenerate
+    rows dropped, features only for enumerated chunks."""
+    from pdf_table_spark.ops.multimodal import chunk_audio
+    audio = spark.createDataFrame(
+        [("a61", 61 * 16000, 16000),   # 61s → chunks at 0/30/60 (1s tail)
+         ("a60", 60 * 16000, 16000),   # exact multiple → 0/30 only
+         ("a10", 10 * 16000, 16000),   # shorter than window → one chunk
+         ("bad", 0, 16000), ("bad2", 16000, 0)],  # dropped
+        "media_ref string, n_samples long, sample_rate int")
+    rows = {(r.media_ref, r.chunk_idx): (r.start_sec, r.end_sec)
+            for r in chunk_audio(audio, 30.0, 30.0).collect()}
+    assert rows[("a61", 0)] == (0.0, 30.0)
+    assert rows[("a61", 2)] == (60.0, 61.0)        # tail window kept
+    assert ("a60", 2) not in rows                   # no empty window
+    assert rows[("a60", 1)] == (30.0, 60.0)
+    assert rows[("a10", 0)] == (0.0, 10.0)
+    assert not any(ref.startswith("bad") for ref, _ in rows)
+    feats = chunk_audio(audio, 30.0, 30.0).select("chunk_feature").collect()
+    assert all(len(r.chunk_feature) == 16 for r in feats)
