@@ -115,3 +115,37 @@ class TestPlans:
         plan = plan_of(queries["table_quality"](spark, SF_DIR))
         assert n_nodes(plan, "Scan parquet") == 1
         assert n_nodes(plan, "MapInArrow") == 1
+
+    def test_ann_ivf_narrow_assignment_and_broadcast_probes(
+            self, spark, queries):
+        """IVF-Flat: cell assignment must be a narrow projection (no
+        exchange between the scan and the candidate join's streamed
+        side) and the probe set must broadcast; the final top-k stays
+        a WindowGroupLimit, never a global sort."""
+        plan = plan_of(queries["ann_topk_ivf"](spark, SF_DIR))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert n_nodes(plan, "BroadcastHashJoin") >= 1
+        assert "WindowGroupLimit" in plan
+        # assignment adds no shuffle: the only exchanges are the
+        # broadcast build side and the window's partitioning
+        assert n_nodes(plan, "Exchange") <= 1
+
+    def test_audio_chunks_enumeration_is_jvm_side(self, spark, queries):
+        """Chunk enumeration (sequence/explode) must run before the
+        single Python stage: no row reaches Python that isn't a kept
+        window."""
+        plan = plan_of(queries["audio_chunks"](spark, SF_DIR))
+        assert n_nodes(plan, "MapInPandas") == 1
+        assert "BatchEvalPython" not in plan
+        gen = plan.index("Generate")        # explode(sequence(...))
+        py = plan.index("MapInPandas")
+        assert gen > py  # formatted plan prints leaves LAST: the
+        # Generate node sits BELOW (executes before) the Python stage
+
+    def test_simhash_pairs_banded_equijoin(self, spark, queries):
+        plan = plan_of(queries["simhash_pairs"](spark, SF_DIR))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+                or "ShuffledHashJoin" in plan)
