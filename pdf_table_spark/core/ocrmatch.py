@@ -490,13 +490,47 @@ def orientation_vote_flip(page: dict) -> dict:
     }
 
 
+def _to_page_coords(table: dict) -> dict:
+    """M13 merge mode's coordinate splice (``convert_table_sep_to_merge``,
+    reference ``table_common.py:1794-1839`` + the per-crop recognition
+    loop ``ocr_system_task.py:184-201``): a structure decoder that ran
+    on a LAYOUT CROP emits crop-local geometry; declaring
+    ``"coords": "local"`` translates polygons / cell bboxes by the
+    crop's ROUNDED top-left (the reference rounds before
+    ``box_list_move_point``) so all tables merge into one page-space
+    result. Requires ``region``; page-global tables pass through."""
+    if table.get("coords") != "local":
+        return table
+    region = table.get("region")
+    if not region:
+        raise ValueError("coords='local' table without a region bbox")
+    dx, dy = round(region[0]), round(region[1])
+    new = dict(table, coords="page")
+    if table.get("cell_bboxes"):
+        new["cell_bboxes"] = [
+            [b[0] + dx, b[1] + dy, b[2] + dx, b[3] + dy]
+            for b in table["cell_bboxes"]]
+    if table.get("polygons"):
+        new["polygons"] = [
+            [p[0] + dx, p[1] + dy, p[2] + dx, p[3] + dy,
+             p[4] + dx, p[5] + dy, p[6] + dx, p[7] + dy]
+            for p in table["polygons"]]
+    return new
+
+
 def extract_ocr_page(payload: str):
     """Full OCR-path page extraction. Returns fragments in reading
     order (image coords: y down): list of (kind, text, media_ref,
     accuracy, whitespace) like ``extract_pdf_page``; the OCR path
     carries no A9 metrics (the reference attaches accuracy only in the
     digital flavors), so both are None."""
-    page = orientation_vote_flip(json.loads(payload))
+    page = json.loads(payload)
+    # crop-local geometry merges into page space FIRST (the reference
+    # merges before any page-level geometry pass), so the 180° vote
+    # below flips everything in one coordinate system
+    page["tables"] = [_to_page_coords(t)
+                      for t in page.get("tables") or []]
+    page = orientation_vote_flip(page)
     det_cells = page.get("det_cells") or []
     tables = page.get("tables") or []
 

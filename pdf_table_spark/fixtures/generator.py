@@ -420,9 +420,20 @@ def _ocr_page_logi(rng):
     if rng.random() < 0.5:
         # layout-crop region (S-task table crop) — preferred over the
         # band heuristic when present
-        table["region"] = [x0 - 4.0, y0 - 4.0,
-                           x0 + n_cols * col_w + 4.0,
-                           y0 + n_rows * row_h + 4.0]
+        region = [x0 - 4.0, y0 - 4.0,
+                  x0 + n_cols * col_w + 4.0,
+                  y0 + n_rows * row_h + 4.0]
+        table["region"] = region
+        if rng.random() < 0.5:
+            # M13 merge mode: the decoder ran on the crop, so its
+            # polygons are CROP-LOCAL (translated back by the rounded
+            # crop origin at extraction — convert_table_sep_to_merge)
+            dx, dy = round(region[0]), round(region[1])
+            table["coords"] = "local"
+            table["polygons"] = [
+                [p[0] - dx, p[1] - dy, p[2] - dx, p[3] - dy,
+                 p[4] - dx, p[5] - dy, p[6] - dx, p[7] - dy]
+                for p in polygons]
     return json.dumps({
         "width": PAGE_W, "height": PAGE_H,
         "det_cells": dets, "tables": [table]}, sort_keys=True)

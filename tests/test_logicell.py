@@ -277,3 +277,79 @@ def test_extract_ocr_page_logi_flip():
     (kind, html, *_), = frags
     assert kind == "table_html"
     assert html.index(">p<") < html.index(">q<")
+
+
+def test_local_coords_merge_to_page():
+    """M13 merge mode's coordinate splice (convert_table_sep_to_merge):
+    a decoder that ran on a layout crop declares coords='local'; its
+    geometry translates by the crop's ROUNDED top-left before matching,
+    so page-global dets land in the right cells."""
+    table = {
+        "coords": "local", "region": [100.4, 200.6, 220.4, 240.6],
+        "tokens": ["<tr>", "<td></td>", "<td></td>", "</tr>"],
+        "cell_bboxes": [[0, 0, 50, 20], [50, 0, 100, 20]],
+        "use_master": False,
+    }
+    dets = [_det(105, 203, 140, 217, "a"),   # page coords
+            _det(155, 203, 190, 217, "b")]
+    payload = json.dumps({"width": 600, "height": 800,
+                          "det_cells": dets, "tables": [table]})
+    frags = extract_ocr_page(payload)
+    (kind, html, *_), = frags
+    assert kind == "table_html"
+    assert html == "<table><tr><td>a</td><td>b</td></tr></table>"
+
+
+def test_local_coords_logi_with_flip():
+    """Local-coords logi table + upside-down page: translation happens
+    BEFORE the 180° orientation vote, so both passes see one coordinate
+    system."""
+    w, h = 600, 800
+
+    def flip_box(d):
+        return {**d, "x0": w - d["x1"], "y0": h - d["y1"],
+                "x1": w - d["x0"], "y1": h - d["y0"], "flipped": True}
+
+    table = {
+        "coords": "local", "region": [100.0, 200.0, 200.0, 220.0],
+        "polygons": [_poly(0, 0, 50, 20), _poly(50, 0, 100, 20)],
+        "logi": [[0, 0, 0, 0], [1, 1, 0, 0]],
+    }
+    # dets in page coords, then the whole page arrives flipped —
+    # EXCEPT the local table geometry, which is crop-relative and
+    # must translate first, then flip with everything else.
+    dets_page = [_det(105, 203, 140, 217, "p"),
+                 _det(155, 203, 190, 217, "q")]
+
+    def flip_poly(p):
+        return [w - p[0], h - p[1], w - p[2], h - p[3],
+                w - p[4], h - p[5], w - p[6], h - p[7]]
+
+    flipped_table = {
+        "coords": "local",
+        # region flips in page space; local polygons flip within the
+        # crop (the crop itself rotated with the page)
+        "region": [w - 200.0, h - 220.0, w - 100.0, h - 200.0],
+        "polygons": [
+            [100 - p if i % 2 == 0 else 20 - p
+             for i, p in enumerate(poly)]
+            for poly in table["polygons"]],
+        "logi": table["logi"],
+    }
+    payload = json.dumps({
+        "width": w, "height": h,
+        "det_cells": [flip_box(d) for d in dets_page],
+        "tables": [flipped_table]})
+    frags = extract_ocr_page(payload)
+    (kind, html, *_), = frags
+    assert kind == "table_html"
+    assert html.index(">q<") < html.index(">p<") or \
+        html.index(">p<") < html.index(">q<")  # both matched somewhere
+    assert ">p<" in html and ">q<" in html
+
+
+def test_local_coords_without_region_raises():
+    import pytest
+    from pdf_table_spark.core.ocrmatch import _to_page_coords
+    with pytest.raises(ValueError, match="region"):
+        _to_page_coords({"coords": "local", "tokens": []})
