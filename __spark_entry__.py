@@ -86,7 +86,8 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     import sys
     sys.path.insert(0, REPO)
-    from pdf_table_spark.ops import dedup, multimodal, similarity, text
+    from pdf_table_spark.ops import (dedup, multimodal, similarity,
+                                     text, textfilters)
 
     def q_extract_spans(spark, sf_dir):
         return _extract_flat(spark, sf_dir)
@@ -204,6 +205,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_exact_dedup(spark, sf_dir):
         return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+    # ---- corpus filter gates (Gopher / C4 / PII / composed) ----
+    # the corpus text is single-line word salad, so the line-based
+    # signals get a deterministic line synthesis (every 'table ' ends
+    # a sentence) mirrored verbatim in the oracle SQL
+    _LINED = "replace(text, 'table ', 'table.' || chr(10))"
+
+    def _lined_docs(spark, sf_dir):
+        return _t(spark, sf_dir, "documents").select(
+            "doc_id", F.expr(_LINED).alias("text"))
+
+    def q_repetition_signals(spark, sf_dir):
+        return textfilters.repetition_signals(_lined_docs(spark, sf_dir))
+
+    def q_gopher_quality(spark, sf_dir):
+        # published thresholds except word count / stopword hits,
+        # scaled to the short synthetic docs
+        return textfilters.gopher_quality(
+            _lined_docs(spark, sf_dir),
+            min_words=10, min_stopword_hits=1)
+
+    def q_c4_filters(spark, sf_dir):
+        return textfilters.c4_line_filter(_lined_docs(spark, sf_dir))
+
+    def q_pii_redact(spark, sf_dir):
+        # deterministic PII injection so the redaction logic is
+        # actually exercised by the oracle compare
+        docs = _t(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.expr(
+                "text || ' contact ' || doc_id || '@example.com "
+                "tel +44 20 7946 0958 at 192.168.1.77.'").alias("text"))
+        return textfilters.pii_redact(docs)
+
+    def q_corpus_clean(spark, sf_dir):
+        # the composed gate, with 20 injected exact duplicates so the
+        # 'dup' stage is oracle-visible
+        base = _lined_docs(spark, sf_dir)
+        dups = (base.orderBy("doc_id").limit(20)
+                .select(F.concat(F.lit("dup_"),
+                                 F.col("doc_id").cast("string"))
+                        .alias("doc_id"), "text"))
+        alld = base.select(F.col("doc_id").cast("string")
+                           .alias("doc_id"), "text").unionByName(dups)
+        return textfilters.corpus_clean(
+            alld, min_words=10, min_stopword_hits=1)
 
     def q_ngram_jaccard(spark, sf_dir):
         return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), 0.5)
@@ -438,6 +485,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "winnow_fingerprint": q_winnow_fingerprint,
         "exact_dedup": q_exact_dedup,
+        "repetition_signals": q_repetition_signals,
+        "gopher_quality": q_gopher_quality,
+        "c4_filters": q_c4_filters,
+        "pii_redact": q_pii_redact,
+        "corpus_clean": q_corpus_clean,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -703,6 +755,215 @@ def _dk_layout_scores_sql(spans_rel: str) -> str:
     """
 
 
+def _dk_filter_sqls() -> dict[str, str]:
+    """DuckDB twins for the corpus filter gates (ops/textfilters.py).
+
+    Float discipline mirrors the Spark side: integer counts, one final
+    division — so the doubles are bit-identical across engines.
+    """
+    import sys
+    sys.path.insert(0, REPO)
+    from pdf_table_spark.ops.textfilters import (GOPHER_STOPWORDS,
+                                                 PII_PATTERNS)
+
+    lined = ("select doc_id, replace(text, 'table ', 'table.' || "
+             "chr(10)) as text from documents")
+    lines = "string_split(text, chr(10))"
+    stop_arr = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    email, ip, phone = (PII_PATTERNS["email"], PII_PATTERNS["ip"],
+                        PII_PATTERNS["phone"])
+
+    def redact(col):
+        return (
+            f"regexp_replace(regexp_replace(regexp_replace({col}, "
+            f"'{email}', '[EMAIL]', 'g'), "
+            f"'{ip}', '[IP]', 'g'), "
+            f"'{phone}', '[PHONE]', 'g')"
+        )
+
+    # the seven Gopher signals over (text, lines, ws, wsl) columns
+    gopher_sig = f"""
+          len(ws) as n_words,
+          coalesce(list_sum(list_transform(ws, w -> length(w))), 0)
+            / greatest(len(ws), 1) as mean_word_len,
+          ((length(text) - length(replace(text, '#', ''))) +
+           (length(text) - length(replace(text, '...', ''))) // 3 +
+           (length(text) - length(replace(text, '…', ''))))
+            / greatest(len(ws), 1) as symbol_word_ratio,
+          len(list_filter(lines, l -> starts_with(ltrim(l), '- ')
+              or starts_with(ltrim(l), '* ')
+              or starts_with(ltrim(l), '•')))
+            / greatest(len(lines), 1) as bullet_line_frac,
+          len(list_filter(lines, l -> ends_with(rtrim(l), '...')
+              or ends_with(rtrim(l), '…')))
+            / greatest(len(lines), 1) as ellipsis_line_frac,
+          len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+            / greatest(len(ws), 1) as alpha_word_frac,
+          len(list_intersect(list_distinct(wsl), [{stop_arr}]))
+            as stopword_hits"""
+
+    def pass_gopher(min_words, min_hits):
+        return (
+            f"(n_words >= {min_words} and n_words <= 100000 and "
+            "mean_word_len >= 3.0 and mean_word_len <= 10.0 and "
+            "symbol_word_ratio <= 0.1 and bullet_line_frac <= 0.9 and "
+            "ellipsis_line_frac <= 0.3 and alpha_word_frac >= 0.8 and "
+            f"stopword_hits >= {min_hits})"
+        )
+
+    # C4 kept-lines filter over a `lines` column (min 5 words, line
+    # ends with terminal punctuation)
+    c4_kept = """list_filter(lines, l -> (ends_with(rtrim(l), '.')
+          or ends_with(rtrim(l), '!') or ends_with(rtrim(l), '?')
+          or ends_with(rtrim(l), '"')) and
+          len(list_filter(string_split_regex(l, '\\s+'),
+              w -> w <> '')) >= 5)"""
+    n_sentences = (
+        "(length(clean_text) - length(replace(clean_text, '.', '')))"
+        " + (length(clean_text) - length(replace(clean_text, '!', '')))"
+        " + (length(clean_text) - length(replace(clean_text, '?', '')))"
+    )
+    keep_c4 = (
+        "(n_sentences >= 3 and not contains(lower(text), 'lorem ipsum')"
+        " and not contains(text, '{'))"
+    )
+
+    repetition = f"""
+        with lined as ({lined}),
+        base as (
+          select doc_id, text, {lines} as lines,
+                 {DK_TOKENS_CASED} as ws
+          from lined
+        ), grams as (
+          select *,
+            list_transform(generate_series(1, greatest(len(ws) - 1, 1)),
+              i -> array_to_string(list_slice(ws, i, i + 1), ' ')) as g2,
+            list_transform(generate_series(1, greatest(len(ws) - 4, 1)),
+              i -> array_to_string(list_slice(ws, i, i + 4), ' ')) as g5
+          from base
+        ), t2s as (
+          select *, list_max(list_transform(list_distinct(g2),
+            g -> {{'c': len(list_filter(g2, x -> x = g)), 'g': g}})) as t2
+          from grams
+        )
+        select doc_id,
+          len(lines) as n_lines,
+          (len(lines) - len(list_distinct(lines)))
+            / greatest(len(lines), 1) as dup_line_frac,
+          coalesce(list_sum(list_transform(list_distinct(lines),
+              l -> (len(list_filter(lines, x -> x = l)) - 1)
+                   * length(l))), 0)
+            / greatest(coalesce(list_sum(list_transform(lines,
+              l -> length(l))), 0), 1) as dup_line_char_frac,
+          case when len(ws) < 2 then cast(0.0 as double)
+               else t2.c * length(t2.g) / greatest(length(text), 1)
+          end as top_2gram_char_frac,
+          case when len(ws) < 5 then cast(0.0 as double)
+               else coalesce(list_sum(list_transform(list_distinct(g5),
+                 g -> case when len(list_filter(g5, x -> x = g)) > 1
+                      then len(list_filter(g5, x -> x = g)) * length(g)
+                      else 0 end)), 0) / greatest(length(text), 1)
+          end as dup_5gram_char_frac
+        from t2s
+    """
+
+    gopher = f"""
+        with lined as ({lined}),
+        base as (
+          select doc_id, text, {lines} as lines,
+                 {DK_TOKENS_CASED} as ws, {DK_TOKENS} as wsl
+          from lined
+        ), sig as (
+          select doc_id, {gopher_sig}
+          from base
+        )
+        select *, {pass_gopher(10, 1)} as pass_gopher from sig
+    """
+
+    c4 = f"""
+        with lined as ({lined}),
+        base as (
+          select doc_id, text, {c4_kept} as kl
+          from (select doc_id, text, {lines} as lines from lined)
+        ), ct as (
+          select doc_id, text,
+                 coalesce(array_to_string(kl, chr(10)), '') as clean_text,
+                 len(kl) as n_lines_kept
+          from base
+        ), sent as (
+          select *, {n_sentences} as n_sentences from ct
+        )
+        select doc_id, clean_text, n_lines_kept, n_sentences,
+               contains(lower(text), 'lorem ipsum') as has_lorem,
+               contains(text, '{{') as has_brace,
+               {keep_c4} as keep_c4
+        from sent
+    """
+
+    pii = f"""
+        with injected as (
+          select doc_id, text || ' contact ' || doc_id ||
+                 '@example.com tel +44 20 7946 0958 at 192.168.1.77.'
+                 as text
+          from documents
+        )
+        select doc_id,
+               cast(len(regexp_extract_all(text, '{email}')) as int)
+                 as n_emails,
+               cast(len(regexp_extract_all(text, '{ip}')) as int)
+                 as n_ips,
+               cast(len(regexp_extract_all(text, '{phone}')) as int)
+                 as n_phones,
+               {redact('text')} as redacted
+        from injected
+    """
+
+    clean = f"""
+        with lined as ({lined}),
+        alldocs as (
+          select cast(doc_id as varchar) as doc_id, text from lined
+          union all
+          (select 'dup_' || doc_id as doc_id, text from
+           (select * from lined order by doc_id limit 20))
+        ), ranked as (
+          select doc_id, text, row_number() over (
+            partition by md5(text) order by doc_id) as rn
+          from alldocs
+        ), base as (
+          select doc_id, text, rn, {lines} as lines,
+                 {DK_TOKENS_CASED} as ws, {DK_TOKENS} as wsl
+          from ranked
+        ), gop as (
+          select doc_id, text, rn, lines, {gopher_sig}
+          from base
+        ), ct as (
+          select *, coalesce(array_to_string(kl, chr(10)), '') as clean_text
+          from (select *, {c4_kept} as kl from gop)
+        ), sent as (
+          select *, {n_sentences} as n_sentences from ct
+        ), staged as (
+          select doc_id, clean_text,
+            case when rn > 1 then 'dup'
+                 when not {pass_gopher(10, 1)} then 'gopher'
+                 when not {keep_c4} then 'c4'
+                 else 'kept' end as stage
+          from sent
+        )
+        select doc_id, stage, stage = 'kept' as kept,
+               case when stage = 'kept'
+                    then md5({redact('clean_text')}) end as clean_fp
+        from staged
+    """
+
+    return {
+        "repetition_signals": repetition,
+        "gopher_quality": gopher,
+        "c4_filters": c4,
+        "pii_redact": pii,
+        "corpus_clean": clean,
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     import sys
     sys.path.insert(0, REPO)
@@ -911,6 +1172,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) as n_docs
             from documents group by md5(text) having count(*) > 1
         """,
+        **_dk_filter_sqls(),
         "ngram_jaccard": jacc,
         "doc_metrics": f"""
             select doc_id, count(*) as n_spans,

@@ -1,0 +1,394 @@
+"""Training-corpus filter ops over ``documents(doc_id, text, ...)``.
+
+The classic web-scale pipeline gates, re-expressed as JVM-side column
+expressions (published heuristics: Rae et al. 2021 "Scaling Language
+Models" App. A (Gopher/MassiveText rules); Raffel et al. 2020 "T5"
+§2.2 (C4 line filters)):
+
+  * repetition signals   — duplicate-line / duplicate-n-gram fractions
+  * Gopher quality rules — word count, word length, symbol/bullet/
+                           ellipsis ratios, alpha-word + stopword gates
+  * C4 line filter       — terminal-punctuation + min-words line keep,
+                           >=3-sentence / lorem-ipsum / brace doc gate
+  * PII redaction        — email / IPv4 / phone regex scrubbing
+  * corpus_clean         — the composed gate: exact dedup -> Gopher ->
+                           C4 -> PII, with per-doc drop provenance
+
+Scale notes: every per-doc op is a narrow map over the scan (no
+shuffle, no Python) — at 100 TB these run at parquet-scan speed with
+column pruning. ``corpus_clean`` is ONE scan and exactly ONE shuffle
+(the content-hash window for exact dedup); all gates are appended
+columns on that pass, and the PII regexes sit inside a ``when`` so
+they only evaluate for rows that survived every earlier gate.
+
+Cross-engine float discipline: every signal keeps its intermediate
+aggregations integer-valued (char counts, occurrence counts) and does
+ONE float division at the end, so Spark and the DuckDB oracle produce
+bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "repetition_signals",
+    "gopher_quality",
+    "c4_line_filter",
+    "pii_redact",
+    "corpus_clean",
+    "GOPHER_STOPWORDS",
+    "PII_PATTERNS",
+]
+
+# Gopher rule: a doc must contain >= 2 distinct words of this list
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
+                    "with")
+
+# patterns restricted to syntax Java regex and RE2 (DuckDB) agree on
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+?\d[\d() -]{6,}\d",
+}
+
+_WORDS = "filter(split(text, '\\\\s+'), t -> t <> '')"
+_WORDS_LOWER = "filter(split(lower(text), '\\\\s+'), t -> t <> '')"
+
+
+def _lines(line_sep: str) -> str:
+    return f"split(text, '{line_sep}')"
+
+
+# --------------------------------------------------------------------
+# repetition signals
+# --------------------------------------------------------------------
+
+
+def repetition_signals(docs: DataFrame,
+                       line_sep: str = "\\n") -> DataFrame:
+    """Per-doc repetition fractions (Gopher App. A1 family).
+
+    * ``dup_line_frac``        — lines that repeat an earlier line,
+                                 over all lines
+    * ``dup_line_char_frac``   — chars of those repeat occurrences,
+                                 over chars of all lines
+    * ``top_2gram_char_frac``  — chars covered by the single most
+                                 frequent word 2-gram (count x gram
+                                 length, ties broken by gram desc),
+                                 over all text chars
+    * ``dup_5gram_char_frac``  — chars covered by word 5-grams that
+                                 occur more than once (count x length,
+                                 overlaps counted per occurrence — can
+                                 exceed 1 by construction), over all
+                                 text chars
+
+    One narrow projection; per-doc O(distinct x n) array work stays in
+    the JVM. All counts are integers; each fraction is one division.
+    """
+    lines = _lines(line_sep)
+    n_lines = f"size({lines})"
+    dup_lines = f"(size({lines}) - size(array_distinct({lines})))"
+    # chars of repeat occurrences: (count-1) * length per distinct line
+    dup_line_chars = (
+        f"aggregate(array_distinct({lines}), 0L, (a, l) -> a + "
+        f"(size(filter({lines}, x -> x = l)) - 1) * length(l))"
+    )
+    line_chars = f"aggregate({lines}, 0L, (a, l) -> a + length(l))"
+
+    def grams(n: int) -> str:
+        return (
+            f"transform(sequence(1, greatest(size(ws) - {n - 1}, 1)),"
+            f" i -> array_join(slice(ws, i, {n}), ' '))"
+        )
+
+    # (count, gram) struct max = max count, ties to lexicographically
+    # greatest gram — deterministic in both engines
+    top2 = (
+        "array_max(transform(array_distinct(g2), g -> "
+        "struct(size(filter(g2, x -> x = g)) as c, g as g)))"
+    )
+    dup5_chars = (
+        "aggregate(array_distinct(g5), 0L, (a, g) -> a + if("
+        "size(filter(g5, x -> x = g)) > 1, "
+        "size(filter(g5, x -> x = g)) * length(g), 0L))"
+    )
+    return (
+        docs.select("doc_id", "text",
+                    F.expr(_WORDS).alias("ws"))
+        .select("doc_id", "text", "ws",
+                F.expr(grams(2)).alias("g2"),
+                F.expr(grams(5)).alias("g5"))
+        .select("doc_id", "text", "ws", "g5",
+                F.expr(top2).alias("t2"))
+        .select(
+            "doc_id",
+            F.expr(n_lines).alias("n_lines"),
+            F.expr(f"{dup_lines} / greatest({n_lines}, 1)")
+            .alias("dup_line_frac"),
+            F.expr(f"{dup_line_chars} / greatest({line_chars}, 1L)")
+            .alias("dup_line_char_frac"),
+            F.expr(
+                "if(size(ws) < 2, cast(0.0 as double), "
+                "t2.c * length(t2.g) / greatest(length(text), 1))"
+            ).alias("top_2gram_char_frac"),
+            F.expr(
+                f"if(size(ws) < 5, cast(0.0 as double), "
+                f"{dup5_chars} / greatest(length(text), 1))"
+            ).alias("dup_5gram_char_frac"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Gopher quality rules
+# --------------------------------------------------------------------
+
+
+def _with_gopher(df: DataFrame,
+                 min_words: int,
+                 max_words: int,
+                 min_mean_word_len: float,
+                 max_mean_word_len: float,
+                 max_symbol_word_ratio: float,
+                 max_bullet_line_frac: float,
+                 max_ellipsis_line_frac: float,
+                 min_alpha_word_frac: float,
+                 min_stopword_hits: int,
+                 line_sep: str) -> DataFrame:
+    """Append the Gopher signal + ``pass_gopher`` columns (needs a
+    ``text`` column; preserves every existing column)."""
+    lines = _lines(line_sep)
+    n_words = f"size({_WORDS})"
+    word_chars = f"aggregate({_WORDS}, 0L, (a, w) -> a + length(w))"
+    # '#' count + '...' count + unicode-ellipsis count (replace-based,
+    # non-overlapping leftmost — identical in Java and RE2 engines)
+    symbols = (
+        "(length(text) - length(replace(text, '#', ''))) + "
+        "(length(text) - length(replace(text, '...', ''))) div 3 + "
+        "(length(text) - length(replace(text, '…', '')))"
+    )
+    bullet_lines = (
+        f"size(filter({lines}, l -> "
+        "startswith(ltrim(l), '- ') or startswith(ltrim(l), '* ') "
+        "or startswith(ltrim(l), '•')))"
+    )
+    ellipsis_lines = (
+        f"size(filter({lines}, l -> "
+        "endswith(rtrim(l), '...') or endswith(rtrim(l), '…')))"
+    )
+    alpha_words = f"size(filter({_WORDS}, w -> w rlike '[A-Za-z]'))"
+    stop_arr = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    stop_hits = (
+        f"size(array_intersect(array_distinct({_WORDS_LOWER}),"
+        f" array({stop_arr})))"
+    )
+    df = df.withColumns({
+        "n_words": F.expr(n_words),
+        "mean_word_len": F.expr(
+            f"{word_chars} / greatest({n_words}, 1)"),
+        "symbol_word_ratio": F.expr(
+            f"({symbols}) / greatest({n_words}, 1)"),
+        "bullet_line_frac": F.expr(
+            f"{bullet_lines} / greatest(size({lines}), 1)"),
+        "ellipsis_line_frac": F.expr(
+            f"{ellipsis_lines} / greatest(size({lines}), 1)"),
+        "alpha_word_frac": F.expr(
+            f"{alpha_words} / greatest({n_words}, 1)"),
+        "stopword_hits": F.expr(stop_hits),
+    })
+    return df.withColumn(
+        "pass_gopher",
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_line_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("stopword_hits") >= min_stopword_hits),
+    )
+
+
+def gopher_quality(docs: DataFrame,
+                   min_words: int = 50,
+                   max_words: int = 100_000,
+                   min_mean_word_len: float = 3.0,
+                   max_mean_word_len: float = 10.0,
+                   max_symbol_word_ratio: float = 0.1,
+                   max_bullet_line_frac: float = 0.9,
+                   max_ellipsis_line_frac: float = 0.3,
+                   min_alpha_word_frac: float = 0.8,
+                   min_stopword_hits: int = 2,
+                   line_sep: str = "\\n") -> DataFrame:
+    """Gopher / MassiveText document quality rules (Rae et al. 2021
+    App. A): each signal as a column plus the conjunction
+    ``pass_gopher``. Thresholds default to the published values.
+
+    Narrow map, integer counts, one division per ratio.
+    """
+    return _with_gopher(
+        docs.select("doc_id", "text"),
+        min_words, max_words, min_mean_word_len, max_mean_word_len,
+        max_symbol_word_ratio, max_bullet_line_frac,
+        max_ellipsis_line_frac, min_alpha_word_frac,
+        min_stopword_hits, line_sep,
+    ).drop("text")
+
+
+# --------------------------------------------------------------------
+# C4 line filter
+# --------------------------------------------------------------------
+
+
+def _with_c4(df: DataFrame,
+             min_line_words: int,
+             min_sentences: int,
+             line_sep: str) -> DataFrame:
+    """Append ``clean_text``, ``n_lines_kept``, ``n_sentences``,
+    ``has_lorem``, ``has_brace``, ``keep_c4`` (needs ``text``)."""
+    lines = _lines(line_sep)
+    kept = (
+        f"filter({lines}, l -> ("
+        "endswith(rtrim(l), '.') or endswith(rtrim(l), '!') or "
+        "endswith(rtrim(l), '?') or endswith(rtrim(l), '\"')) and "
+        f"size(filter(split(l, '\\\\s+'), w -> w <> ''))"
+        f" >= {min_line_words})"
+    )
+    n_sentences = (
+        "(length(clean_text) - length(replace(clean_text, '.', '')))"
+        " + "
+        "(length(clean_text) - length(replace(clean_text, '!', '')))"
+        " + "
+        "(length(clean_text) - length(replace(clean_text, '?', '')))"
+    )
+    return (
+        df.withColumn("_kl", F.expr(kept))
+        .withColumns({
+            "clean_text": F.expr("array_join(_kl, '\\n')"),
+            "n_lines_kept": F.size("_kl"),
+        })
+        .drop("_kl")
+        .withColumns({
+            "n_sentences": F.expr(n_sentences),
+            "has_lorem": F.expr(
+                "contains(lower(text), 'lorem ipsum')"),
+            "has_brace": F.expr("contains(text, '{')"),
+        })
+        .withColumn(
+            "keep_c4",
+            (F.col("n_sentences") >= min_sentences)
+            & ~F.col("has_lorem") & ~F.col("has_brace"))
+    )
+
+
+def c4_line_filter(docs: DataFrame,
+                   min_line_words: int = 5,
+                   min_sentences: int = 3,
+                   line_sep: str = "\\n") -> DataFrame:
+    """C4's line-level clean + document gate (Raffel et al. 2020
+    §2.2): keep lines that end in terminal punctuation ('.', '!',
+    '?', '\"') and have >= ``min_line_words`` words; keep the doc when
+    the cleaned text still has >= ``min_sentences`` sentence enders
+    and contains neither 'lorem ipsum' nor '{'.
+
+    Returns doc_id, clean_text (kept lines re-joined), n_lines_kept,
+    n_sentences, has_lorem, has_brace, keep_c4. Narrow map.
+    """
+    return _with_c4(
+        docs.select("doc_id", "text"),
+        min_line_words, min_sentences, line_sep,
+    ).drop("text")
+
+
+# --------------------------------------------------------------------
+# PII redaction
+# --------------------------------------------------------------------
+
+
+def _redact_col(t: Column) -> Column:
+    """emails -> [EMAIL], then IPv4 -> [IP], then phone-like digit
+    runs -> [PHONE] (emails first so their digits never feed the
+    phone pattern; IPs contain dots the phone class excludes)."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_PATTERNS["email"], "[EMAIL]"),
+            PII_PATTERNS["ip"], "[IP]"),
+        PII_PATTERNS["phone"], "[PHONE]")
+
+
+def pii_redact(docs: DataFrame,
+               text_col: str = "text") -> DataFrame:
+    """Regex PII scrub over ``text_col``; counts are measured per
+    pattern on the ORIGINAL text. Patterns restricted to the
+    Java-regex/RE2 common subset so the DuckDB oracle matches
+    byte-for-byte. Narrow map.
+    """
+    t = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(PII_PATTERNS["email"]))
+        .alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_PATTERNS["ip"])).alias("n_ips"),
+        F.regexp_count(t, F.lit(PII_PATTERNS["phone"]))
+        .alias("n_phones"),
+        _redact_col(t).alias("redacted"),
+    )
+
+
+# --------------------------------------------------------------------
+# the composed gate
+# --------------------------------------------------------------------
+
+
+def corpus_clean(docs: DataFrame,
+                 min_words: int = 50,
+                 max_words: int = 100_000,
+                 min_sentences: int = 3,
+                 min_stopword_hits: int = 2,
+                 line_sep: str = "\\n") -> DataFrame:
+    """The composed training-corpus gate — the op a 100 TB ingest
+    actually runs:
+
+      1. exact dedup   — md5(text) content key, min doc_id survives
+      2. Gopher rules  — published thresholds (word count overridable)
+      3. C4 line gate  — cleaned text must keep >= min_sentences
+      4. PII redaction — survivors only (the regexes sit inside the
+                         ``when``, so they evaluate just for rows
+                         every earlier gate passed)
+
+    Returns one row per input doc: (doc_id, stage, kept, clean_fp)
+    where stage is the first gate that dropped it ('dup', 'gopher',
+    'c4') or 'kept', and clean_fp is md5 of the redacted clean text
+    for survivors (null otherwise) — a stable content receipt.
+
+    Scale: ONE scan, exactly ONE shuffle (the md5-key window for
+    dedup); every gate is an appended column on that pass. At 10^12
+    docs the window key is a 32-byte content hash — uniform,
+    skew-free.
+    """
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    staged = (
+        docs.select("doc_id", "text", F.md5("text").alias("fp"))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    staged = _with_gopher(
+        staged, min_words, max_words, 3.0, 10.0, 0.1, 0.9, 0.3, 0.8,
+        min_stopword_hits, line_sep)
+    staged = _with_c4(staged, 5, min_sentences, line_sep)
+    stage = (
+        F.when(F.col("rn") > 1, F.lit("dup"))
+        .when(~F.col("pass_gopher"), F.lit("gopher"))
+        .when(~F.col("keep_c4"), F.lit("c4"))
+        .otherwise(F.lit("kept"))
+    )
+    return staged.select(
+        "doc_id",
+        stage.alias("stage"),
+        (stage == "kept").alias("kept"),
+        F.when(stage == "kept",
+               F.md5(_redact_col(F.col("clean_text"))))
+        .alias("clean_fp"),
+    )

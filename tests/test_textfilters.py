@@ -1,0 +1,131 @@
+"""Corpus filter gates (ops/textfilters.py): hand-computed literal
+expectations per gate, plus the composed-gate stage provenance.
+
+These pin the published-heuristic semantics (Gopher App. A thresholds,
+C4 line rules) independently of the DuckDB oracle, so a change that
+breaks a rule on both engines still fails here.
+"""
+
+import pytest
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_repetition_signals_literals(spark):
+    from pdf_table_spark.ops.textfilters import repetition_signals
+    # 3 lines, one repeated; 3 words -> 2 bigrams, no 5-grams
+    df = _docs(spark, [("d", "aa\naa\nbb")])
+    r = repetition_signals(df, line_sep="\\n").collect()[0]
+    assert r.n_lines == 3
+    assert r.dup_line_frac == pytest.approx(1 / 3)
+    # repeat occurrences of 'aa': (2-1)*2 chars over 6 line chars
+    assert r.dup_line_char_frac == pytest.approx(2 / 6)
+    # bigrams 'aa aa', 'aa bb' tie at count 1 -> lexicographically
+    # greatest wins: 5 chars over len('aa\naa\nbb') = 8
+    assert r.top_2gram_char_frac == pytest.approx(5 / 8)
+    assert r.dup_5gram_char_frac == 0.0
+
+
+def test_repetition_dup_5gram(spark):
+    from pdf_table_spark.ops.textfilters import repetition_signals
+    # 'a b c d e' repeated -> the 5-gram 'a b c d e' occurs twice
+    df = _docs(spark, [("d", "a b c d e a b c d e")])
+    r = repetition_signals(df).collect()[0]
+    # 6 5-grams, all distinct except 'a b c d e' (x2): 2*9 chars / 19
+    assert r.dup_5gram_char_frac == pytest.approx(18 / 19)
+
+
+def test_gopher_pass_and_fail(spark):
+    from pdf_table_spark.ops.textfilters import gopher_quality
+    good = ("the quick brown foxes jump high today and lazy dogs "
+            "sleep deeply")
+    df = _docs(spark, [("good", good),
+                       ("short", "tiny doc here"),
+                       ("nums", "1 2 3 4 5 6 7 8 9 10 11 12")])
+    out = {r.doc_id: r for r in
+           gopher_quality(df, min_words=10,
+                          min_stopword_hits=1).collect()}
+    assert out["good"].pass_gopher
+    assert out["good"].n_words == 12
+    assert out["good"].alpha_word_frac == 1.0
+    assert out["good"].stopword_hits == 2  # the, and
+    assert not out["short"].pass_gopher          # < 10 words
+    assert not out["nums"].pass_gopher           # alpha_word_frac = 0
+    assert out["nums"].alpha_word_frac == 0.0
+
+
+def test_gopher_symbol_and_bullet_signals(spark):
+    from pdf_table_spark.ops.textfilters import gopher_quality
+    df = _docs(spark, [("s", "alpha # beta ... gamma"),
+                       ("b", "- one bullet\n- two bullet\nplain line")])
+    out = {r.doc_id: r for r in gopher_quality(df).collect()}
+    # '#' once + '...' once over 5 words
+    assert out["s"].symbol_word_ratio == pytest.approx(2 / 5)
+    assert out["b"].bullet_line_frac == pytest.approx(2 / 3)
+
+
+def test_c4_line_filter_literals(spark):
+    from pdf_table_spark.ops.textfilters import c4_line_filter
+    text = ("this is a good long line today.\n"
+            "too short.\n"
+            "no terminal punctuation on this line")
+    df = _docs(spark, [("d", text),
+                       ("lorem", "Lorem ipsum dolor sit amet today."),
+                       ("brace", "code { sample } in a long line.")])
+    out = {r.doc_id: r for r in c4_line_filter(df).collect()}
+    d = out["d"]
+    assert d.clean_text == "this is a good long line today."
+    assert d.n_lines_kept == 1
+    assert d.n_sentences == 1
+    assert not d.keep_c4                 # < 3 sentences
+    assert out["lorem"].has_lorem and not out["lorem"].keep_c4
+    assert out["brace"].has_brace and not out["brace"].keep_c4
+
+
+def test_pii_redact_counts_and_text(spark):
+    from pdf_table_spark.ops.textfilters import pii_redact
+    df = _docs(spark, [
+        ("d", "mail bob@example.com or 10.0.0.1 call +1 555 123 4567 now"),
+        ("clean", "no pii in here at all"),
+    ])
+    out = {r.doc_id: r for r in pii_redact(df).collect()}
+    d = out["d"]
+    assert (d.n_emails, d.n_ips, d.n_phones) == (1, 1, 1)
+    assert d.redacted == "mail [EMAIL] or [IP] call [PHONE] now"
+    c = out["clean"]
+    assert (c.n_emails, c.n_ips, c.n_phones) == (0, 0, 0)
+    assert c.redacted == "no pii in here at all"
+
+
+def test_corpus_clean_stage_provenance(spark):
+    from pdf_table_spark.ops.textfilters import corpus_clean
+    keep_text = ("the quick brown foxes jump high today.\n"
+                 "the lazy dogs sleep deeply through noon.\n"
+                 "and many birds fly south every year.")
+    df = _docs(spark, [
+        ("a_keep", keep_text),
+        ("b_dup", keep_text),              # same content, later doc_id
+        ("c_gopher", "tiny doc."),         # < 10 words
+        # passes gopher (12 words, stopwords) but no sentence enders
+        ("d_c4", "the cat and dog run fast over long road with nice pace"),
+    ])
+    out = {r.doc_id: r for r in
+           corpus_clean(df, min_words=10,
+                        min_stopword_hits=1).collect()}
+    assert out["a_keep"].stage == "kept" and out["a_keep"].kept
+    assert out["a_keep"].clean_fp is not None
+    assert out["b_dup"].stage == "dup" and not out["b_dup"].kept
+    assert out["b_dup"].clean_fp is None
+    assert out["c_gopher"].stage == "gopher"
+    assert out["d_c4"].stage == "c4"
+
+
+def test_corpus_clean_single_shuffle_plan(spark):
+    """Scale guard: the composed gate is one scan + exactly one
+    exchange (the md5-key window) — every gate rides that pass."""
+    from pdf_table_spark.ops.textfilters import corpus_clean
+    df = _docs(spark, [("a", "x")])
+    plan = corpus_clean(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
