@@ -46,6 +46,7 @@ HEADLINE = [
     "fingerprint",
     "text_normalize",
     "exact_dedup",
+    "corpus_clean",         # composed dedup→gopher→c4→pii gate
     "ngram_jaccard",
     "minhash_signatures",
     "minhash_lsh_pairs",
@@ -104,7 +105,8 @@ def main():
     per_query = {n: min(v) for n, v in runs.items()}
     total = sum(per_query.values())
 
-    extract_sec = per_query.get("extract_spans", 0.0) or 1e-9
+    # throughput only means something when the flagship ran
+    extract_sec = per_query.get("extract_spans")
     sf = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
     print(json.dumps({
         "metric": "headline_queries_total_wall",
@@ -113,8 +115,10 @@ def main():
         "queries": per_query,
         "sf": float(sf),
         "cpus": CPUS,
-        "extract_docs_per_sec": round(n_docs / extract_sec, 2),
-        "extract_pages_per_sec": round(n_pages / extract_sec, 2),
+        "extract_docs_per_sec": (round(n_docs / extract_sec, 2)
+                                 if extract_sec else None),
+        "extract_pages_per_sec": (round(n_pages / extract_sec, 2)
+                                  if extract_sec else None),
         "n_docs": n_docs,
         "n_pages": int(n_pages),
         "trials": trials,
