@@ -1,0 +1,96 @@
+"""Streaming face of the corpus-clean gate (ops/textfilters.py).
+
+At ingest time a 100 TB corpus *arrives*; the cleaning gates a batch
+compaction would apply (exact dedup -> Gopher -> C4 -> PII, see
+``ops.textfilters.corpus_clean``) map onto Structured Streaming as:
+
+  * exact dedup   -> ``dropDuplicatesWithinWatermark`` on the md5
+                     content key: state holds one 32-byte fingerprint
+                     per distinct doc inside the watermark horizon and
+                     expires automatically — bounded state, unlike a
+                     global ``dropDuplicates``. Duplicates further
+                     apart than the horizon are the batch compactor's
+                     job (``ops.dedup.dedup_corpus``); this gate is the
+                     near-line guard.
+  * Gopher / C4 / PII -> unchanged narrow column expressions (shared
+                     with the batch gate — same thresholds, same
+                     semantics), stateless and append-mode safe.
+
+Semantics difference vs the batch gate, by design: a streaming drop
+cannot emit provenance rows for the duplicates it suppresses (the
+engine drops them inside the stateful operator), so the output carries
+stage provenance only for docs that survive dedup ('gopher' | 'c4' |
+'kept'); within-horizon duplicates simply never appear.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ops.textfilters import _redact_col, _with_c4, _with_gopher
+
+DOCS_SCHEMA = "doc_id string, text string, ingest_ts timestamp"
+
+
+def clean_docs_stream(docs: DataFrame,
+                      ts_col: str = "ingest_ts",
+                      dedup_horizon: str = "1 hour",
+                      min_words: int = 50,
+                      max_words: int = 100_000,
+                      min_sentences: int = 3,
+                      min_stopword_hits: int = 2,
+                      line_sep: str = "\\n") -> DataFrame:
+    """Transform a streaming ``documents(doc_id, text, <ts_col>)``
+    DataFrame into the cleaned stream: one row per first-seen doc with
+    (doc_id, <ts_col>, stage, kept, clean_fp). Pure transformation —
+    attach any source/sink; append output mode.
+    """
+    deduped = (
+        docs.select("doc_id", ts_col, "text",
+                    F.md5("text").alias("fp"))
+        .withWatermark(ts_col, dedup_horizon)
+        .dropDuplicatesWithinWatermark(["fp"])
+    )
+    staged = _with_gopher(
+        deduped, min_words, max_words, 3.0, 10.0, 0.1, 0.9, 0.3, 0.8,
+        min_stopword_hits, line_sep)
+    staged = _with_c4(staged, 5, min_sentences, line_sep)
+    stage = (
+        F.when(~F.col("pass_gopher"), F.lit("gopher"))
+        .when(~F.col("keep_c4"), F.lit("c4"))
+        .otherwise(F.lit("kept"))
+    )
+    return staged.select(
+        "doc_id", ts_col,
+        stage.alias("stage"),
+        (stage == "kept").alias("kept"),
+        F.when(stage == "kept",
+               F.md5(_redact_col(F.col("clean_text"))))
+        .alias("clean_fp"),
+    )
+
+
+def clean_stream(spark: SparkSession, input_dir: str, output_dir: str,
+                 checkpoint_dir: str,
+                 dedup_horizon: str = "1 hour",
+                 min_words: int = 50,
+                 min_stopword_hits: int = 2) -> None:
+    """File-source runner: discover new corpus parquet files, push them
+    through the streaming gate, append survivors to ``output_dir``.
+    Exactly-once per file via the source offset log in
+    ``checkpoint_dir``; the dedup state also lives there, so a restart
+    still suppresses duplicates of docs seen before the restart (as
+    long as they are within the horizon)."""
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    stream = spark.readStream.schema(DOCS_SCHEMA).parquet(input_dir)
+    cleaned = clean_docs_stream(
+        stream, dedup_horizon=dedup_horizon, min_words=min_words,
+        min_stopword_hits=min_stopword_hits)
+    q = (cleaned.writeStream.outputMode("append")
+         .format("parquet").option("path", output_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
