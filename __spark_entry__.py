@@ -255,6 +255,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_ngram_jaccard(spark, sf_dir):
         return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), 0.5)
 
+    # ---- the capped production dedup pipeline, oracle-checked ----
+    # hash_fn='md5' swaps the shingle hash for the DuckDB-replicable
+    # 60-bit md5 prefix; max_df=20 genuinely bites on the word-salad
+    # corpus (common shingles are dropped before any join), max_bucket
+    # caps band buckets. The oracle mirrors every cap.
+    _DC = dict(threshold=0.5, max_df=20, max_bucket=10, hash_fn="md5")
+
+    def q_dedup_corpus_pairs(spark, sf_dir):
+        return dedup.dedup_corpus(
+            _t(spark, sf_dir, "documents"), **_DC)["pairs"]
+
+    def q_dedup_corpus_keep(spark, sf_dir):
+        return dedup.dedup_corpus(
+            _t(spark, sf_dir, "documents"), **_DC)["keep"]
+
     def q_minhash_signatures(spark, sf_dir):
         return dedup.minhash_signatures(_t(spark, sf_dir, "documents")).select(
             "doc_id", *[f"s{i}" for i in range(8)])  # first 8 perms checked
@@ -491,6 +506,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "corpus_clean": q_corpus_clean,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_corpus_pairs": q_dedup_corpus_pairs,
+        "dedup_corpus_keep": q_dedup_corpus_keep,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
@@ -564,6 +581,78 @@ def _dk_minhash_bands_cte() -> str:
         ), sig as (
           select doc_id, {mins} from hashed group by doc_id
         ), bands as ({band_rows})
+    """
+
+
+def _dk_dedup_corpus_cte(threshold: float, max_df: int,
+                         max_bucket: int) -> str:
+    """DuckDB twin of ``ops.dedup.dedup_corpus(hash_fn='md5')`` — the
+    full capped production pipeline: df-capped 60-bit shingle hashes →
+    MinHash signatures → band join with bucket cap → exact Jaccard
+    verify on candidates. Ends with a ``pairs`` CTE; callers select
+    pairs or the anti-joined survivors."""
+    import sys
+    sys.path.insert(0, REPO)
+    from pdf_table_spark.ops.dedup import BANDS, PERM_CONSTS, ROWS_PER_BAND
+    mins = ", ".join(
+        f"min(({a} * h % {P} + {b}) % {P}) as s{i}"
+        for i, (a, b) in enumerate(PERM_CONSTS))
+    band_rows = " union all ".join(
+        "select doc_id, {b} as band, md5({cols}) as bh from sig".format(
+            b=b,
+            cols=" || ',' || ".join(
+                f"cast(s{b * ROWS_PER_BAND + j} as varchar)"
+                for j in range(ROWS_PER_BAND)))
+        for b in range(BANDS))
+    # distinct over HASHES (not shingle strings), mirroring the Spark
+    # md5 variant of shingle_hash_rows
+    sh_hash = DK_H60.format(
+        s="array_to_string(list_slice(toks, i, i + 2), ' ')")
+    return f"""
+        with toks as (
+          select doc_id, {DK_TOKENS} as toks from documents
+        ), shs as (
+          select doc_id, unnest(list_distinct(list_transform(
+            generate_series(1, greatest(len(toks) - 2, 1)),
+            i -> {sh_hash}))) as sh
+          from toks
+        ), dfok as (
+          select sh from shs group by sh having count(*) <= {max_df}
+        ), shc as (
+          select s.doc_id, s.sh from shs s join dfok using (sh)
+        ), hashed as (
+          select doc_id, sh % {P} as h from shc
+        ), sig as (
+          select doc_id, {mins} from hashed group by doc_id
+        ), bands as ({band_rows}
+        ), bok as (
+          select band, bh from bands
+          group by band, bh having count(*) <= {max_bucket}
+        ), bandc as (
+          select b.doc_id, b.band, b.bh
+          from bands b join bok using (band, bh)
+        ), cand as (
+          select distinct x.doc_id as doc_a, y.doc_id as doc_b
+          from bandc x join bandc y
+            on x.band = y.band and x.bh = y.bh and x.doc_id < y.doc_id
+        ), sizes as (
+          select doc_id, count(*) as n_sh from shc group by doc_id
+        ), inter as (
+          select c.doc_a, c.doc_b, count(*) as n_inter
+          from cand c
+          join shc a on a.doc_id = c.doc_a
+          join shc b on b.doc_id = c.doc_b and b.sh = a.sh
+          group by 1, 2
+        ), pairs as (
+          select doc_a, doc_b,
+                 round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6)
+                   as jaccard
+          from inter
+          join sizes sa on sa.doc_id = doc_a
+          join sizes sb on sb.doc_id = doc_b
+          where round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6)
+                >= {threshold}
+        )
     """
 
 
@@ -1174,6 +1263,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         **_dk_filter_sqls(),
         "ngram_jaccard": jacc,
+        "dedup_corpus_pairs": _dk_dedup_corpus_cte(0.5, 20, 10) + """
+            select doc_a, doc_b, jaccard from pairs
+        """,
+        "dedup_corpus_keep": _dk_dedup_corpus_cte(0.5, 20, 10) + """
+            select d.doc_id from documents d
+            left join (select distinct doc_b from pairs) p
+              on d.doc_id = p.doc_b
+            where p.doc_b is null
+        """,
         "doc_metrics": f"""
             select doc_id, count(*) as n_spans,
                    cast(sum(case when kind = 'table_html' then 1 else 0 end)

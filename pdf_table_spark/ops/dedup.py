@@ -107,19 +107,33 @@ def shingle_rows(docs: DataFrame) -> DataFrame:
     )
 
 
-def shingle_hash_rows(docs: DataFrame) -> DataFrame:
-    """(doc_id, sh) with sh = xxhash64(shingle): the split/lower runs
+def shingle_hash_rows(docs: DataFrame,
+                      hash_fn: str = "xxhash64") -> DataFrame:
+    """(doc_id, sh) with sh = hash(shingle): the split/lower runs
     exactly once per doc (a `toks` column, not re-derived inside every
     lambda) and downstream shuffles move 8-byte hashes instead of
     shingle strings. 64-bit collisions are ~1e-8 at 1M shingles —
-    negligible vs the exactness the oracle checks."""
+    negligible vs the exactness the oracle checks.
+
+    ``hash_fn``: 'xxhash64' (default, fastest — the production path)
+    or 'md5' (the 60-bit md5-prefix hash DuckDB can reproduce
+    bit-for-bit — the oracle-comparability contract, same pattern as
+    ``ops.text.winnow_fingerprint_rows``)."""
+    if hash_fn == "xxhash64":
+        h = f"xxhash64(array_join(slice(toks, i, {SHINGLE_K}), ' '))"
+    elif hash_fn == "md5":
+        h = H60_SPARK.format(
+            s=f"array_join(slice(toks, i, {SHINGLE_K}), ' ')")
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}; "
+                         "one of 'xxhash64', 'md5'")
     toks = F.expr(f"filter(split(lower(text), '\\\\s+'), t -> t <> '')")
     return (
         docs.select("doc_id", toks.alias("toks"))
         .select("doc_id", F.expr(
             f"array_distinct(transform("
             f"  sequence(1, greatest(size(toks) - {SHINGLE_K - 1}, 1)),"
-            f"  i -> xxhash64(array_join(slice(toks, i, {SHINGLE_K}), ' '))"
+            f"  i -> {h}"
             f"))").alias("shs"))
         .select("doc_id", F.explode("shs").alias("sh"))
     )
@@ -260,7 +274,8 @@ def _lsh_pairs_from_signatures(sig: DataFrame,
 
 def dedup_corpus(docs: DataFrame, threshold: float = 0.8,
                  max_df: int = 10_000,
-                 max_bucket: int = 10_000) -> dict:
+                 max_bucket: int = 10_000,
+                 hash_fn: str = "xxhash64") -> dict:
     """Corpus-facing near-dedup — the production entry point with every
     scale guard DEFAULTED ON (the oracle-exact ops above keep their
     uncapped semantics for the correctness gate):
@@ -279,8 +294,12 @@ def dedup_corpus(docs: DataFrame, threshold: float = 0.8,
       5. survivors = docs minus the larger id of every verified pair.
 
     Returns {"pairs": verified pairs with jaccard, "keep": surviving
-    doc_ids}. Call ``release_caches()`` when done."""
-    sh = shingle_hash_rows(docs)
+    doc_ids}. Call ``release_caches()`` when done.
+
+    ``hash_fn='md5'`` switches the shingle hash to the DuckDB-
+    replicable 60-bit md5 prefix so the whole capped pipeline can be
+    oracle-checked; production keeps the faster xxhash64."""
+    sh = shingle_hash_rows(docs, hash_fn=hash_fn)
     keep_sh = (sh.groupBy("sh").agg(F.count("*").alias("df"))
                .filter(F.col("df") <= max_df).select("sh"))
     sh = sh.join(keep_sh, "sh").persist()
