@@ -385,6 +385,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pdf_table_spark.spark.model_stage import score_page_layout
         return score_page_layout(_spans_df(spark, sf_dir))
 
+    def q_quality_model_scores(spark, sf_dir):
+        # the same broadcast-weights seam, text-side: a fastText-style
+        # linear quality classifier over the documents table
+        from pdf_table_spark.spark.model_stage import score_doc_quality
+        return score_doc_quality(_t(spark, sf_dir, "documents"))
+
     def q_page_select(spark, sf_dir):
         # S2 page-range predicate: keep pages 2..end per doc (flattened
         # to counts so the compare is nesting-free)
@@ -524,6 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_dedup_keep": q_lsh_dedup_keep,
         "text_normalize": q_text_normalize,
         "layout_scores": q_layout_scores,
+        "quality_model_scores": q_quality_model_scores,
         "page_select": q_page_select,
         "table_exports": q_table_exports,
         "doc_html": q_doc_html,
@@ -841,6 +848,48 @@ def _dk_layout_scores_sql(spans_rel: str) -> str:
                     when {s_txt} >= {s_fig} then 'text'
                     else 'figure' end as layout_class
         from feats
+    """
+
+
+def _dk_quality_model_sql() -> str:
+    """DuckDB twin of ``model_stage.score_doc_quality`` (the literal
+    QUALITY_WEIGHTS head): integer text features cast to double, the
+    same 5x2 matmul, argmax over the ROUNDED scores with keep winning
+    ties — exactly what the Arrow stage computes."""
+    import sys
+    sys.path.insert(0, REPO)
+    from pdf_table_spark.ops.textfilters import GOPHER_STOPWORDS
+    from pdf_table_spark.spark.model_stage import QUALITY_WEIGHTS
+    w = QUALITY_WEIGHTS
+    stop_arr = ", ".join(f"'{x}'" for x in GOPHER_STOPWORDS)
+
+    def score(j):
+        return (f"round(f0 * {w[0][j]} + f1 * {w[1][j]} + "
+                f"f2 * {w[2][j]} + f3 * {w[3][j]} + {w[4][j]}, 6)")
+
+    return f"""
+        with base as (
+          select doc_id, {DK_TOKENS_CASED} as ws, {DK_TOKENS} as wsl
+          from documents
+        ), feats as (
+          select doc_id,
+            len(ws)::double as f0,
+            coalesce(list_sum(list_transform(ws, t -> length(t))),
+                     0)::double as f1,
+            len(list_filter(ws, t -> regexp_matches(t, '[A-Za-z]')))
+              ::double as f2,
+            len(list_intersect(list_distinct(wsl), [{stop_arr}]))
+              ::double as f3
+          from base
+        ), scored as (
+          select doc_id, {score(0)} as score_keep,
+                 {score(1)} as score_drop
+          from feats
+        )
+        select doc_id, score_keep, score_drop,
+               case when score_keep >= score_drop then 'keep'
+                    else 'drop' end as pred
+        from scored
     """
 
 
@@ -1315,6 +1364,7 @@ def oracle_sql() -> dict[str, str]:
             from documents
         """,
         "layout_scores": _dk_layout_scores_sql(spans),
+        "quality_model_scores": _dk_quality_model_sql(),
         "page_select": f"""
             with po as (
               select doc_id, spans,

@@ -40,6 +40,7 @@ HEADLINE = [
     "page_select",
     "doc_html",
     "layout_scores",
+    "quality_model_scores",  # broadcast-weights seam, text-side
     "token_stats",
     "quality_score",
     "lang_id",

@@ -150,3 +150,86 @@ def score_page_layout(docs_spans: DataFrame,
     return pages.mapInArrow(
         _make_stage(weights_bc, version, _mat_counter),
         schema=SCORE_SCHEMA)
+
+
+# --------------------------------------------------------------------
+# doc-quality head — a second consumer of the same seam, text-side
+# --------------------------------------------------------------------
+
+# 5x2 linear head over integer text features:
+# rows = (n_words, word_chars, n_alpha_words, stopword_hits, bias),
+# cols = (keep, drop). Literal so the DuckDB oracle embeds identical
+# values; ``weights_path`` swaps in a file-loaded artifact exactly like
+# the layout head. The shape is the fastText-style quality classifier
+# a corpus pipeline runs at ingest (linear over cheap text features).
+QUALITY_WEIGHTS = [
+    [0.015, 0.010],
+    [0.001, 0.001],
+    [0.005, 0.000],
+    [1.000, 0.000],
+    [0.000, 1.400],
+]
+
+QUALITY_CLASSES = ["keep", "drop"]
+
+QUALITY_SCHEMA = ("doc_id bigint, score_keep double, "
+                  "score_drop double, pred string")
+
+QUALITY_VERSION = "doc-quality-linear-v1"
+
+
+def _quality_features(texts) -> "np.ndarray":
+    """Integer text features per doc (mirrored verbatim in the oracle
+    SQL): whitespace tokens, their total chars, alpha-bearing tokens,
+    distinct Gopher-stopword hits, bias. Integers keep the downstream
+    matmul bit-identical across engines."""
+    import re
+    from ..ops.textfilters import GOPHER_STOPWORDS
+    stopset = set(GOPHER_STOPWORDS)
+    feats = np.zeros((len(texts), 5), dtype=np.float64)
+    for i, text in enumerate(texts):
+        toks = [t for t in re.split(r"\s+", text or "") if t]
+        feats[i] = (len(toks),
+                    sum(len(t) for t in toks),
+                    sum(1 for t in toks if re.search("[A-Za-z]", t)),
+                    len({t.lower() for t in toks} & stopset),
+                    1.0)
+    return feats
+
+
+def _make_quality_stage(weights_bc, version: str, mat_counter=None):
+    def stage(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        w = _get_model(version, weights_bc, mat_counter)
+        for batch in batches:
+            doc_ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            scores = np.round(_quality_features(texts) @ w, 6)
+            # argmax over the ROUNDED scores, first index wins ties —
+            # mirrored by the oracle's `score_keep >= score_drop`
+            cls = np.argmax(scores, axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(doc_ids, pa.int64()),
+                 pa.array(scores[:, 0]), pa.array(scores[:, 1]),
+                 pa.array([QUALITY_CLASSES[c] for c in cls], pa.string())],
+                names=["doc_id", "score_keep", "score_drop", "pred"])
+    return stage
+
+
+def score_doc_quality(docs: DataFrame,
+                      weights_path: str | None = None,
+                      _mat_counter=None) -> DataFrame:
+    """documents(doc_id, text) → (doc_id, score_keep, score_drop,
+    pred) through the SAME broadcast-weights Arrow seam as the layout
+    head: driver-loaded (or literal) weights broadcast once, executor
+    singleton keyed by version, one matmul per Arrow batch. Narrow —
+    no shuffle; at 100 TB this runs at scan speed."""
+    spark = docs.sparkSession
+    if weights_path is not None:
+        weights, version = load_weights(weights_path)
+        weights_bc = spark.sparkContext.broadcast(weights.tolist())
+    else:
+        version = QUALITY_VERSION
+        weights_bc = spark.sparkContext.broadcast(QUALITY_WEIGHTS)
+    return docs.select("doc_id", "text").mapInArrow(
+        _make_quality_stage(weights_bc, version, _mat_counter),
+        schema=QUALITY_SCHEMA)

@@ -89,3 +89,63 @@ def test_save_load_roundtrip(tmp_path):
     got, version = load_weights(path)
     assert version == "rt-v9"
     assert np.array_equal(got, np.asarray(w))
+
+
+# ---- doc-quality head: the same seam, text-side ----
+
+
+def _qdocs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_quality_scores_literal_expectations(spark):
+    """Hand-computed matmul over the literal QUALITY_WEIGHTS: features
+    (n_words, word_chars, n_alpha, stop_hits, 1) for crafted docs."""
+    from pdf_table_spark.spark.model_stage import score_doc_quality
+    out = {r.doc_id: r for r in score_doc_quality(_qdocs(spark, [
+        (1, "the cat sat"),          # f = (3, 9, 3, 1, 1)
+        (2, "1 2 3"),                # f = (3, 3, 0, 0, 1)
+    ])).collect()}
+    # keep = .015*3 + .001*9 + .005*3 + 1*1 = 1.069
+    # drop = .010*3 + .001*9 + 1.4 = 1.439
+    assert out[1].score_keep == pytest.approx(1.069)
+    assert out[1].score_drop == pytest.approx(1.439)
+    assert out[1].pred == "drop"
+    # keep = .045 + .003 + 0 + 0 = .048; drop = .03 + .003 + 1.4
+    assert out[2].score_keep == pytest.approx(0.048)
+    assert out[2].score_drop == pytest.approx(1.433)
+    assert out[2].pred == "drop"
+
+
+def test_quality_npz_artifact_and_versioning(spark, tmp_path):
+    """A file-loaded quality head flows through the same broadcast /
+    version-keyed singleton; a scaled second version doubles scores."""
+    from pdf_table_spark.spark.model_stage import (
+        QUALITY_WEIGHTS, save_weights, score_doc_quality)
+    docs = _qdocs(spark, [(i, f"the word salad number {i} of text")
+                          for i in range(20)])
+    path = str(tmp_path / "quality_v1.npz")
+    save_weights(path, QUALITY_WEIGHTS, "doc-quality-file-v1")
+    lit = {r.doc_id: (r.score_keep, r.pred)
+           for r in score_doc_quality(docs).collect()}
+    art = {r.doc_id: (r.score_keep, r.pred)
+           for r in score_doc_quality(docs, weights_path=path).collect()}
+    assert lit == art and lit
+
+    path2 = str(tmp_path / "quality_v2.npz")
+    save_weights(path2, np.asarray(QUALITY_WEIGHTS) * 2.0,
+                 "doc-quality-file-v2")
+    scaled = {r.doc_id: r.score_keep
+              for r in score_doc_quality(
+                  docs, weights_path=path2).collect()}
+    assert scaled == {k: pytest.approx(2 * v)
+                      for k, (v, _) in lit.items()}
+
+
+def test_quality_stage_single_python_boundary(spark):
+    """One mapInArrow stage, no shuffle — scan-speed at 100 TB."""
+    from pdf_table_spark.spark.model_stage import score_doc_quality
+    plan = (score_doc_quality(_qdocs(spark, [(1, "x")]))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("MapInArrow") == 1
+    assert "Exchange" not in plan
