@@ -67,7 +67,8 @@ def _lines(line_sep: str) -> str:
 
 
 def repetition_signals(docs: DataFrame,
-                       line_sep: str = "\\n") -> DataFrame:
+                       line_sep: str = "\\n",
+                       impl: str = "narrow") -> DataFrame:
     """Per-doc repetition fractions (Gopher App. A1 family).
 
     * ``dup_line_frac``        — lines that repeat an earlier line,
@@ -84,8 +85,23 @@ def repetition_signals(docs: DataFrame,
                                  exceed 1 by construction), over all
                                  text chars
 
-    One narrow projection; per-doc O(distinct x n) array work stays in
-    the JVM. All counts are integers; each fraction is one division.
+    Two plans, identical results (equality pytest-pinned):
+
+    ``impl='narrow'`` (default) — one narrow projection; the n-gram
+    counting is per-doc O(distinct x n) array lambdas in the JVM.
+    Fastest for web-page-sized docs (no shuffle at all), but a single
+    million-token outlier doc costs O(n²) inside one task.
+
+    ``impl='agg'`` — the 100-TB straggler-proof path: both gram sets
+    explode through ONE (doc_id, k, gram) groupBy (count), then one
+    per-doc aggregate derives the top-2-gram struct max and the
+    dup-5-gram char sum; line metrics stay narrow and join back on
+    doc_id. Linear in doc length; the shuffle key includes the gram,
+    so a pathological doc spreads over the cluster instead of pinning
+    one task.
+
+    All counts are integers; each fraction is one division — the two
+    impls (and the DuckDB oracle) produce bit-identical doubles.
     """
     lines = _lines(line_sep)
     n_lines = f"size({lines})"
@@ -114,30 +130,77 @@ def repetition_signals(docs: DataFrame,
         "size(filter(g5, x -> x = g)) > 1, "
         "size(filter(g5, x -> x = g)) * length(g), 0L))"
     )
-    return (
-        docs.select("doc_id", "text",
-                    F.expr(_WORDS).alias("ws"))
-        .select("doc_id", "text", "ws",
-                F.expr(grams(2)).alias("g2"),
-                F.expr(grams(5)).alias("g5"))
-        .select("doc_id", "text", "ws", "g5",
-                F.expr(top2).alias("t2"))
-        .select(
-            "doc_id",
-            F.expr(n_lines).alias("n_lines"),
-            F.expr(f"{dup_lines} / greatest({n_lines}, 1)")
-            .alias("dup_line_frac"),
-            F.expr(f"{dup_line_chars} / greatest({line_chars}, 1L)")
-            .alias("dup_line_char_frac"),
-            F.expr(
-                "if(size(ws) < 2, cast(0.0 as double), "
-                "t2.c * length(t2.g) / greatest(length(text), 1))"
-            ).alias("top_2gram_char_frac"),
-            F.expr(
-                f"if(size(ws) < 5, cast(0.0 as double), "
-                f"{dup5_chars} / greatest(length(text), 1))"
-            ).alias("dup_5gram_char_frac"),
+    if impl == "narrow":
+        return (
+            docs.select("doc_id", "text",
+                        F.expr(_WORDS).alias("ws"))
+            .select("doc_id", "text", "ws",
+                    F.expr(grams(2)).alias("g2"),
+                    F.expr(grams(5)).alias("g5"))
+            .select("doc_id", "text", "ws", "g5",
+                    F.expr(top2).alias("t2"))
+            .select(
+                "doc_id",
+                F.expr(n_lines).alias("n_lines"),
+                F.expr(f"{dup_lines} / greatest({n_lines}, 1)")
+                .alias("dup_line_frac"),
+                F.expr(f"{dup_line_chars} / greatest({line_chars}, 1L)")
+                .alias("dup_line_char_frac"),
+                F.expr(
+                    "if(size(ws) < 2, cast(0.0 as double), "
+                    "t2.c * length(t2.g) / greatest(length(text), 1))"
+                ).alias("top_2gram_char_frac"),
+                F.expr(
+                    f"if(size(ws) < 5, cast(0.0 as double), "
+                    f"{dup5_chars} / greatest(length(text), 1))"
+                ).alias("dup_5gram_char_frac"),
+            )
         )
+    if impl != "agg":
+        raise ValueError(f"unknown impl {impl!r}; one of 'narrow', 'agg'")
+
+    # the shuffle path: identical gram GENERATION (the exprs above),
+    # distributed COUNTING. One explode carries both gram sizes tagged
+    # by k, so there is one gram shuffle + one per-doc aggregate.
+    metrics = docs.select(
+        "doc_id",
+        F.expr(n_lines).alias("n_lines"),
+        F.expr(f"{dup_lines} / greatest({n_lines}, 1)")
+        .alias("dup_line_frac"),
+        F.expr(f"{dup_line_chars} / greatest({line_chars}, 1L)")
+        .alias("dup_line_char_frac"),
+        F.expr(f"size({_WORDS})").alias("n_ws"),
+        F.length("text").alias("text_len"),
+    )
+    tagged = (
+        docs.select("doc_id", F.expr(_WORDS).alias("ws"))
+        .select("doc_id", F.explode(F.expr(
+            f"concat(transform({grams(2)}, g -> struct(2 as k, g as g)),"
+            f" transform({grams(5)}, g -> struct(5 as k, g as g)))"
+        )).alias("tg"))
+        .select("doc_id", F.col("tg.k").alias("k"),
+                F.col("tg.g").alias("g"))
+    )
+    counts = tagged.groupBy("doc_id", "k", "g").agg(
+        F.count("*").alias("c"))
+    peragg = counts.groupBy("doc_id").agg(
+        F.max(F.when(F.col("k") == 2,
+                     F.struct(F.col("c").alias("c"),
+                              F.col("g").alias("g")))).alias("t2"),
+        F.sum(F.when((F.col("k") == 5) & (F.col("c") > 1),
+                     F.col("c") * F.length("g"))
+              .otherwise(F.lit(0).cast("long"))).alias("dup5_chars"),
+    )
+    return metrics.join(peragg, "doc_id").select(
+        "doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac",
+        F.expr(
+            "if(n_ws < 2, cast(0.0 as double), "
+            "t2.c * length(t2.g) / greatest(text_len, 1))"
+        ).alias("top_2gram_char_frac"),
+        F.expr(
+            "if(n_ws < 5, cast(0.0 as double), "
+            "dup5_chars / greatest(text_len, 1))"
+        ).alias("dup_5gram_char_frac"),
     )
 
 

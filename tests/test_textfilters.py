@@ -129,3 +129,35 @@ def test_corpus_clean_single_shuffle_plan(spark):
     df = _docs(spark, [("a", "x")])
     plan = corpus_clean(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_repetition_agg_impl_matches_narrow(spark):
+    """The shuffle-based scale path (impl='agg') is bit-identical to
+    the narrow per-doc path on a real corpus slice and on crafted
+    repetitive docs (same integer counts, same single division)."""
+    import os
+    from pyspark.sql import functions as F
+    from pdf_table_spark.ops.textfilters import repetition_signals
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select(F.col("doc_id").cast("string").alias("doc_id"),
+                    F.expr(
+                "replace(text, 'table ', 'table.' || chr(10))")
+                .alias("text"))
+            .union(_docs(spark, [
+                ("rep", "a b c d e a b c d e a b c d e"),
+                ("one", "word"),
+                ("dup", "x y\nx y\nx y")]).select(
+                    F.col("doc_id").cast("string"), "text")))
+    narrow = sorted(map(tuple, repetition_signals(docs).collect()))
+    agg = sorted(map(tuple,
+                     repetition_signals(docs, impl="agg").collect()))
+    assert narrow == agg
+
+
+def test_repetition_agg_plan_shape(spark):
+    """impl='agg' shuffles on (doc_id, gram) — a pathological doc
+    spreads across the cluster instead of pinning one task."""
+    from pdf_table_spark.ops.textfilters import repetition_signals
+    df = repetition_signals(_docs(spark, [("d", "a b c")]), impl="agg")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(doc_id" in plan
