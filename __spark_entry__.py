@@ -147,6 +147,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", "offset", "kind", "text")
         )
 
+    def q_html_main_content(spark, sf_dir):
+        # the web-document path: docs whose spans are full HTML pages
+        # extract via boilerplate strip + DOM heuristics
+        # (core.htmlpage — the north rule's first clause)
+        spans = _spans_df(spark, sf_dir)
+        web_docs = spans.filter(
+            F.expr("exists(spans, s -> s.kind = 'html_page')")
+        ).select("doc_id")
+        return (
+            _extract_flat(spark, sf_dir)
+            .join(F.broadcast(web_docs), "doc_id")
+            .select("doc_id", "offset", "kind", "text", "media_ref")
+        )
+
     def q_extract_kind_stats(spark, sf_dir):
         return (
             _extract_flat(spark, sf_dir)
@@ -496,6 +510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_quality": q_table_quality,
         "ocr_table_match": q_ocr_table_match,
         "ocr_table_logi": q_ocr_table_logi,
+        "html_main_content": q_html_main_content,
         "extract_kind_stats": q_extract_kind_stats,
         "extract_tables_per_doc": q_extract_tables_per_doc,
         "imaged_doc_classifier": q_imaged_doc_classifier,
@@ -1204,6 +1219,15 @@ def oracle_sql() -> dict[str, str]:
             join (select doc_id from {spans}
                   where len(list_filter(spans,
                         s -> s.kind = 'ocr_page')) > 0) d
+              on g.doc_id = d.doc_id
+        """,
+        "html_main_content": f"""
+            select g.doc_id, g."offset" as offset, g.kind, g.text,
+                   g.media_ref
+            from {golden} g
+            join (select doc_id from {spans}
+                  where len(list_filter(spans,
+                        s -> s.kind = 'html_page')) > 0) d
               on g.doc_id = d.doc_id
         """,
         "ocr_table_logi": f"""

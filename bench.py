@@ -55,6 +55,7 @@ HEADLINE = [
     "simhash",
     "simhash_pairs",        # banded hamming join + exact verify
     "ocr_table_logi",       # polygon + logical-axis TSR contract
+    "html_main_content",    # web-doc boilerplate-strip path
     "cosine_topk",
     "ann_topk_lsh",
     "ann_topk_ivf",

@@ -328,6 +328,11 @@ def extract_span(kind: str, text: str, media_ref: str,
             # J3 3-tier match + X10 token splice (core.ocrmatch)
             from .ocrmatch import extract_ocr_page
             return extract_ocr_page(text)
+        if kind == "html_page":
+            # web-document path: boilerplate strip + DOM-heuristic
+            # main-content extraction (core.htmlpage)
+            from .htmlpage import extract_html_page
+            return extract_html_page(text)
     except Exception as exc:  # noqa: BLE001 — quarantine, don't crash
         return [("error", f"{kind}:{exc.__class__.__name__}", media_ref,
                  None, None)]

@@ -34,9 +34,9 @@ VOCAB = [
 ]
 
 FAMILIES = ["F-A", "F-B", "F-C", "F-D", "F-E", "F-F", "F-G", "F-H",
-            "F-I", "F-J", "F-K"]
+            "F-I", "F-J", "F-K", "F-L"]
 # giant-doc family is rare: one heavy doc among many small ones
-WEIGHTS = [15, 13, 12, 13, 10, 10, 2, 8, 6, 8, 5]
+WEIGHTS = [15, 13, 12, 13, 10, 10, 2, 8, 6, 8, 5, 6]
 
 
 def _words(rng, lo=1, hi=3):
@@ -593,6 +593,34 @@ def _html_table_fragment(rng):
     return "".join(parts)
 
 
+def _html_page(rng):
+    """Full web page (family F-L): nav/header/footer/script
+    boilerplate around main-content paragraphs, with optional embedded
+    tables, images, and link-farm blocks (dropped by the link-density
+    gate). Exercises core.htmlpage's DOM-heuristic extraction."""
+    def links(n):
+        return "".join(f'<a href="/{w}">{w}</a> '
+                       for w in rng.sample(VOCAB, n))
+    parts = [
+        "<html><head><title>", _words(rng, 2, 4), "</title>",
+        f"<script>var t={rng.randint(0, 99)};</script></head><body>",
+        f"<nav>{links(3)}</nav>",
+        f"<header><h1>{_words(rng, 2, 4)}</h1></header><main>",
+    ]
+    for _ in range(rng.randint(1, 3)):
+        parts.append(f"<p>{_words(rng, 8, 25)}.</p>")
+        if rng.random() < 0.3:
+            parts.append(f'<img src="blob://web/{rng.randint(0, 1 << 30)}">')
+        if rng.random() < 0.4:
+            parts.append(_html_table_fragment(rng))
+        if rng.random() < 0.3:
+            parts.append(f"<p>{links(4)}</p>")   # link farm
+    parts.append("</main><footer>")
+    parts.append(f"{_words(rng, 2, 5)} <a href=\"/legal\">legal</a>")
+    parts.append("</footer></body></html>")
+    return "".join(parts)
+
+
 def gen_page(rng, family, heavy=False):
     """One pdf_page span payload (JSON string) plus any sibling spans.
 
@@ -734,6 +762,14 @@ def gen_doc(doc_idx: int, seed: int = 42, heavy: bool = False):
             if rng.random() < 0.4:
                 add("text", _words(rng, 8, 20))
             add("html_table", _html_table_fragment(rng))
+        return doc_id, spans, family
+
+    if family == "F-L":
+        # web document: full HTML pages — boilerplate stripped and
+        # main content extracted by core.htmlpage (north rule's 'HTML
+        # boilerplate strip … DOM heuristics' clause)
+        for p in range(rng.randint(1, 2)):
+            add("html_page", _html_page(rng), f"web://{doc_id}/{p}")
         return doc_id, spans, family
 
     if family == "F-J":
