@@ -294,3 +294,29 @@ def test_frozen_html_table_canonicalization():
         "table_html",
         '<table border="1"><tbody><tr><td rowspan="2">x</td><td>y</td>'
         "</tr><tr><td>z</td></tr></tbody></table>")]
+
+
+def test_frozen_html_page_main_content():
+    """F-L family: boilerplate chrome stripped, main paragraphs +
+    canonicalized table + image survive in document order. Expected
+    output written BY HAND — never regenerate."""
+    page = (
+        "<html><head><title>t</title><script>var x=1;</script></head>"
+        "<body><nav><a href='/a'>alpha</a> <a href='/b'>bravo</a></nav>"
+        "<header><h1>site banner words</h1></header><main>"
+        "<p>delta echo foxtrot golf hotel india.</p>"
+        "<img src=\"blob://web/7\">"
+        "<table><tr><td>k</td><td colspan=\"2\">v</td></tr></table>"
+        "<p>kilo lima mike november oscar papa.</p></main>"
+        "<footer>quebec romeo <a href='/l'>legal</a></footer>"
+        "</body></html>")
+    out = _extract("html_page", page)
+    assert [(o["kind"], o["text"], o["media_ref"]) for o in out] == [
+        ("paragraph", "delta echo foxtrot golf hotel india.", ""),
+        ("image", "", "blob://web/7"),
+        ("table_html",
+         '<table border="1"><tbody>'
+         '<tr><td>k</td><td colspan="2">v</td></tr>'
+         "</tbody></table>", ""),
+        ("paragraph", "kilo lima mike november oscar papa.", ""),
+    ]
