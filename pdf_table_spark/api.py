@@ -126,3 +126,20 @@ def document_html(spark: SparkSession, path: str, pages: str = "all",
             "  when s.kind = 'image'"
             "    then concat('<img src=\"', s.media_ref, '\"/>')"
             "  else '' end)), '\\n')").alias("html"))
+
+
+def document_text(spark: SparkSession, path: str, pages: str = "all",
+                  flavor: str = "auto") -> DataFrame:
+    """Merged per-document main-content PLAIN TEXT — the column a
+    training-data pipeline feeds to the corpus ops (``ops.text``,
+    ``ops.textfilters``, ``ops.dedup``): paragraph fragments joined
+    with newlines, tables and media skipped. One narrow projection on
+    top of extraction; a docs(doc_id, text) frame ready for
+    ``corpus_clean`` / ``dedup_corpus`` / ``token_stats``."""
+    out = read_documents(spark, path, pages, flavor)
+    return out.select(
+        "doc_id",
+        F.expr(
+            "array_join(transform("
+            "  filter(out_spans, s -> s.kind = 'paragraph'),"
+            "  s -> s.text), '\n')").alias("text"))

@@ -111,3 +111,25 @@ def test_document_html_page_separator(spark, corpus):
 
     plain = document_html(spark, corpus, merge_sep="")
     assert not any("@@@@@@" in r.html for r in plain.collect())
+
+
+def test_document_text_joins_paragraphs(spark, fixture_root):
+    import os
+    from pdf_table_spark import api
+    from pyspark.sql import functions as F
+    path = os.path.join(fixture_root, "sf0.001",
+                        "documents_spans.parquet")
+    txt = api.document_text(spark, path)
+    flat = api.read_documents_flat(spark, path)
+    # every doc appears once; text = its paragraph fragments in order
+    assert txt.count() == flat.select("doc_id").distinct().count()
+    para = (flat.filter(F.col("kind") == "paragraph")
+            .groupBy("doc_id").count())
+    joined = txt.join(para, "doc_id").withColumn(
+        "n_lines", F.when(F.col("text") == "", 0).otherwise(
+            F.size(F.split("text", "\n"))))
+    bad = joined.filter(F.col("n_lines") != F.col("count")).count()
+    assert bad == 0
+    # and it feeds the corpus ops directly
+    from pdf_table_spark.ops.text import token_stats
+    assert token_stats(txt).count() == txt.count()
