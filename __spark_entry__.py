@@ -253,18 +253,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "tel +44 20 7946 0958 at 192.168.1.77.'").alias("text"))
         return textfilters.pii_redact(docs)
 
-    def q_corpus_clean(spark, sf_dir):
-        # the composed gate, with 20 injected exact duplicates so the
-        # 'dup' stage is oracle-visible
+    def _lined_with_dups(spark, sf_dir):
+        # 20 injected exact duplicates so the 'dup' stage is
+        # oracle-visible (the synthetic corpus has no exact dups)
         base = _lined_docs(spark, sf_dir)
         dups = (base.orderBy("doc_id").limit(20)
                 .select(F.concat(F.lit("dup_"),
                                  F.col("doc_id").cast("string"))
                         .alias("doc_id"), "text"))
-        alld = base.select(F.col("doc_id").cast("string")
+        return base.select(F.col("doc_id").cast("string")
                            .alias("doc_id"), "text").unionByName(dups)
+
+    def q_corpus_clean(spark, sf_dir):
         return textfilters.corpus_clean(
-            alld, min_words=10, min_stopword_hits=1)
+            _lined_with_dups(spark, sf_dir),
+            min_words=10, min_stopword_hits=1)
+
+    def q_prepare_corpus(spark, sf_dir):
+        # the END-TO-END ingest program: clean gates -> capped
+        # near-dedup among survivors -> model gate, one provenance row
+        # per doc; every knob scaled so each stage fires at sf0.01
+        from pdf_table_spark.ops.prepare import prepare_corpus
+        return prepare_corpus(
+            _lined_with_dups(spark, sf_dir),
+            min_words=10, min_stopword_hits=1,
+            neardup_threshold=0.5, max_df=20, max_bucket=10,
+            hash_fn="md5")
 
     def q_ngram_jaccard(spark, sf_dir):
         return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), 0.5)
@@ -526,6 +540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filters": q_c4_filters,
         "pii_redact": q_pii_redact,
         "corpus_clean": q_corpus_clean,
+        "prepare_corpus": q_prepare_corpus,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_corpus_pairs": q_dedup_corpus_pairs,
         "dedup_corpus_keep": q_dedup_corpus_keep,
@@ -607,7 +622,9 @@ def _dk_minhash_bands_cte() -> str:
 
 
 def _dk_dedup_corpus_cte(threshold: float, max_df: int,
-                         max_bucket: int) -> str:
+                         max_bucket: int,
+                         src: str = "documents",
+                         lead: str = "with ") -> str:
     """DuckDB twin of ``ops.dedup.dedup_corpus(hash_fn='md5')`` — the
     full capped production pipeline: df-capped 60-bit shingle hashes →
     MinHash signatures → band join with bucket cap → exact Jaccard
@@ -631,8 +648,8 @@ def _dk_dedup_corpus_cte(threshold: float, max_df: int,
     sh_hash = DK_H60.format(
         s="array_to_string(list_slice(toks, i, i + 2), ' ')")
     return f"""
-        with toks as (
-          select doc_id, {DK_TOKENS} as toks from documents
+        {lead}toks as (
+          select doc_id, {DK_TOKENS} as toks from {src}
         ), shs as (
           select doc_id, unnest(list_distinct(list_transform(
             generate_series(1, greatest(len(toks) - 2, 1)),
@@ -675,6 +692,102 @@ def _dk_dedup_corpus_cte(threshold: float, max_df: int,
           where round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6)
                 >= {threshold}
         )
+    """
+
+
+def _dk_prepare_sql() -> str:
+    """DuckDB twin of ``ops.prepare.prepare_corpus`` at the driver
+    query's knobs — the full ingest program: clean gates (shared
+    snippets, _dk_gates) -> capped near-dedup among survivors
+    (_dk_dedup_corpus_cte over the survivors CTE) -> quality-model
+    gate (literal QUALITY_WEIGHTS) -> first-failing-stage provenance.
+    """
+    import sys
+    sys.path.insert(0, REPO)
+    from pdf_table_spark.spark.model_stage import QUALITY_WEIGHTS
+    g = _dk_gates()
+    lined, lines = g["lined"], g["lines"]
+    redact, gopher_sig = g["redact"], g["gopher_sig"]
+    pass_gopher, c4_kept = g["pass_gopher"], g["c4_kept"]
+    n_sentences, keep_c4 = g["n_sentences"], g["keep_c4"]
+    stop_arr = g["stop_arr"]
+    w = QUALITY_WEIGHTS
+
+    def qscore(j):
+        return (f"round(f0 * {w[0][j]} + f1 * {w[1][j]} + "
+                f"f2 * {w[2][j]} + f3 * {w[3][j]} + {w[4][j]}, 6)")
+
+    dedup_cte = _dk_dedup_corpus_cte(0.5, 20, 10, src="survivors",
+                                     lead="")
+    return f"""
+        with lined as ({lined}),
+        alldocs as (
+          select cast(doc_id as varchar) as doc_id, text from lined
+          union all
+          (select 'dup_' || doc_id as doc_id, text from
+           (select * from lined order by doc_id limit 20))
+        ), ranked as (
+          select doc_id, text, row_number() over (
+            partition by md5(text) order by doc_id) as rn
+          from alldocs
+        ), base as (
+          select doc_id, text, rn, {lines} as lines,
+                 {DK_TOKENS_CASED} as ws, {DK_TOKENS} as wsl
+          from ranked
+        ), gop as (
+          select doc_id, text, rn, lines, {gopher_sig}
+          from base
+        ), ct as (
+          select *, coalesce(array_to_string(kl, chr(10)), '') as clean_text
+          from (select *, {c4_kept} as kl from gop)
+        ), sent as (
+          select *, {n_sentences} as n_sentences from ct
+        ), cstage as (
+          select doc_id, text, clean_text,
+            case when rn > 1 then 'dup'
+                 when not {pass_gopher(10, 1)} then 'gopher'
+                 when not {keep_c4} then 'c4'
+                 else 'kept' end as stage
+          from sent
+        ), survivors as (
+          select doc_id, text from cstage where stage = 'kept'
+        ), {dedup_cte}
+        , nddrop as (
+          select distinct doc_b as doc_id from pairs
+        ), qbase as (
+          select s.doc_id, {DK_TOKENS_CASED} as ws, {DK_TOKENS} as wsl
+          from survivors s
+          left join nddrop n using (doc_id)
+          where n.doc_id is null
+        ), qfeats as (
+          select doc_id,
+            len(ws)::double as f0,
+            coalesce(list_sum(list_transform(ws, t -> length(t))),
+                     0)::double as f1,
+            len(list_filter(ws, t -> regexp_matches(t, '[A-Za-z]')))
+              ::double as f2,
+            len(list_intersect(list_distinct(wsl), [{stop_arr}]))
+              ::double as f3
+          from qbase
+        ), qpred as (
+          select doc_id,
+                 case when {qscore(0)} >= {qscore(1)} then 'keep'
+                      else 'drop' end as pred
+          from qfeats
+        ), final as (
+          select c.doc_id, c.clean_text,
+            case when c.stage <> 'kept' then c.stage
+                 when n.doc_id is not null then 'neardup'
+                 when q.pred = 'drop' then 'model'
+                 else 'kept' end as stage
+          from cstage c
+          left join nddrop n using (doc_id)
+          left join qpred q using (doc_id)
+        )
+        select doc_id, stage, stage = 'kept' as kept,
+               case when stage = 'kept'
+                    then md5({redact('clean_text')}) end as clean_fp
+        from final
     """
 
 
@@ -908,12 +1021,11 @@ def _dk_quality_model_sql() -> str:
     """
 
 
-def _dk_filter_sqls() -> dict[str, str]:
-    """DuckDB twins for the corpus filter gates (ops/textfilters.py).
-
-    Float discipline mirrors the Spark side: integer counts, one final
-    division — so the doubles are bit-identical across engines.
-    """
+def _dk_gates() -> dict:
+    """Shared DuckDB snippet pieces for the corpus filter gates —
+    single source for every oracle that embeds the gate formulas
+    (_dk_filter_sqls AND _dk_prepare_sql), so the two can never
+    drift apart."""
     import sys
     sys.path.insert(0, REPO)
     from pdf_table_spark.ops.textfilters import (GOPHER_STOPWORDS,
@@ -980,6 +1092,27 @@ def _dk_filter_sqls() -> dict[str, str]:
         "(n_sentences >= 3 and not contains(lower(text), 'lorem ipsum')"
         " and not contains(text, '{'))"
     )
+    return {
+        "lined": lined, "lines": lines, "stop_arr": stop_arr,
+        "email": email, "ip": ip, "phone": phone, "redact": redact,
+        "gopher_sig": gopher_sig, "pass_gopher": pass_gopher,
+        "c4_kept": c4_kept, "n_sentences": n_sentences,
+        "keep_c4": keep_c4,
+    }
+
+
+def _dk_filter_sqls() -> dict[str, str]:
+    """DuckDB twins for the corpus filter gates (ops/textfilters.py).
+
+    Float discipline mirrors the Spark side: integer counts, one final
+    division — so the doubles are bit-identical across engines.
+    """
+    g = _dk_gates()
+    lined, lines, stop_arr = g["lined"], g["lines"], g["stop_arr"]
+    email, ip, phone = g["email"], g["ip"], g["phone"]
+    redact, gopher_sig = g["redact"], g["gopher_sig"]
+    pass_gopher, c4_kept = g["pass_gopher"], g["c4_kept"]
+    n_sentences, keep_c4 = g["n_sentences"], g["keep_c4"]
 
     repetition = f"""
         with lined as ({lined}),
@@ -1339,6 +1472,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_corpus_pairs": _dk_dedup_corpus_cte(0.5, 20, 10) + """
             select doc_a, doc_b, jaccard from pairs
         """,
+        "prepare_corpus": _dk_prepare_sql(),
         "dedup_corpus_keep": _dk_dedup_corpus_cte(0.5, 20, 10) + """
             select d.doc_id from documents d
             left join (select distinct doc_b from pairs) p

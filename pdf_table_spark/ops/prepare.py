@@ -1,0 +1,79 @@
+"""The composed corpus-preparation program — what a 100 TB ingest
+actually runs, end to end:
+
+    1. corpus_clean   — exact dedup + Gopher + C4 gates, PII-scrubbed
+                        content receipts (``ops.textfilters``);
+    2. dedup_corpus   — capped MinHash-LSH near-dedup among the clean
+                        survivors only (``ops.dedup``: df-capped
+                        shingles, bucket-capped band join, exact
+                        Jaccard verify — every scale guard ON);
+    3. model gate     — the broadcast-weights quality classifier on
+                        what remains (``spark.model_stage``).
+
+One row per input doc with first-failing-stage provenance:
+(doc_id, stage, kept, clean_fp) where stage ∈ 'dup' | 'gopher' | 'c4'
+| 'neardup' | 'model' | 'kept'. Later stages only ever process earlier
+stages' survivors, so the expensive near-dedup shuffles see the
+already-thinned corpus.
+
+Scale: corpus_clean is one scan + one shuffle; the near-dedup joins
+are banded and capped; the model gate is a narrow Arrow stage.
+``ops.dedup.release_caches()`` releases the shingle/signature caches
+when the driver moves to another corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..spark.model_stage import score_doc_quality
+from . import dedup
+from .textfilters import corpus_clean
+
+
+def prepare_corpus(docs: DataFrame,
+                   min_words: int = 50,
+                   min_stopword_hits: int = 2,
+                   neardup_threshold: float = 0.8,
+                   max_df: int = 10_000,
+                   max_bucket: int = 10_000,
+                   hash_fn: str = "xxhash64",
+                   weights_path: str | None = None,
+                   line_sep: str = "\\n") -> DataFrame:
+    """documents(doc_id, text) → (doc_id, stage, kept, clean_fp)."""
+    cc = corpus_clean(docs, min_words=min_words,
+                      min_stopword_hits=min_stopword_hits,
+                      line_sep=line_sep)
+    clean_ids = cc.filter("kept").select("doc_id")
+    survivors = docs.join(clean_ids, "doc_id")
+
+    nd = dedup.dedup_corpus(survivors, threshold=neardup_threshold,
+                            max_df=max_df, max_bucket=max_bucket,
+                            hash_fn=hash_fn)
+    nd_dropped = (nd["pairs"].select(F.col("doc_b").alias("doc_id"))
+                  .distinct().withColumn("nd_drop", F.lit(True)))
+
+    qm = (score_doc_quality(
+        survivors.join(nd_dropped.select("doc_id"), "doc_id",
+                       "left_anti"),
+        weights_path=weights_path).select("doc_id", "pred"))
+
+    stage = (
+        F.when(F.col("stage") != "kept", F.col("stage"))
+        .when(F.col("nd_drop").isNotNull(), F.lit("neardup"))
+        .when(F.col("pred") == "drop", F.lit("model"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        cc.join(nd_dropped, "doc_id", "left")
+        .join(qm, "doc_id", "left")
+        .select(
+            "doc_id",
+            stage.alias("final_stage"),
+            (stage == "kept").alias("final_kept"),
+            F.when(stage == "kept", F.col("clean_fp")).alias("clean_fp"),
+        )
+        .withColumnsRenamed({"final_stage": "stage",
+                             "final_kept": "kept"})
+    )

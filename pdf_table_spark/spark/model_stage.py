@@ -172,7 +172,9 @@ QUALITY_WEIGHTS = [
 
 QUALITY_CLASSES = ["keep", "drop"]
 
-QUALITY_SCHEMA = ("doc_id bigint, score_keep double, "
+# doc_id passes through with the INPUT's type (bigint corpora and
+# string/synthetic ids both flow); the rest of the schema is fixed
+QUALITY_SCHEMA = ("doc_id {id_ty}, score_keep double, "
                   "score_drop double, pred string")
 
 QUALITY_VERSION = "doc-quality-linear-v1"
@@ -208,7 +210,7 @@ def _make_quality_stage(weights_bc, version: str, mat_counter=None):
             # mirrored by the oracle's `score_keep >= score_drop`
             cls = np.argmax(scores, axis=1)
             yield pa.RecordBatch.from_arrays(
-                [pa.array(doc_ids, pa.int64()),
+                [batch.column(0),
                  pa.array(scores[:, 0]), pa.array(scores[:, 1]),
                  pa.array([QUALITY_CLASSES[c] for c in cls], pa.string())],
                 names=["doc_id", "score_keep", "score_drop", "pred"])
@@ -230,6 +232,7 @@ def score_doc_quality(docs: DataFrame,
     else:
         version = QUALITY_VERSION
         weights_bc = spark.sparkContext.broadcast(QUALITY_WEIGHTS)
+    id_ty = dict(docs.dtypes)["doc_id"]
     return docs.select("doc_id", "text").mapInArrow(
         _make_quality_stage(weights_bc, version, _mat_counter),
-        schema=QUALITY_SCHEMA)
+        schema=QUALITY_SCHEMA.format(id_ty=id_ty))
