@@ -46,7 +46,13 @@ def prepare_corpus(docs: DataFrame,
                       min_stopword_hits=min_stopword_hits,
                       line_sep=line_sep)
     clean_ids = cc.filter("kept").select("doc_id")
-    survivors = docs.join(clean_ids, "doc_id")
+    # both downstream consumers (near-dedup shingling, model gate)
+    # re-read the survivors; persist once so the gate computation runs
+    # a single pass over the raw corpus. Registered with the dedup
+    # cache registry: one release_caches() call frees the whole
+    # program's intermediates.
+    survivors = docs.join(clean_ids, "doc_id").persist()
+    dedup._PERSISTED.append(survivors)
 
     nd = dedup.dedup_corpus(survivors, threshold=neardup_threshold,
                             max_df=max_df, max_bucket=max_bucket,

@@ -62,3 +62,12 @@ def test_model_gate_fires_last(spark):
     out = _run(spark, [("s", short)], min_words=5,
                min_stopword_hits=0)
     assert out["s"].stage == "model" and not out["s"].kept
+
+
+def test_prepare_caches_release_via_dedup_registry(spark):
+    """One release_caches() call frees every intermediate the program
+    persisted (survivors + the dedup pipeline's shingle/sig tables)."""
+    from pdf_table_spark.ops import dedup
+    dedup.release_caches()
+    _run(spark, [("a_keep", KEEP), ("e_neardup", NEARDUP)])
+    assert dedup.release_caches() >= 3
