@@ -274,6 +274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # near-dedup among survivors -> model gate, one provenance row
         # per doc; every knob scaled so each stage fires at sf0.01
         from pdf_table_spark.ops.prepare import prepare_corpus
+        dedup.release_caches()   # bound cache growth across reruns
         return prepare_corpus(
             _lined_with_dups(spark, sf_dir),
             min_words=10, min_stopword_hits=1,

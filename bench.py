@@ -48,7 +48,6 @@ HEADLINE = [
     "text_normalize",
     "exact_dedup",
     "corpus_clean",         # composed dedup→gopher→c4→pii gate
-    "prepare_corpus",       # end-to-end ingest program
     "ngram_jaccard",
     "minhash_signatures",
     "minhash_lsh_pairs",

@@ -42,9 +42,13 @@ def prepare_corpus(docs: DataFrame,
                    weights_path: str | None = None,
                    line_sep: str = "\\n") -> DataFrame:
     """documents(doc_id, text) → (doc_id, stage, kept, clean_fp)."""
+    # the gate columns are evaluated by three consumers (survivor ids,
+    # the final provenance join, and transitively every later stage);
+    # persist so the window + array-expression work runs once
     cc = corpus_clean(docs, min_words=min_words,
                       min_stopword_hits=min_stopword_hits,
-                      line_sep=line_sep)
+                      line_sep=line_sep).persist()
+    dedup._PERSISTED.append(cc)
     clean_ids = cc.filter("kept").select("doc_id")
     # both downstream consumers (near-dedup shingling, model gate)
     # re-read the survivors; persist once so the gate computation runs
