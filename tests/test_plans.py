@@ -149,3 +149,24 @@ class TestPlans:
         assert "BroadcastNestedLoopJoin" not in plan
         assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
                 or "ShuffledHashJoin" in plan)
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata absent")
+class TestComposedPlans:
+    def test_prepare_corpus_never_cartesian(self, spark, queries):
+        """The composed ingest program: every join in the whole chain
+        (gate window, dedup band join, exact verify, provenance
+        left-joins) must be an equi-join — a cartesian anywhere here
+        is a 10^24-row disaster at corpus scale."""
+        plan = plan_of(queries["prepare_corpus"](spark, SF_DIR))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_corpus_filter_gates_prune_scan(self, spark, queries):
+        """The narrow filter gates read only (doc_id, text)."""
+        for q in ("gopher_quality", "c4_filters", "pii_redact"):
+            plan = plan_of(queries[q](spark, SF_DIR))
+            m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+            assert m, plan
+            cols = {c.split(":")[0] for c in m.group(1).split(",")}
+            assert cols == {"doc_id", "text"}

@@ -178,3 +178,66 @@ def test_extract_span_never_raises_on_structured_garbage(obj):
         out = extract_span(kind, payload, "m")
         assert isinstance(out, list)
         assert all(len(f) == 5 for f in out)
+
+
+# ---- corpus filter gates: invariants for ANY text ----
+
+doc_text = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF,
+                           blacklist_characters="\\"),
+    max_size=200)
+
+
+@settings(max_examples=5, deadline=None)
+@given(texts=st.lists(doc_text, min_size=1, max_size=25))
+def test_corpus_clean_total_provenance(spark, texts):
+    """One output row per input doc; kept ⇔ stage=='kept'; clean_fp
+    non-null ⇔ kept — for arbitrary text including newlines, quotes,
+    regex metacharacters."""
+    from pdf_table_spark.ops.textfilters import corpus_clean
+    docs = spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(texts)],
+        "doc_id string, text string")
+    rows = corpus_clean(docs).collect()
+    assert len(rows) == len(texts)
+    assert {r.doc_id for r in rows} == {str(i) for i in range(len(texts))}
+    for r in rows:
+        assert r.kept == (r.stage == "kept")
+        assert (r.clean_fp is not None) == r.kept
+        assert r.stage in ("dup", "gopher", "c4", "kept")
+
+
+@settings(max_examples=5, deadline=None)
+@given(texts=st.lists(doc_text, min_size=1, max_size=25))
+def test_repetition_fraction_bounds(spark, texts):
+    """Line fractions ∈ [0,1]; gram fractions ≥ 0 (dup-5-gram may
+    exceed 1 by construction, top-2-gram may not exceed ~1)."""
+    from pdf_table_spark.ops.textfilters import repetition_signals
+    docs = spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(texts)],
+        "doc_id string, text string")
+    for r in repetition_signals(docs).collect():
+        assert 0.0 <= r.dup_line_frac <= 1.0
+        assert 0.0 <= r.dup_line_char_frac <= 1.0
+        assert r.top_2gram_char_frac >= 0.0
+        assert r.dup_5gram_char_frac >= 0.0
+
+
+@settings(max_examples=5, deadline=None)
+@given(texts=st.lists(doc_text, min_size=1, max_size=25))
+def test_pii_redaction_leaves_no_matches(spark, texts):
+    """After redaction no PII pattern matches remain, and redacting a
+    redacted text is a no-op (the scrub is idempotent)."""
+    import re as _re
+    from pdf_table_spark.ops.textfilters import PII_PATTERNS, pii_redact
+    docs = spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(texts)],
+        "doc_id string, text string")
+    out = {r.doc_id: r.redacted for r in pii_redact(docs).collect()}
+    twice = {r.doc_id: r.redacted for r in pii_redact(
+        spark.createDataFrame(sorted(out.items()),
+                              "doc_id string, text string")).collect()}
+    for d, red in out.items():
+        assert not _re.search(PII_PATTERNS["email"], red)
+        assert not _re.search(PII_PATTERNS["ip"], red)
+        assert twice[d] == red
