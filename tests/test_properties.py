@@ -241,3 +241,28 @@ def test_pii_redaction_leaves_no_matches(spark, texts):
         assert not _re.search(PII_PATTERNS["email"], red)
         assert not _re.search(PII_PATTERNS["ip"], red)
         assert twice[d] == red
+
+
+html_chunk = st.one_of(
+    st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+            max_size=40),
+    st.sampled_from([
+        "<p>", "</p>", "<nav>", "</nav>", "<table>", "</table>",
+        "<tr><td>", "</td></tr>", "<a href='/x'>", "</a>", "<img src='y'>",
+        "<script>", "</script>", "<div", ">", "<!--", "-->", "&amp;",
+        "&#x27;", "<table><tr>", "<td colspan='2'>", "</tbody>",
+    ]))
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(html_chunk, max_size=30).map("".join))
+def test_html_page_extraction_never_raises(page):
+    """Arbitrary (broken) markup: the main-content extractor must
+    return well-formed fragments, never raise — at 10^12 docs every
+    malformed page exists."""
+    from pdf_table_spark.core.htmlpage import extract_html_page
+    for kind, text, ref, acc, ws in extract_html_page(page):
+        assert kind in ("paragraph", "table_html", "image", "error")
+        assert isinstance(text, str) and isinstance(ref, str)
+        if kind == "table_html":
+            assert text.startswith('<table border="1">')
