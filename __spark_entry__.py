@@ -333,6 +333,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return chunk_audio(audio, window_sec=30.0, hop_sec=30.0).select(
             "media_ref", "chunk_idx", "start_sec", "end_sec")
 
+    def q_video_frames(spark, sf_dir):
+        # video modality: every-5th-frame sampling enumeration
+        # (JVM-side sequence/explode; only sampled frames would reach
+        # a decoder). Video metadata is hash-derived from media refs:
+        # 1-240 frames at 1-30 fps.
+        from pdf_table_spark.ops.dedup import H60_SPARK
+        from pdf_table_spark.ops.multimodal import (
+            media_refs_with_payloads, sample_frames)
+        refs = media_refs_with_payloads(
+            _spans_df(spark, sf_dir)).select("media_ref")
+        h = H60_SPARK.format(s="media_ref")
+        hf = H60_SPARK.format(s="media_ref || 'f'")
+        videos = refs.select(
+            "media_ref",
+            F.expr(f"cast(({h} % 240) + 1 as int)").alias("n_frames"),
+            F.expr(f"cast(({hf} % 30) + 1 as double)").alias("fps"))
+        return sample_frames(videos, every_n=5).select(
+            "media_ref", "frame_idx", "ts_sec")
+
     def q_cosine_topk(spark, sf_dir):
         return similarity.cosine_topk(_t(spark, sf_dir, "embeddings"), k=5)
 
@@ -553,6 +572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
         "audio_chunks": q_audio_chunks,
+        "video_frames": q_video_frames,
         "embedding_neardup": q_embedding_neardup,
         "media_features": q_media_features,
         "doc_metrics": q_doc_metrics,
@@ -1598,6 +1618,24 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": cosine,
         "ann_topk_lsh": _dk_ann_lsh_sql(),
         "ann_topk_ivf": _dk_ann_ivf_sql(),
+        "video_frames": f"""
+            with refs as (
+              select distinct s.media_ref as media_ref
+              from (select unnest(spans) as s from {spans})
+              where s.kind = 'image'
+            ), videos as (
+              select media_ref,
+                     cast((cast('0x' || substr(md5(media_ref), 1, 15) as bigint) % 240) + 1 as int) as n_frames,
+                     cast((cast('0x' || substr(md5(media_ref || 'f'), 1, 15) as bigint) % 30) + 1 as double) as fps
+              from refs
+            )
+            select media_ref, cast(frame_idx as int) as frame_idx,
+                   frame_idx / fps as ts_sec
+            from (select media_ref, fps,
+                         unnest(generate_series(0, n_frames - 1, 5))
+                           as frame_idx
+                  from videos where n_frames > 0)
+        """,
         "audio_chunks": f"""
             with refs as (
               select distinct s.media_ref as media_ref

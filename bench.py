@@ -62,6 +62,7 @@ HEADLINE = [
     "embedding_neardup",
     "media_features",
     "audio_chunks",
+    "video_frames",
     "pricing_summary",
     "top_revenue_orders",
     "event_sessions",
