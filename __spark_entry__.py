@@ -352,6 +352,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sample_frames(videos, every_n=5).select(
             "media_ref", "frame_idx", "ts_sec")
 
+    def q_media_resize(spark, sf_dir):
+        # aspect-preserving thumbnail fit: source dims from the
+        # declared decode stub, fit arithmetic + schema fully
+        # oracle-able (the pixel resample is the stubbed codec step)
+        from pdf_table_spark.ops.multimodal import (
+            media_refs_with_payloads, resize_media)
+        refs = media_refs_with_payloads(_spans_df(spark, sf_dir))
+        return resize_media(refs)
+
     def q_cosine_topk(spark, sf_dir):
         return similarity.cosine_topk(_t(spark, sf_dir, "embeddings"), k=5)
 
@@ -573,6 +582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": q_ann_topk_ivf,
         "audio_chunks": q_audio_chunks,
         "video_frames": q_video_frames,
+        "media_resize": q_media_resize,
         "embedding_neardup": q_embedding_neardup,
         "media_features": q_media_features,
         "doc_metrics": q_doc_metrics,
@@ -1618,6 +1628,30 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": cosine,
         "ann_topk_lsh": _dk_ann_lsh_sql(),
         "ann_topk_ivf": _dk_ann_ivf_sql(),
+        "media_resize": f"""
+            with refs as (
+              select distinct s.media_ref as media_ref
+              from (select unnest(spans) as s from {spans})
+              where s.kind = 'image'
+            ), dims as (
+              select media_ref,
+                64 + cast('0x' || substr(md5(media_ref), 1, 2) as int) * 8
+                  as sw,
+                64 + cast('0x' || substr(md5(media_ref), 3, 2) as int) * 8
+                  as sh,
+                (['png', 'jpeg', 'webp'])[
+                  cast('0x' || substr(md5(media_ref), 5, 2) as int) % 3 + 1]
+                  as format
+              from refs
+            )
+            select media_ref,
+                   cast(floor(sw * least(256.0 / sw, 256.0 / sh, 1.0))
+                        as int) as width,
+                   cast(floor(sh * least(256.0 / sw, 256.0 / sh, 1.0))
+                        as int) as height,
+                   sw as src_width, sh as src_height, format
+            from dims
+        """,
         "video_frames": f"""
             with refs as (
               select distinct s.media_ref as media_ref

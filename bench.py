@@ -63,6 +63,7 @@ HEADLINE = [
     "media_features",
     "audio_chunks",
     "video_frames",
+    "media_resize",
     "pricing_summary",
     "top_revenue_orders",
     "event_sessions",
