@@ -1155,14 +1155,33 @@ def _dk_filter_sqls() -> dict[str, str]:
           select *,
             list_transform(generate_series(1, greatest(len(ws) - 1, 1)),
               i -> array_to_string(list_slice(ws, i, i + 1), ' ')) as g2,
+            list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+              i -> array_to_string(list_slice(ws, i, i + 2), ' ')) as g3,
+            list_transform(generate_series(1, greatest(len(ws) - 3, 1)),
+              i -> array_to_string(list_slice(ws, i, i + 3), ' ')) as g4,
             list_transform(generate_series(1, greatest(len(ws) - 4, 1)),
-              i -> array_to_string(list_slice(ws, i, i + 4), ' ')) as g5
+              i -> array_to_string(list_slice(ws, i, i + 4), ' ')) as g5,
+            list_transform(generate_series(1, greatest(len(ws) - 5, 1)),
+              i -> array_to_string(list_slice(ws, i, i + 5), ' ')) as g6,
+            list_transform(generate_series(1, greatest(len(ws) - 6, 1)),
+              i -> array_to_string(list_slice(ws, i, i + 6), ' ')) as g7,
+            list_transform(generate_series(1, greatest(len(ws) - 7, 1)),
+              i -> array_to_string(list_slice(ws, i, i + 7), ' ')) as g8,
+            list_transform(generate_series(1, greatest(len(ws) - 8, 1)),
+              i -> array_to_string(list_slice(ws, i, i + 8), ' ')) as g9,
+            list_transform(generate_series(1, greatest(len(ws) - 9, 1)),
+              i -> array_to_string(list_slice(ws, i, i + 9), ' ')) as g10
           from base
-        ), t2s as (
-          select *, list_max(list_transform(list_distinct(g2),
-            g -> {{'c': len(list_filter(g2, x -> x = g)), 'g': g}})) as t2
+        ), tops as (
+          select *,
+            list_max(list_transform(list_distinct(g2),
+              g -> {{'c': len(list_filter(g2, x -> x = g)), 'g': g}})) as t2,
+            list_max(list_transform(list_distinct(g3),
+              g -> {{'c': len(list_filter(g3, x -> x = g)), 'g': g}})) as t3,
+            list_max(list_transform(list_distinct(g4),
+              g -> {{'c': len(list_filter(g4, x -> x = g)), 'g': g}})) as t4
           from grams
-        )
+        ), sig as (
         select doc_id,
           len(lines) as n_lines,
           (len(lines) - len(list_distinct(lines)))
@@ -1175,13 +1194,51 @@ def _dk_filter_sqls() -> dict[str, str]:
           case when len(ws) < 2 then cast(0.0 as double)
                else t2.c * length(t2.g) / greatest(length(text), 1)
           end as top_2gram_char_frac,
+          case when len(ws) < 3 then cast(0.0 as double)
+               else t3.c * length(t3.g) / greatest(length(text), 1)
+          end as top_3gram_char_frac,
+          case when len(ws) < 4 then cast(0.0 as double)
+               else t4.c * length(t4.g) / greatest(length(text), 1)
+          end as top_4gram_char_frac,
           case when len(ws) < 5 then cast(0.0 as double)
                else coalesce(list_sum(list_transform(list_distinct(g5),
                  g -> case when len(list_filter(g5, x -> x = g)) > 1
                       then len(list_filter(g5, x -> x = g)) * length(g)
                       else 0 end)), 0) / greatest(length(text), 1)
-          end as dup_5gram_char_frac
-        from t2s
+          end as dup_5gram_char_frac,
+          case when len(ws) < 6 then cast(0.0 as double)
+               else coalesce(list_sum(list_transform(list_distinct(g6),
+                 g -> case when len(list_filter(g6, x -> x = g)) > 1
+                      then len(list_filter(g6, x -> x = g)) * length(g)
+                      else 0 end)), 0) / greatest(length(text), 1)
+          end as dup_6gram_char_frac,
+          case when len(ws) < 7 then cast(0.0 as double)
+               else coalesce(list_sum(list_transform(list_distinct(g7),
+                 g -> case when len(list_filter(g7, x -> x = g)) > 1
+                      then len(list_filter(g7, x -> x = g)) * length(g)
+                      else 0 end)), 0) / greatest(length(text), 1)
+          end as dup_7gram_char_frac,
+          case when len(ws) < 8 then cast(0.0 as double)
+               else coalesce(list_sum(list_transform(list_distinct(g8),
+                 g -> case when len(list_filter(g8, x -> x = g)) > 1
+                      then len(list_filter(g8, x -> x = g)) * length(g)
+                      else 0 end)), 0) / greatest(length(text), 1)
+          end as dup_8gram_char_frac,
+          case when len(ws) < 9 then cast(0.0 as double)
+               else coalesce(list_sum(list_transform(list_distinct(g9),
+                 g -> case when len(list_filter(g9, x -> x = g)) > 1
+                      then len(list_filter(g9, x -> x = g)) * length(g)
+                      else 0 end)), 0) / greatest(length(text), 1)
+          end as dup_9gram_char_frac,
+          case when len(ws) < 10 then cast(0.0 as double)
+               else coalesce(list_sum(list_transform(list_distinct(g10),
+                 g -> case when len(list_filter(g10, x -> x = g)) > 1
+                      then len(list_filter(g10, x -> x = g)) * length(g)
+                      else 0 end)), 0) / greatest(length(text), 1)
+          end as dup_10gram_char_frac
+        from tops
+        )
+        select *, (dup_line_frac <= 0.3 and dup_line_char_frac <= 0.2 and top_2gram_char_frac <= 0.2 and top_3gram_char_frac <= 0.18 and top_4gram_char_frac <= 0.16 and dup_5gram_char_frac <= 0.15 and dup_6gram_char_frac <= 0.14 and dup_7gram_char_frac <= 0.13 and dup_8gram_char_frac <= 0.12 and dup_9gram_char_frac <= 0.11 and dup_10gram_char_frac <= 0.1) as pass_repetition from sig
     """
 
     gopher = f"""

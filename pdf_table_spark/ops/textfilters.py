@@ -66,24 +66,48 @@ def _lines(line_sep: str) -> str:
 # --------------------------------------------------------------------
 
 
+# the full published repetition-rule family (Rae et al. 2021 App. A1,
+# Table A1): a doc passes when EVERY fraction is at or under its
+# threshold. Keys are this module's output column names.
+GOPHER_REPETITION_THRESHOLDS = {
+    "dup_line_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13,
+    "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11,
+    "dup_10gram_char_frac": 0.10,
+}
+
+_TOP_NS = (2, 3, 4)       # single most-frequent n-gram coverage
+_DUP_NS = (5, 6, 7, 8, 9, 10)  # all repeated n-grams coverage
+
+
 def repetition_signals(docs: DataFrame,
                        line_sep: str = "\\n",
                        impl: str = "narrow") -> DataFrame:
-    """Per-doc repetition fractions (Gopher App. A1 family).
+    """Per-doc repetition fractions — the FULL Gopher App. A1 rule set
+    (published thresholds in ``GOPHER_REPETITION_THRESHOLDS``).
 
     * ``dup_line_frac``        — lines that repeat an earlier line,
                                  over all lines
     * ``dup_line_char_frac``   — chars of those repeat occurrences,
                                  over chars of all lines
-    * ``top_2gram_char_frac``  — chars covered by the single most
-                                 frequent word 2-gram (count x gram
+    * ``top_{2,3,4}gram_char_frac`` — chars covered by the single most
+                                 frequent word n-gram (count x gram
                                  length, ties broken by gram desc),
                                  over all text chars
-    * ``dup_5gram_char_frac``  — chars covered by word 5-grams that
-                                 occur more than once (count x length,
-                                 overlaps counted per occurrence — can
-                                 exceed 1 by construction), over all
-                                 text chars
+    * ``dup_{5..10}gram_char_frac`` — chars covered by word n-grams
+                                 that occur more than once (count x
+                                 length, overlaps counted per
+                                 occurrence — can exceed 1 by
+                                 construction), over all text chars
+    * ``pass_repetition``      — every fraction at/under its published
+                                 threshold
 
     Two plans, identical results (equality pytest-pinned):
 
@@ -92,10 +116,10 @@ def repetition_signals(docs: DataFrame,
     Fastest for web-page-sized docs (no shuffle at all), but a single
     million-token outlier doc costs O(n²) inside one task.
 
-    ``impl='agg'`` — the 100-TB straggler-proof path: both gram sets
-    explode through ONE (doc_id, k, gram) groupBy (count), then one
-    per-doc aggregate derives the top-2-gram struct max and the
-    dup-5-gram char sum; line metrics stay narrow and join back on
+    ``impl='agg'`` — the 100-TB straggler-proof path: all nine gram
+    sets explode through ONE (doc_id, k, gram) groupBy (count), then
+    one per-doc aggregate derives every top-gram struct max and
+    dup-gram char sum; line metrics stay narrow and join back on
     doc_id. Linear in doc length; the shuffle key includes the gram,
     so a pathological doc spreads over the cluster instead of pinning
     one task.
@@ -121,87 +145,100 @@ def repetition_signals(docs: DataFrame,
 
     # (count, gram) struct max = max count, ties to lexicographically
     # greatest gram — deterministic in both engines
-    top2 = (
-        "array_max(transform(array_distinct(g2), g -> "
-        "struct(size(filter(g2, x -> x = g)) as c, g as g)))"
-    )
-    dup5_chars = (
-        "aggregate(array_distinct(g5), 0L, (a, g) -> a + if("
-        "size(filter(g5, x -> x = g)) > 1, "
-        "size(filter(g5, x -> x = g)) * length(g), 0L))"
-    )
-    if impl == "narrow":
+    def top_expr(n: int) -> str:
         return (
-            docs.select("doc_id", "text",
-                        F.expr(_WORDS).alias("ws"))
-            .select("doc_id", "text", "ws",
-                    F.expr(grams(2)).alias("g2"),
-                    F.expr(grams(5)).alias("g5"))
-            .select("doc_id", "text", "ws", "g5",
-                    F.expr(top2).alias("t2"))
-            .select(
-                "doc_id",
-                F.expr(n_lines).alias("n_lines"),
-                F.expr(f"{dup_lines} / greatest({n_lines}, 1)")
-                .alias("dup_line_frac"),
-                F.expr(f"{dup_line_chars} / greatest({line_chars}, 1L)")
-                .alias("dup_line_char_frac"),
-                F.expr(
-                    "if(size(ws) < 2, cast(0.0 as double), "
-                    "t2.c * length(t2.g) / greatest(length(text), 1))"
-                ).alias("top_2gram_char_frac"),
-                F.expr(
-                    f"if(size(ws) < 5, cast(0.0 as double), "
-                    f"{dup5_chars} / greatest(length(text), 1))"
-                ).alias("dup_5gram_char_frac"),
-            )
+            f"array_max(transform(array_distinct(g{n}), g -> "
+            f"struct(size(filter(g{n}, x -> x = g)) as c, g as g)))"
         )
-    if impl != "agg":
-        raise ValueError(f"unknown impl {impl!r}; one of 'narrow', 'agg'")
 
-    # the shuffle path: identical gram GENERATION (the exprs above),
-    # distributed COUNTING. One explode carries both gram sizes tagged
-    # by k, so there is one gram shuffle + one per-doc aggregate.
-    metrics = docs.select(
-        "doc_id",
+    def dup_expr(n: int) -> str:
+        return (
+            f"aggregate(array_distinct(g{n}), 0L, (a, g) -> a + if("
+            f"size(filter(g{n}, x -> x = g)) > 1, "
+            f"size(filter(g{n}, x -> x = g)) * length(g), 0L))"
+        )
+
+    def pass_col() -> Column:
+        cond = None
+        for name, thr in GOPHER_REPETITION_THRESHOLDS.items():
+            c = F.col(name) <= thr
+            cond = c if cond is None else (cond & c)
+        return cond.alias("pass_repetition")
+
+    line_cols = [
         F.expr(n_lines).alias("n_lines"),
         F.expr(f"{dup_lines} / greatest({n_lines}, 1)")
         .alias("dup_line_frac"),
         F.expr(f"{dup_line_chars} / greatest({line_chars}, 1L)")
         .alias("dup_line_char_frac"),
+    ]
+    if impl == "narrow":
+        staged = (
+            docs.select("doc_id", "text", F.expr(_WORDS).alias("ws"))
+            .select("doc_id", "text", "ws",
+                    *[F.expr(grams(n)).alias(f"g{n}")
+                      for n in (*_TOP_NS, *_DUP_NS)])
+            .select("doc_id", "text", "ws",
+                    *[F.col(f"g{n}") for n in _DUP_NS],
+                    *[F.expr(top_expr(n)).alias(f"t{n}")
+                      for n in _TOP_NS])
+        )
+        sig = staged.select(
+            "doc_id", *line_cols,
+            *[F.expr(
+                f"if(size(ws) < {n}, cast(0.0 as double), "
+                f"t{n}.c * length(t{n}.g) / greatest(length(text), 1))"
+            ).alias(f"top_{n}gram_char_frac") for n in _TOP_NS],
+            *[F.expr(
+                f"if(size(ws) < {n}, cast(0.0 as double), "
+                f"{dup_expr(n)} / greatest(length(text), 1))"
+            ).alias(f"dup_{n}gram_char_frac") for n in _DUP_NS],
+        )
+        return sig.select("*", pass_col())
+    if impl != "agg":
+        raise ValueError(f"unknown impl {impl!r}; one of 'narrow', 'agg'")
+
+    # the shuffle path: identical gram GENERATION (the exprs above),
+    # distributed COUNTING. One explode carries every gram size tagged
+    # by k, so there is one gram shuffle + one per-doc aggregate.
+    metrics = docs.select(
+        "doc_id", *line_cols,
         F.expr(f"size({_WORDS})").alias("n_ws"),
         F.length("text").alias("text_len"),
     )
+    tagged_arr = "concat(" + ", ".join(
+        f"transform({grams(n)}, g -> struct({n} as k, g as g))"
+        for n in (*_TOP_NS, *_DUP_NS)) + ")"
     tagged = (
         docs.select("doc_id", F.expr(_WORDS).alias("ws"))
-        .select("doc_id", F.explode(F.expr(
-            f"concat(transform({grams(2)}, g -> struct(2 as k, g as g)),"
-            f" transform({grams(5)}, g -> struct(5 as k, g as g)))"
-        )).alias("tg"))
+        .select("doc_id", F.explode(F.expr(tagged_arr)).alias("tg"))
         .select("doc_id", F.col("tg.k").alias("k"),
                 F.col("tg.g").alias("g"))
     )
     counts = tagged.groupBy("doc_id", "k", "g").agg(
         F.count("*").alias("c"))
     peragg = counts.groupBy("doc_id").agg(
-        F.max(F.when(F.col("k") == 2,
-                     F.struct(F.col("c").alias("c"),
-                              F.col("g").alias("g")))).alias("t2"),
-        F.sum(F.when((F.col("k") == 5) & (F.col("c") > 1),
-                     F.col("c") * F.length("g"))
-              .otherwise(F.lit(0).cast("long"))).alias("dup5_chars"),
+        *[F.max(F.when(F.col("k") == n,
+                       F.struct(F.col("c").alias("c"),
+                                F.col("g").alias("g"))))
+          .alias(f"t{n}") for n in _TOP_NS],
+        *[F.sum(F.when((F.col("k") == n) & (F.col("c") > 1),
+                       F.col("c") * F.length("g"))
+                .otherwise(F.lit(0).cast("long")))
+          .alias(f"dup{n}_chars") for n in _DUP_NS],
     )
-    return metrics.join(peragg, "doc_id").select(
+    sig = metrics.join(peragg, "doc_id").select(
         "doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac",
-        F.expr(
-            "if(n_ws < 2, cast(0.0 as double), "
-            "t2.c * length(t2.g) / greatest(text_len, 1))"
-        ).alias("top_2gram_char_frac"),
-        F.expr(
-            "if(n_ws < 5, cast(0.0 as double), "
-            "dup5_chars / greatest(text_len, 1))"
-        ).alias("dup_5gram_char_frac"),
+        *[F.expr(
+            f"if(n_ws < {n}, cast(0.0 as double), "
+            f"t{n}.c * length(t{n}.g) / greatest(text_len, 1))"
+        ).alias(f"top_{n}gram_char_frac") for n in _TOP_NS],
+        *[F.expr(
+            f"if(n_ws < {n}, cast(0.0 as double), "
+            f"dup{n}_chars / greatest(text_len, 1))"
+        ).alias(f"dup_{n}gram_char_frac") for n in _DUP_NS],
     )
+    return sig.select("*", pass_col())
 
 
 # --------------------------------------------------------------------

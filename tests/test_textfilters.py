@@ -161,3 +161,29 @@ def test_repetition_agg_plan_shape(spark):
     df = repetition_signals(_docs(spark, [("d", "a b c")]), impl="agg")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning(doc_id" in plan
+
+
+def test_repetition_full_rule_family_literals(spark):
+    from pdf_table_spark.ops.textfilters import repetition_signals
+    # 'a b c' x3: 17 chars, 9 tokens
+    df = _docs(spark, [("d", "a b c a b c a b c")])
+    r = repetition_signals(df).collect()[0]
+    # bigrams: 'a b' x3, 'b c' x3, 'c a' x2 -> tie at 3, 'b c' wins
+    assert r.top_2gram_char_frac == pytest.approx(3 * 3 / 17)
+    # trigram 'a b c' x3 covers 3*5 chars
+    assert r.top_3gram_char_frac == pytest.approx(3 * 5 / 17)
+    # 5-grams: 'a b c a b' x2 + 'b c a b c' x2 -> 4*9/17 > 1 (overlaps)
+    assert r.dup_5gram_char_frac == pytest.approx(36 / 17)
+    assert r.dup_10gram_char_frac == 0.0        # only 9 tokens
+    assert not r.pass_repetition                # top-2-gram 53% > 20%
+
+
+def test_repetition_pass_on_diverse_text(spark):
+    from pdf_table_spark.ops.textfilters import repetition_signals
+    text = ("the quick brown foxes jump high above lazy sleeping dogs "
+            "while many migrating birds fly south during every winter "
+            "season across wide open country landscapes near rivers")
+    r = repetition_signals(_docs(spark, [("d", text)])).collect()[0]
+    assert r.pass_repetition
+    assert r.dup_5gram_char_frac == 0.0
+    assert r.dup_line_frac == 0.0
