@@ -464,6 +464,14 @@ def corpus_clean(docs: DataFrame,
     'c4') or 'kept', and clean_fp is md5 of the redacted clean text
     for survivors (null otherwise) — a stable content receipt.
 
+    The full repetition rule set (``repetition_signals`` /
+    ``pass_repetition``) is deliberately NOT composed here: the
+    published top-n-gram coverage thresholds assume web-scale document
+    lengths (a single occurrence in a short doc already exceeds 20%
+    coverage), so at real scale chain it explicitly AFTER the word
+    count gate: ``clean.join(repetition_signals(docs).filter(
+    'pass_repetition'), 'doc_id')``.
+
     Scale: ONE scan, exactly ONE shuffle (the md5-key window for
     dedup); every gate is an appended column on that pass. At 10^12
     docs the window key is a 32-byte content hash — uniform,
