@@ -143,6 +143,15 @@ class TestPlans:
         assert gen > py  # formatted plan prints leaves LAST: the
         # Generate node sits BELOW (executes before) the Python stage
 
+    def test_video_frames_enumeration_is_jvm_side(self, spark, queries):
+        """Frame enumeration (sequence/explode with the every-n step)
+        runs before the single Python stage — only sampled frames
+        reach the decode."""
+        plan = plan_of(queries["video_frames"](spark, SF_DIR))
+        assert n_nodes(plan, "MapInPandas") == 1
+        assert "BatchEvalPython" not in plan
+        assert plan.index("Generate") > plan.index("MapInPandas")
+
     def test_simhash_pairs_banded_equijoin(self, spark, queries):
         plan = plan_of(queries["simhash_pairs"](spark, SF_DIR))
         assert "CartesianProduct" not in plan
