@@ -210,6 +210,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_lang_id(spark, sf_dir):
         return text.lang_id(_t(spark, sf_dir, "documents"))
 
+    def q_lang_id_ngram(spark, sf_dir):
+        # Cavnar-Trenkle char-trigram out-of-place language ID (the
+        # n-gram heuristic companion to the stopword-hit lang_id)
+        return text.lang_id_ngram(_t(spark, sf_dir, "documents"))
+
     def q_fingerprint(spark, sf_dir):
         return text.fingerprint(_t(spark, sf_dir, "documents"))
 
@@ -561,6 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
+        "lang_id_ngram": q_lang_id_ngram,
         "fingerprint": q_fingerprint,
         "winnow_fingerprint": q_winnow_fingerprint,
         "exact_dedup": q_exact_dedup,
@@ -1521,6 +1527,57 @@ def oracle_sql() -> dict[str, str]:
             from m
         """,
         "lang_id": lang_sql,
+        "lang_id_ngram": """
+            with tri as (
+              select doc_id, list_filter(list_transform(
+                generate_series(1, greatest(length(lower(text)) - 2, 1)),
+                i -> substr(lower(text), i, 3)),
+                g -> regexp_matches(g, '^[a-z][a-z][a-z]$')) as tri
+              from documents
+            ), tops as (
+              select doc_id, list_slice(list_sort(list_transform(
+                list_distinct(tri),
+                g -> {'nc': -len(list_filter(tri, x -> x = g)),
+                      'g': g})), 1, 20) as top
+              from tri
+            ), scored as (
+              select doc_id, len(top) as n_grams,
+cast(case when len(top) = 0 then 400
+              else coalesce(list_sum(list_transform(
+                generate_series(1, len(top)), i ->
+                case when coalesce(list_position(['der', 'ein', 'sch', 'ich', 'die', 'und', 'che', 'den', 'gen', 'ung'], top[i].g), 0) = 0
+                     then 20
+                     else abs(i - list_position(['der', 'ein', 'sch', 'ich', 'die', 'und', 'che', 'den', 'gen', 'ung'], top[i].g))
+                end)), 0) end as bigint) as score_de,
+cast(case when len(top) = 0 then 400
+              else coalesce(list_sum(list_transform(
+                generate_series(1, len(top)), i ->
+                case when coalesce(list_position(['the', 'and', 'ing', 'ion', 'ent', 'her', 'for', 'tha', 'ter', 'hat'], top[i].g), 0) = 0
+                     then 20
+                     else abs(i - list_position(['the', 'and', 'ing', 'ion', 'ent', 'her', 'for', 'tha', 'ter', 'hat'], top[i].g))
+                end)), 0) end as bigint) as score_en,
+cast(case when len(top) = 0 then 400
+              else coalesce(list_sum(list_transform(
+                generate_series(1, len(top)), i ->
+                case when coalesce(list_position(['que', 'con', 'ado', 'los', 'ien', 'cio', 'nte', 'era', 'las', 'par'], top[i].g), 0) = 0
+                     then 20
+                     else abs(i - list_position(['que', 'con', 'ado', 'los', 'ien', 'cio', 'nte', 'era', 'las', 'par'], top[i].g))
+                end)), 0) end as bigint) as score_es,
+cast(case when len(top) = 0 then 400
+              else coalesce(list_sum(list_transform(
+                generate_series(1, len(top)), i ->
+                case when coalesce(list_position(['les', 'ent', 'que', 'des', 'ion', 'une', 'ait', 'lle', 'our', 'ans'], top[i].g), 0) = 0
+                     then 20
+                     else abs(i - list_position(['les', 'ent', 'que', 'des', 'ion', 'une', 'ait', 'lle', 'our', 'ans'], top[i].g))
+                end)), 0) end as bigint) as score_fr
+              from tops
+            )
+            select doc_id,
+              case when n_grams = 0 then 'und'
+                   else list_min([{'s': score_de, 'lang': 'de'}, {'s': score_en, 'lang': 'en'}, {'s': score_es, 'lang': 'es'}, {'s': score_fr, 'lang': 'fr'}]).lang end as pred_lang,
+              score_de, score_en, score_es, score_fr
+            from scored
+        """,
         "fingerprint": f"""
             select doc_id,
                    md5(array_to_string({DK_TOKENS}, ' ')) as fingerprint

@@ -44,6 +44,7 @@ HEADLINE = [
     "token_stats",
     "quality_score",
     "lang_id",
+    "lang_id_ngram",
     "fingerprint",
     "text_normalize",
     "exact_dedup",

@@ -165,3 +165,69 @@ def winnow_fingerprint_rows(docs: DataFrame, k: int = 8,
             f" i -> {h})").alias("hs"))
         .select("doc_id", F.explode(F.expr(expr)).alias("fp"))
     )
+
+
+# Cavnar-Trenkle (1994) out-of-place profiles: tiny ORDERED char-
+# trigram profiles per language (hand-derived from each language's
+# most frequent words; rank order is the signal). Deterministic
+# literals so the DuckDB oracle embeds identical values.
+LANG_TRIGRAM_PROFILES = {
+    "en": ["the", "and", "ing", "ion", "ent", "her", "for", "tha",
+           "ter", "hat"],
+    "de": ["der", "ein", "sch", "ich", "die", "und", "che", "den",
+           "gen", "ung"],
+    "fr": ["les", "ent", "que", "des", "ion", "une", "ait", "lle",
+           "our", "ans"],
+    "es": ["que", "con", "ado", "los", "ien", "cio", "nte", "era",
+           "las", "par"],
+}
+
+OOP_MAX = 20  # out-of-place penalty for grams absent from a profile
+
+
+def lang_id_ngram(docs: DataFrame, top_n: int = 20) -> DataFrame:
+    """Character-n-gram language ID (Cavnar-Trenkle out-of-place):
+    rank the doc's letter trigrams by (count desc, gram asc), keep the
+    top ``top_n``, and score each language profile by the summed
+    rank displacement (absent grams cost ``OOP_MAX``). Winner = min
+    (score, language); 'und' when the doc has no letter trigrams.
+
+    Narrow map, per-doc O(distinct x n) array work in the JVM (same
+    class as the repetition signals); integer scores so the oracle
+    matches exactly."""
+    tri = ("filter(transform(sequence(1, greatest(length(lower(text))"
+           " - 2, 1)), i -> substring(lower(text), i, 3)),"
+           " g -> g rlike '^[a-z][a-z][a-z]$')")
+    top = (
+        f"slice(array_sort(transform(array_distinct(tri), g -> "
+        f"struct(-size(filter(tri, x -> x = g)) as nc, g as g))), "
+        f"1, {top_n})"
+    )
+    staged = (
+        docs.select("doc_id", F.expr(tri).alias("tri"))
+        .select("doc_id", F.expr(top).alias("top"))
+    )
+    langs = sorted(LANG_TRIGRAM_PROFILES)
+
+    def score(lang: str) -> str:
+        prof = ", ".join(f"'{g}'" for g in LANG_TRIGRAM_PROFILES[lang])
+        return (
+            f"if(size(top) = 0, {OOP_MAX * top_n}L, "
+            f"aggregate(sequence(1, size(top)), 0L, (acc, i) -> acc + "
+            f"if(array_position(array({prof}), element_at(top, i).g)"
+            f" = 0, {OOP_MAX}L, "
+            f"abs(i - array_position(array({prof}),"
+            f" element_at(top, i).g)))))"
+        )
+
+    scored = staged.select(
+        "doc_id", F.size("top").alias("n_grams"),
+        *[F.expr(score(la)).alias(f"score_{la}") for la in langs])
+    pairs = ", ".join(
+        f"struct(score_{la} as s, '{la}' as lang)" for la in langs)
+    return scored.select(
+        "doc_id",
+        F.expr(f"if(n_grams = 0, 'und', array_min(array({pairs})).lang)"
+               ).alias("pred_lang"),
+        *[F.col(f"score_{la}") for la in langs],
+    )

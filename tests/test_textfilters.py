@@ -187,3 +187,22 @@ def test_repetition_pass_on_diverse_text(spark):
     assert r.pass_repetition
     assert r.dup_5gram_char_frac == 0.0
     assert r.dup_line_frac == 0.0
+
+
+def test_lang_id_ngram_picks_profile_language(spark):
+    """Cavnar-Trenkle out-of-place: docs saturated with one profile's
+    trigrams rank that language first; no letters -> 'und'."""
+    from pdf_table_spark.ops.text import lang_id_ngram
+    df = _docs(spark, [
+        ("en", "the thing and the ring bring the kingdom the ending"),
+        ("de", "der schein und der eindruck durch dieser schoenen"),
+        ("none", "12345 67890 ..."),
+    ])
+    out = {r.doc_id: r for r in lang_id_ngram(df).collect()}
+    assert out["en"].pred_lang == "en"
+    assert out["de"].pred_lang == "de"
+    assert out["none"].pred_lang == "und"
+    # scores are bounded by OOP_MAX * top_n
+    from pdf_table_spark.ops.text import OOP_MAX
+    assert all(0 <= out["en"][f"score_{la}"] <= OOP_MAX * 20
+               for la in ("en", "de", "fr", "es"))
