@@ -1114,12 +1114,13 @@ def _dk_gates() -> dict:
         )
 
     # C4 kept-lines filter over a `lines` column (min 5 words, line
-    # ends with terminal punctuation)
+    # ends with terminal punctuation, no 'javascript' line)
     c4_kept = """list_filter(lines, l -> (ends_with(rtrim(l), '.')
           or ends_with(rtrim(l), '!') or ends_with(rtrim(l), '?')
           or ends_with(rtrim(l), '"')) and
           len(list_filter(string_split_regex(l, '\\s+'),
-              w -> w <> '')) >= 5)"""
+              w -> w <> '')) >= 5
+          and not contains(lower(l), 'javascript'))"""
     n_sentences = (
         "(length(clean_text) - length(replace(clean_text, '.', '')))"
         " + (length(clean_text) - length(replace(clean_text, '!', '')))"

@@ -192,19 +192,40 @@ def lang_id_ngram(docs: DataFrame, top_n: int = 20) -> DataFrame:
     rank displacement (absent grams cost ``OOP_MAX``). Winner = min
     (score, language); 'und' when the doc has no letter trigrams.
 
-    Narrow map, per-doc O(distinct x n) array work in the JVM (same
-    class as the repetition signals); integer scores so the oracle
-    matches exactly."""
-    tri = ("filter(transform(sequence(1, greatest(length(lower(text))"
-           " - 2, 1)), i -> substring(lower(text), i, 3)),"
-           " g -> g rlike '^[a-z][a-z][a-z]$')")
+    Narrow map; the trigram counting is sort + run-length encoding —
+    O(n log n) per doc instead of the naive O(distinct x n) lambda
+    scan (higher-order functions evaluate interpreted, so the
+    quadratic form measured 7 s at sf0.1 vs ~1 s for this one; the
+    produced (count, gram) set is identical, so the oracle needs no
+    structural mirror). Integer scores so values match exactly."""
+    # ONE regex pass per doc (non-letter runs → single space,
+    # materialized as a column so the lambda never re-evaluates it),
+    # then a cheap per-gram space check — the letter-only trigram
+    # multiset is identical to filtering each raw window with
+    # '^[a-z]{3}$', but avoids ~n interpreted regex evals per doc
+    txt = "regexp_replace(lower(text), '[^a-z]+', ' ')"
+    tri = ("filter(transform(sequence(1, greatest(length(t) - 2, 1)),"
+           " i -> substring(t, i, 3)),"
+           " g -> length(g) = 3 and not contains(g, ' '))")
+    # run starts in the sorted gram array; run length = gap to the
+    # next start (sequence(1, 0) would generate a DESCENDING [1, 0] in
+    # Spark, hence the empty-array guards)
+    starts = ("if(size(st) = 0, array(), "
+              "filter(sequence(1, size(st)), i -> i = 1 or "
+              "element_at(st, i) != element_at(st, i - 1)))")
     top = (
-        f"slice(array_sort(transform(array_distinct(tri), g -> "
-        f"struct(-size(filter(tri, x -> x = g)) as nc, g as g))), "
-        f"1, {top_n})"
+        f"if(size(st) = 0, "
+        f"cast(array() as array<struct<nc: bigint, g: string>>), "
+        f"slice(array_sort(transform(sequence(1, size(starts)), j -> "
+        f"struct(cast(-(if(j = size(starts), size(st) + 1, "
+        f"element_at(starts, j + 1)) - element_at(starts, j)) "
+        f"as bigint) as nc, "
+        f"element_at(st, element_at(starts, j)) as g))), 1, {top_n}))"
     )
     staged = (
-        docs.select("doc_id", F.expr(tri).alias("tri"))
+        docs.select("doc_id", F.expr(txt).alias("t"))
+        .select("doc_id", F.expr(f"array_sort({tri})").alias("st"))
+        .select("doc_id", "st", F.expr(starts).alias("starts"))
         .select("doc_id", F.expr(top).alias("top"))
     )
     langs = sorted(LANG_TRIGRAM_PROFILES)

@@ -350,12 +350,15 @@ def _with_c4(df: DataFrame,
     """Append ``clean_text``, ``n_lines_kept``, ``n_sentences``,
     ``has_lorem``, ``has_brace``, ``keep_c4`` (needs ``text``)."""
     lines = _lines(line_sep)
+    # C4 line rules (Raffel et al. 2020 §2.2): terminal punctuation,
+    # minimum words, and no line containing the word 'javascript'
     kept = (
         f"filter({lines}, l -> ("
         "endswith(rtrim(l), '.') or endswith(rtrim(l), '!') or "
         "endswith(rtrim(l), '?') or endswith(rtrim(l), '\"')) and "
         f"size(filter(split(l, '\\\\s+'), w -> w <> ''))"
-        f" >= {min_line_words})"
+        f" >= {min_line_words} "
+        "and not contains(lower(l), 'javascript'))"
     )
     n_sentences = (
         "(length(clean_text) - length(replace(clean_text, '.', '')))"

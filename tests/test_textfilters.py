@@ -70,6 +70,7 @@ def test_c4_line_filter_literals(spark):
     from pdf_table_spark.ops.textfilters import c4_line_filter
     text = ("this is a good long line today.\n"
             "too short.\n"
+            "enable JavaScript to view this content today.\n"
             "no terminal punctuation on this line")
     df = _docs(spark, [("d", text),
                        ("lorem", "Lorem ipsum dolor sit amet today."),
