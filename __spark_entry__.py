@@ -531,6 +531,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .limit(10)
         )
 
+    def q_salted_priority_revenue(spark, sf_dir):
+        # the skew-handling salted join, hash-checked against a PLAIN
+        # SQL join: salting must be invisible in the result
+        from pdf_table_spark.ops.skew import salted_join
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount")
+        od = _t(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+        j = salted_join(li, od, "l_orderkey", salt=8)
+        # whole-unit revenue: double summation order differs between
+        # engines at the 1e-3 level on 1e8 magnitudes, so the compared
+        # value is discretized (margin 0.5 vs drift ~1e-3)
+        return j.groupBy("o_orderpriority").agg(
+            F.round(F.sum(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount"))))
+            .cast("bigint").alias("revenue"),
+            F.count("*").alias("n_items"))
+
     def q_event_sessions(spark, sf_dir):
         # W1's SQL analogue on a real event stream: 30-min-gap
         # sessionization via lag + running sum of boundary flags.
@@ -603,6 +621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_html": q_doc_html,
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
+        "salted_priority_revenue": q_salted_priority_revenue,
         "event_sessions": q_event_sessions,
     }
 
@@ -1836,6 +1855,15 @@ cast(case when len(top) = 0 then 400
             from lineitem
             where l_shipdate <= timestamp '1998-09-02'
             group by l_returnflag, l_linestatus
+        """,
+        "salted_priority_revenue": """
+            select o_orderpriority,
+                   cast(round(sum(l_extendedprice * (1 - l_discount)))
+                        as bigint) as revenue,
+                   count(*) as n_items
+            from lineitem
+            join orders on l_orderkey = o_orderkey
+            group by o_orderpriority
         """,
         "top_revenue_orders": """
             with rev as (

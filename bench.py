@@ -67,6 +67,7 @@ HEADLINE = [
     "media_resize",
     "pricing_summary",
     "top_revenue_orders",
+    "salted_priority_revenue",  # skew-salted join == plain join
     "event_sessions",
 ]
 
