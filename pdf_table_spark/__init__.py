@@ -23,15 +23,18 @@ Layout
               and golden builder.
 ``ops``       large-scale training-data ops over plain text/embedding
               tables: dedup (exact / MinHash-LSH / SimHash / n-gram
-              Jaccard), ANN similarity search, text analysis, multimodal
-              plumbing.
+              Jaccard / the capped ``dedup_corpus`` entry point), ANN
+              similarity search, corpus filter gates (Gopher / C4 /
+              PII / repetition), the composed ``prepare_corpus``
+              ingest program, text analysis, multimodal plumbing.
 ``streaming`` Structured Streaming: incremental ingest (exactly-once
-              per corpus file), watermarked event-time windows, and
-              applyInPandasWithState sessionization.
+              per corpus file), watermarked event-time windows,
+              applyInPandasWithState sessionization, and the
+              watermark-bounded streaming clean gate.
 ``sources``   corpus readers/writers (parquet + JSONL interchange).
 ``api``       the reference's user surface: read_documents /
               extract_tables / document_html with the page-spec string
               and the read_pdf flavor kwarg.
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
