@@ -286,6 +286,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             neardup_threshold=0.5, max_df=20, max_bucket=10,
             hash_fn="md5")
 
+    def q_span_dedup(spark, sf_dir):
+        # C4's cross-document three-sentence-span dedup over the lined
+        # corpus, with the 20 injected full-copy docs as the planted
+        # duplicates (their spans all resolve to the originals)
+        return textfilters.c4_span_dedup(_lined_with_dups(spark, sf_dir))
+
     def q_ngram_jaccard(spark, sf_dir):
         return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), 0.5)
 
@@ -593,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filters": q_c4_filters,
         "pii_redact": q_pii_redact,
         "corpus_clean": q_corpus_clean,
+        "span_dedup": q_span_dedup,
         "prepare_corpus": q_prepare_corpus,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_corpus_pairs": q_dedup_corpus_pairs,
@@ -1267,6 +1274,62 @@ def _dk_filter_sqls() -> dict[str, str]:
         select *, (dup_line_frac <= 0.3 and dup_line_char_frac <= 0.2 and top_2gram_char_frac <= 0.2 and top_3gram_char_frac <= 0.18 and top_4gram_char_frac <= 0.16 and dup_5gram_char_frac <= 0.15 and dup_6gram_char_frac <= 0.14 and dup_7gram_char_frac <= 0.13 and dup_8gram_char_frac <= 0.12 and dup_9gram_char_frac <= 0.11 and dup_10gram_char_frac <= 0.1) as pass_repetition from sig
     """
 
+    span_dedup = f"""
+        with lined as ({lined}),
+        alldocs as (
+          select cast(doc_id as varchar) as doc_id, text from lined
+          union all
+          (select 'dup_' || doc_id as doc_id, text from
+           (select * from lined order by doc_id limit 20))
+        ), sents0 as (
+          select doc_id, list_filter(list_transform(
+            string_split_regex(text, '[.!?]'), s -> trim(s)),
+            s -> s <> '') as ss
+          from alldocs
+        ), sents as (
+          select doc_id, u.i - 1 as idx, ss[u.i] as s
+          from sents0 cross join
+               unnest(generate_series(1, len(ss))) as u(i)
+        ), spans as (
+          select doc_id, u.i - 1 as start,
+                 md5(array_to_string(
+                   list_slice(ss, u.i, u.i + 2), ' ')) as h
+          from sents0 cross join
+               unnest(generate_series(1, len(ss) - 2)) as u(i)
+          where len(ss) >= 3
+        ), dup as (
+          select h, min({{'d': doc_id, 'st': start}}) as canon
+          from spans group by h having count(*) > 1
+        ), noncanon as (
+          select s.doc_id, s.start from spans s join dup d using (h)
+          where s.doc_id <> d.canon.d or s.start <> d.canon.st
+        ), dropped as (
+          select distinct doc_id, start + u.i as idx
+          from noncanon cross join
+               unnest(generate_series(0, 2)) as u(i)
+        ), kept as (
+          select s.doc_id, s.idx, s.s from sents s
+          left join dropped dr
+            on s.doc_id = dr.doc_id and s.idx = dr.idx
+          where dr.idx is null
+        ), perdoc as (
+          select doc_id, count(*) as n_kept,
+                 string_agg(s, ' ' order by idx) as clean_text
+          from kept group by doc_id
+        ), totals as (
+          select doc_id, count(*) as n_sentences
+          from sents group by doc_id
+        )
+        select a.doc_id,
+               coalesce(t.n_sentences, 0) as n_sentences,
+               coalesce(t.n_sentences, 0) - coalesce(p.n_kept, 0)
+                 as n_dropped,
+               coalesce(p.clean_text, '') as clean_text
+        from alldocs a
+        left join totals t using (doc_id)
+        left join perdoc p using (doc_id)
+    """
+
     gopher = f"""
         with lined as ({lined}),
         base as (
@@ -1361,6 +1424,7 @@ def _dk_filter_sqls() -> dict[str, str]:
         "c4_filters": c4,
         "pii_redact": pii,
         "corpus_clean": clean,
+        "span_dedup": span_dedup,
     }
 
 

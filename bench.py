@@ -49,6 +49,7 @@ HEADLINE = [
     "text_normalize",
     "exact_dedup",
     "corpus_clean",         # composed dedup→gopher→c4→pii gate
+    "span_dedup",           # C4 cross-doc 3-sentence-span dedup
     "ngram_jaccard",
     "minhash_signatures",
     "minhash_lsh_pairs",

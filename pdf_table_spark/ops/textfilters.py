@@ -38,6 +38,7 @@ __all__ = [
     "c4_line_filter",
     "pii_redact",
     "corpus_clean",
+    "c4_span_dedup",
     "GOPHER_STOPWORDS",
     "PII_PATTERNS",
 ]
@@ -502,4 +503,97 @@ def corpus_clean(docs: DataFrame,
         F.when(stage == "kept",
                F.md5(_redact_col(F.col("clean_text"))))
         .alias("clean_fp"),
+    )
+
+
+# --------------------------------------------------------------------
+# C4 three-sentence span dedup (cross-document)
+# --------------------------------------------------------------------
+
+
+def c4_span_dedup(docs: DataFrame, window: int = 3) -> DataFrame:
+    """C4's corpus-level span dedup (Raffel et al. 2020 §2.2):
+    "discard all but one of any three-sentence span of text occurring
+    more than once".
+
+    Sentences are the non-empty trimmed segments split on ``[.!?]``
+    (the RE2/Java-regex common subset — no lookbehind, so both engines
+    segment identically). Every ``window``-sentence sliding span is
+    hashed; the canonical occurrence of a repeated span is the
+    smallest (doc_id, start_idx); every sentence covered by a
+    NON-canonical repeated span is dropped from its doc.
+
+    Returns (doc_id, n_sentences, n_dropped, clean_text) with
+    clean_text = surviving sentences in order, joined by ' '.
+
+    Scale shape: explode to sentences O(corpus), window spans O(corpus)
+    keyed by an md5 span hash (uniform, skew-free), one groupBy for the
+    canonical pick, one anti-join back — never all-pairs. The classic
+    C4 job at web scale, as three keyed shuffles.
+    """
+    sents = (
+        docs.select(
+            "doc_id",
+            F.expr(
+                "filter(transform(split(text, '[.!?]'), s -> trim(s)),"
+                " s -> s <> '')").alias("ss"))
+        .select("doc_id", F.expr(
+            "transform(ss, (s, i) -> struct(i as idx, s as s))"
+        ).alias("ss"))
+        .select("doc_id", F.explode("ss").alias("e"))
+        .select("doc_id", F.col("e.idx").alias("idx"),
+                F.col("e.s").alias("s"))
+    )
+    spans = (
+        docs.select(
+            "doc_id",
+            F.expr(
+                "filter(transform(split(text, '[.!?]'), s -> trim(s)),"
+                " s -> s <> '')").alias("ss"))
+        .select("doc_id", F.expr(
+            # sequence(0, n) runs DESCENDING when n < 0 (docs with
+            # fewer than `window` sentences), hence the explicit guard:
+            # such docs contribute no spans
+            f"if(size(ss) < {window}, "
+            f"cast(array() as array<struct<start: int, h: string>>), "
+            f"transform(sequence(0, size(ss) - {window}), i -> "
+            f"struct(i as start, md5(array_join(slice(ss, i + 1, "
+            f"{window}), ' ')) as h)))"
+        ).alias("ws"))
+        .select("doc_id", F.explode("ws").alias("w"))
+        .select("doc_id", F.col("w.start").alias("start"),
+                F.col("w.h").alias("h"))
+    )
+    dup_occurrences = (
+        spans.groupBy("h").agg(
+            F.count("*").alias("n"),
+            F.min(F.struct("doc_id", "start")).alias("canon"))
+        .filter(F.col("n") > 1)
+        .join(spans, "h")
+        .filter((F.col("doc_id") != F.col("canon.doc_id"))
+                | (F.col("start") != F.col("canon.start")))
+    )
+    dropped = (
+        dup_occurrences.select(
+            "doc_id", F.explode(F.expr(
+                f"sequence(start, start + {window - 1})")).alias("idx"))
+        .distinct()
+    )
+    kept = sents.join(dropped, ["doc_id", "idx"], "left_anti")
+    per_doc = kept.groupBy("doc_id").agg(
+        F.expr("array_join(transform(array_sort(collect_list("
+               "struct(idx, s))), x -> x.s), ' ')").alias("clean_text"),
+        F.count("*").alias("n_kept"))
+    totals = sents.groupBy("doc_id").agg(
+        F.count("*").alias("n_sentences"))
+    return (
+        docs.select("doc_id").join(totals, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_sentences", F.lit(0)).alias("n_sentences"),
+            (F.coalesce("n_sentences", F.lit(0))
+             - F.coalesce("n_kept", F.lit(0))).alias("n_dropped"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
     )

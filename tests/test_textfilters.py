@@ -207,3 +207,29 @@ def test_lang_id_ngram_picks_profile_language(spark):
     from pdf_table_spark.ops.text import OOP_MAX
     assert all(0 <= out["en"][f"score_{la}"] <= OOP_MAX * 20
                for la in ("en", "de", "fr", "es"))
+
+
+def test_c4_span_dedup_cross_document(spark):
+    """C4 three-sentence span dedup: the canonical (smallest doc_id,
+    start) occurrence survives; repeated spans elsewhere are dropped
+    sentence-by-sentence; short docs pass through untouched."""
+    from pdf_table_spark.ops.textfilters import c4_span_dedup
+    shared = ("one two three alpha. four five six bravo. "
+              "seven eight nine charlie. ")
+    df = _docs(spark, [
+        ("a", shared + "unique tail delta."),
+        ("b", shared + "totally different ending."),
+        ("c", "short one. short two."),
+        ("d", "x y z. p q r. l m n."),
+        ("e", "x y z. p q r. l m n."),      # full copy of d
+    ])
+    out = {r.doc_id: r for r in c4_span_dedup(df).collect()}
+    assert out["a"].n_dropped == 0 and out["a"].n_sentences == 4
+    # b loses the shared 3-sentence span, keeps its own ending
+    assert out["b"].n_dropped == 3
+    assert out["b"].clean_text == "totally different ending"
+    assert out["c"].n_dropped == 0 and out["c"].n_sentences == 2
+    assert out["d"].n_dropped == 0
+    assert out["e"].n_dropped == 3 and out["e"].clean_text == ""
+    # totality: one row per input doc
+    assert len(out) == 5
