@@ -204,6 +204,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_token_stats(spark, sf_dir):
         return text.token_stats(_t(spark, sf_dir, "documents"))
 
+    def q_corpus_stats(spark, sf_dir):
+        # one-row dataset-card rollup (totals + exact token-count
+        # percentiles)
+        return text.corpus_stats(_t(spark, sf_dir, "documents"))
+
     def q_quality_score(spark, sf_dir):
         return text.quality_score(_t(spark, sf_dir, "documents"))
 
@@ -588,6 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "imaged_doc_classifier": q_imaged_doc_classifier,
         "span_inventory": q_span_inventory,
         "token_stats": q_token_stats,
+        "corpus_stats": q_corpus_stats,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "lang_id_ngram": q_lang_id_ngram,
@@ -1574,6 +1580,23 @@ def oracle_sql() -> dict[str, str]:
             select s.kind as kind, count(*) as n, max(s.offset) as max_offset
             from (select unnest(spans) as s from {spans})
             group by s.kind
+        """,
+        "corpus_stats": f"""
+            with per_doc as (
+              select len({DK_TOKENS_CASED}) as n_tokens,
+                     length(text) as n_chars
+              from documents
+            )
+            select count(*) as n_docs,
+                   cast(sum(n_tokens) as bigint) as total_tokens,
+                   cast(sum(n_chars) as bigint) as total_chars,
+                   min(n_tokens) as min_tokens,
+                   quantile_cont(n_tokens, 0.25) as p25_tokens,
+                   quantile_cont(n_tokens, 0.5) as median_tokens,
+                   quantile_cont(n_tokens, 0.75) as p75_tokens,
+                   max(n_tokens) as max_tokens,
+                   cast(sum(n_tokens) as double) / count(*) as mean_tokens
+            from per_doc
         """,
         "token_stats": f"""
             select doc_id,

@@ -42,6 +42,7 @@ HEADLINE = [
     "layout_scores",
     "quality_model_scores",  # broadcast-weights seam, text-side
     "token_stats",
+    "corpus_stats",
     "quality_score",
     "lang_id",
     "lang_id_ngram",

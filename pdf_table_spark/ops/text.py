@@ -252,3 +252,30 @@ def lang_id_ngram(docs: DataFrame, top_n: int = 20) -> DataFrame:
                ).alias("pred_lang"),
         *[F.col(f"score_{la}") for la in langs],
     )
+
+
+def corpus_stats(docs: DataFrame) -> DataFrame:
+    """Corpus-level dataset-card rollup — ONE row: doc count, token and
+    char totals, token-length distribution (min / p25 / median / p75 /
+    max, exact linear-interpolation percentiles over the per-doc token
+    counts), and mean tokens per doc.
+
+    Scale: one narrow per-doc projection + one global aggregate (all
+    map-side combinable except the exact percentiles, which Spark
+    computes with a single-pass sort-based exact algorithm — at 10^12
+    docs switch to percentile_approx and accept the documented error).
+    """
+    per_doc = docs.select(
+        F.expr(f"size({_TOKENS})").alias("n_tokens"),
+        F.length("text").alias("n_chars"))
+    return per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.expr("percentile(n_tokens, 0.25)").alias("p25_tokens"),
+        F.expr("percentile(n_tokens, 0.5)").alias("median_tokens"),
+        F.expr("percentile(n_tokens, 0.75)").alias("p75_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+        (F.sum("n_tokens") / F.count("*")).alias("mean_tokens"),
+    )
