@@ -300,6 +300,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_ngram_jaccard(spark, sf_dir):
         return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), 0.5)
 
+    def q_decontaminate(spark, sf_dir):
+        # src0 plays the benchmark/eval suite; every other source is
+        # the training corpus. Flag train docs sharing any 13-gram.
+        docs = _t(spark, sf_dir, "documents")
+        return textfilters.decontaminate(
+            docs.filter("source <> 'src0'"),
+            docs.filter("source = 'src0'"))["contaminated"]
+
     # ---- the capped production dedup pipeline, oracle-checked ----
     # hash_fn='md5' swaps the shingle hash for the DuckDB-replicable
     # 60-bit md5 prefix; max_df=20 genuinely bites on the word-salad
@@ -313,6 +321,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_dedup_corpus_keep(spark, sf_dir):
         return dedup.dedup_corpus(
+            _t(spark, sf_dir, "documents"), **_DC)["keep"]
+
+    # transitive closure over the verified pairs: one canonical doc
+    # per duplicate CLUSTER (alternating large-star/small-star), not
+    # per pair -- chains A~B~C keep exactly min(A,B,C)
+    def q_dedup_cluster_assign(spark, sf_dir):
+        return dedup.dedup_corpus_clusters(
+            _t(spark, sf_dir, "documents"), **_DC)["components"]
+
+    def q_dedup_cluster_keep(spark, sf_dir):
+        return dedup.dedup_corpus_clusters(
             _t(spark, sf_dir, "documents"), **_DC)["keep"]
 
     def q_minhash_signatures(spark, sf_dir):
@@ -606,10 +625,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "corpus_clean": q_corpus_clean,
         "span_dedup": q_span_dedup,
+        "decontaminate": q_decontaminate,
         "prepare_corpus": q_prepare_corpus,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_corpus_pairs": q_dedup_corpus_pairs,
         "dedup_corpus_keep": q_dedup_corpus_keep,
+        "dedup_cluster_assign": q_dedup_cluster_assign,
+        "dedup_cluster_keep": q_dedup_cluster_keep,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
@@ -1730,6 +1752,60 @@ cast(case when len(top) = 0 then 400
             left join (select distinct doc_b from pairs) p
               on d.doc_id = p.doc_b
             where p.doc_b is null
+        """,
+        "dedup_cluster_assign": _dk_dedup_corpus_cte(0.5, 20, 10, lead="with recursive ") + """
+            , edges as (
+              select doc_a as u, doc_b as v from pairs
+              union select doc_b, doc_a from pairs
+            ), reach as (
+              select u as node, v as r from edges
+              union
+              select e.u, reach.r from edges e
+                join reach on reach.node = e.v
+            ), comp as (
+              select node as doc_id,
+                     least(node, min(r)) as component
+              from reach group by node
+            )
+            select doc_id, component from comp
+        """,
+        "decontaminate": r"""
+            with toks as (
+              select doc_id, source,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 t -> t <> '') as tk
+              from documents
+            ), grams as (
+              select doc_id, source, unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(len(tk) - 12, 0)),
+                       i -> md5(array_to_string(
+                              list_slice(tk, i, i + 12), ' '))))) as g
+              from toks where len(tk) >= 13
+            ), bench as (
+              select distinct g from grams where source = 'src0'
+            )
+            select t.doc_id, count(*) as n_hits
+            from grams t join bench using (g)
+            where t.source <> 'src0'
+            group by t.doc_id
+        """,
+        "dedup_cluster_keep": _dk_dedup_corpus_cte(0.5, 20, 10, lead="with recursive ") + """
+            , edges as (
+              select doc_a as u, doc_b as v from pairs
+              union select doc_b, doc_a from pairs
+            ), reach as (
+              select u as node, v as r from edges
+              union
+              select e.u, reach.r from edges e
+                join reach on reach.node = e.v
+            ), comp as (
+              select node as doc_id,
+                     least(node, min(r)) as component
+              from reach group by node
+            )
+            select d.doc_id from documents d
+              left join comp on d.doc_id = comp.doc_id
+            where comp.doc_id is null or comp.doc_id = comp.component
         """,
         "doc_metrics": f"""
             select doc_id, count(*) as n_spans,

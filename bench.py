@@ -50,7 +50,8 @@ HEADLINE = [
     "text_normalize",
     "exact_dedup",
     "corpus_clean",         # composed dedup→gopher→c4→pii gate
-    "span_dedup",           # C4 cross-doc 3-sentence-span dedup
+    "span_dedup",
+    "decontaminate",           # C4 cross-doc 3-sentence-span dedup
     "ngram_jaccard",
     "minhash_signatures",
     "minhash_lsh_pairs",

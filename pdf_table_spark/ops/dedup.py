@@ -428,3 +428,103 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     set max_bucket in production."""
     return simhash_pairs_from_fingerprints(
         simhash(docs, n_bits), max_hamming, n_bits, max_bucket)
+
+
+# ---------------------------------------------------------------------------
+# Transitive closure: connected components over the near-dup pair graph
+# ---------------------------------------------------------------------------
+
+def _sym_edges(e: DataFrame) -> DataFrame:
+    """Both orientations of an undirected edge list (u, v)."""
+    return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round: every node links its strictly-larger
+    neighbours to the minimum of its closed neighbourhood."""
+    nb = _sym_edges(e)
+    mins = (nb.groupBy("u").agg(F.min("v").alias("mn"))
+            .withColumn("mn", F.least("mn", "u")))
+    return (nb.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct())
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: every node links its smaller-or-equal
+    neighbours (and itself) to the minimum of that set."""
+    o = (e.select(F.greatest("u", "v").alias("u"),
+                  F.least("u", "v").alias("v"))
+         .filter(F.col("u") != F.col("v")))
+    mins = o.groupBy("u").agg(F.min("v").alias("mn"))
+    return (o.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .union(mins.select("u", F.col("mn").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct())
+
+
+def connected_components(pairs: DataFrame, a: str = "doc_a",
+                         b: str = "doc_b", max_iter: int = 30) -> DataFrame:
+    """Connected components over an undirected pair list via
+    alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014) — O(log n) rounds
+    even on pathological chains, each round two keyed shuffles, never
+    an all-pairs product. This is the transitive-closure step a
+    corpus-scale near-dedup needs: pairwise drop rules split chains
+    A~B~C into arbitrary keep sets; components give one canonical doc
+    per duplicate CLUSTER.
+
+    Returns (doc_id, component) for every node that appears in a pair,
+    where component = the minimum doc_id reachable from it (roots map
+    to themselves). Nodes in no pair are absent — the caller treats
+    them as their own singleton component.
+
+    Each iteration localCheckpoints the shrinking edge list (lineage
+    would otherwise grow by four joins per round), and convergence is
+    detected by an order-free multiset signature (count + sum + xor of
+    xxhash64(u,v)): a 2^-64 collision risk, traded against re-scanning
+    the edge set with exceptAll every round at 10^12-doc scale.
+    """
+    e = (pairs.select(F.col(a).cast("long").alias("u"),
+                      F.col(b).cast("long").alias("v"))
+         .filter(F.col("u") != F.col("v")).distinct()
+         .localCheckpoint())
+    prev_sig = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        sig = tuple(e.agg(
+            F.count("*"),
+            # decimal(38,0) sums: overflow-free under ANSI mode at any
+            # edge count that fits a cluster
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+            F.sum(F.xxhash64("v", "u").cast("decimal(38,0)"))).first())
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # converged star forest: (u -> root) plus the roots themselves
+    return (e.select(F.col("u").alias("doc_id"),
+                     F.col("v").alias("component"))
+            .union(e.select(F.col("v").alias("doc_id"),
+                            F.col("v").alias("component")))
+            .distinct())
+
+
+def dedup_corpus_clusters(docs: DataFrame, threshold: float = 0.8,
+                          max_df: int = 10_000, max_bucket: int = 10_000,
+                          hash_fn: str = "xxhash64") -> dict:
+    """dedup_corpus + transitive closure: the cluster-aware keep rule.
+
+    Runs the capped near-dedup pipeline (see ``dedup_corpus``), then
+    connected components over the VERIFIED pairs, keeping exactly one
+    doc (the minimum doc_id) per duplicate cluster. Docs in no cluster
+    keep themselves. Returns {"pairs", "components", "keep"}.
+    """
+    out = dedup_corpus(docs, threshold, max_df, max_bucket, hash_fn)
+    comp = connected_components(out["pairs"])
+    dropped = (comp.filter(F.col("doc_id") != F.col("component"))
+               .select("doc_id"))
+    keep = docs.join(dropped, "doc_id", "left_anti").select("doc_id")
+    return {"pairs": out["pairs"], "components": comp, "keep": keep}

@@ -597,3 +597,50 @@ def c4_span_dedup(docs: DataFrame, window: int = 3) -> DataFrame:
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (GPT-3 style n-gram overlap)
+# ---------------------------------------------------------------------------
+
+def _ngram_hash_rows(docs: DataFrame, n: int) -> DataFrame:
+    """Distinct md5 hashes of every lowercase whitespace-token n-gram
+    per doc (one row per (doc_id, gram); docs shorter than n tokens
+    contribute none — explicit guard, sequence(1, 0) runs DESCENDING)."""
+    toks = "filter(split(lower(text), '\\\\s+'), t -> t <> '')"
+    return (docs
+            .select("doc_id", F.expr(toks).alias("tk"))
+            .select("doc_id", F.explode(F.expr(
+                f"if(size(tk) < {n}, cast(array() as array<string>), "
+                f"array_distinct(transform(sequence(1, size(tk) - {n - 1}), "
+                f"i -> md5(array_join(slice(tk, i, {n}), ' ')))))"
+            )).alias("g")))
+
+
+def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                  n: int = 13, broadcast_bench: bool = True) -> dict:
+    """Benchmark decontamination a la GPT-3 (Brown et al. 2020,
+    App. C): flag every training document that shares at least one
+    token ``n``-gram (default 13) with the benchmark/eval set, so eval
+    answers can't leak into training data.
+
+    Both sides reduce to distinct md5 n-gram hashes — the join runs on
+    32-byte uniform keys (skew-free), NEVER on text. With
+    ``broadcast_bench`` (default) the benchmark gram set is broadcast:
+    eval suites are small next to a training corpus, so the corpus-side
+    scan never shuffles. Flip it off if the benchmark side outgrows
+    executor memory; the plan degrades to a shuffled semi-join on the
+    same uniform keys.
+
+    Returns {"contaminated": (doc_id, n_hits) — distinct shared grams
+    per flagged doc, "keep": doc_ids of clean corpus docs}.
+    """
+    bench = _ngram_hash_rows(benchmark, n).select("g").distinct()
+    if broadcast_bench:
+        bench = F.broadcast(bench)
+    hits = (_ngram_hash_rows(corpus, n)
+            .join(bench, "g")
+            .groupBy("doc_id").agg(F.count("*").alias("n_hits")))
+    keep = (corpus.join(hits.select("doc_id"), "doc_id", "left_anti")
+            .select("doc_id"))
+    return {"contaminated": hits, "keep": keep}

@@ -1,0 +1,43 @@
+"""Benchmark decontamination: a training doc sharing any 13-gram with
+the eval set is flagged; clean docs and short docs are not."""
+
+from pdf_table_spark.ops.textfilters import decontaminate
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_flags_docs_sharing_an_ngram(spark):
+    leak = " ".join(f"q{j}" for j in range(13))      # a 13-token answer
+    bench = _docs(spark, [(900, f"question: {leak} end")])
+    corpus = _docs(spark, [
+        (1, "clean " + " ".join(f"a{j}" for j in range(30))),
+        (2, f"prefix text {leak} suffix text"),       # leaked verbatim
+        (3, leak.replace("q5", "Z")),                 # one token off: clean
+    ])
+    out = decontaminate(corpus, bench)
+    hits = {r.doc_id: r.n_hits for r in out["contaminated"].collect()}
+    assert hits == {2: 1}
+    assert {r.doc_id for r in out["keep"].collect()} == {1, 3}
+
+
+def test_short_docs_never_match(spark):
+    # under n tokens on either side -> no n-grams -> no flags (and no
+    # descending-sequence explosion)
+    bench = _docs(spark, [(900, "only three tokens")])
+    corpus = _docs(spark, [(1, "only three tokens"), (2, "")])
+    out = decontaminate(corpus, bench)
+    assert out["contaminated"].count() == 0
+    assert {r.doc_id for r in out["keep"].collect()} == {1, 2}
+
+
+def test_hit_count_is_distinct_grams(spark):
+    # 15-token overlap = three distinct 13-grams, each counted once
+    # even though the doc repeats the leaked run twice
+    run = " ".join(f"r{j}" for j in range(15))
+    bench = _docs(spark, [(900, run)])
+    corpus = _docs(spark, [(1, f"{run} mid {run}")])
+    out = decontaminate(corpus, bench)
+    assert {(r.doc_id, r.n_hits)
+            for r in out["contaminated"].collect()} == {(1, 3)}

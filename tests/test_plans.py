@@ -179,3 +179,27 @@ class TestComposedPlans:
             assert m, plan
             cols = {c.split(":")[0] for c in m.group(1).split(",")}
             assert cols == {"doc_id", "text"}
+
+    def test_decontaminate_broadcasts_bench_grams(self, spark, queries):
+        """Decontamination joins 32-byte gram hashes with the bench
+        side broadcast: the training-corpus scan must never shuffle,
+        and nothing may degenerate to a nested-loop join."""
+        plan = plan_of(queries["decontaminate"](spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # the only exchange feeding the final agg is the groupBy on
+        # doc_id; the corpus gram rows themselves reach the join
+        # shuffle-free (broadcast side handles the small set)
+        assert n_nodes(plan, "Exchange") <= 2
+
+    def test_cluster_round_is_keyed_joins_only(self, spark):
+        """One large-star round over a pair list: equi-joins on the
+        node key, never a cross product of the edge set."""
+        from pdf_table_spark.ops.dedup import _large_star, _small_star
+        e = spark.createDataFrame(
+            [(1, 2), (2, 3)], "u long, v long")
+        for step in (_large_star, _small_star):
+            plan = plan_of(step(e))
+            assert "CartesianProduct" not in plan
+            assert "BroadcastNestedLoopJoin" not in plan
