@@ -86,8 +86,8 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     import sys
     sys.path.insert(0, REPO)
-    from pdf_table_spark.ops import (dedup, multimodal, similarity,
-                                     text, textfilters)
+    from pdf_table_spark.ops import (dedup, multimodal, sampling,
+                                     similarity, text, textfilters)
 
     def q_extract_spans(spark, sf_dir):
         return _extract_flat(spark, sf_dir)
@@ -299,6 +299,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_ngram_jaccard(spark, sf_dir):
         return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), 0.5)
+
+    def q_corpus_split(spark, sf_dir):
+        return sampling.split_corpus(_t(spark, sf_dir, "documents"))
+
+    def q_stratified_sample(spark, sf_dir):
+        return sampling.sample_stratified(
+            _t(spark, sf_dir, "documents"),
+            {"en": 0.5, "de": 1.0}, default=0.1).select("doc_id", "lang")
+
+    def q_pack_chunks(spark, sf_dir):
+        return sampling.pack_chunks(_t(spark, sf_dir, "documents"), 512)
 
     def q_decontaminate(spark, sf_dir):
         # src0 plays the benchmark/eval suite; every other source is
@@ -626,6 +637,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": q_corpus_clean,
         "span_dedup": q_span_dedup,
         "decontaminate": q_decontaminate,
+        "corpus_split": q_corpus_split,
+        "stratified_sample": q_stratified_sample,
+        "pack_chunks": q_pack_chunks,
         "prepare_corpus": q_prepare_corpus,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_corpus_pairs": q_dedup_corpus_pairs,
@@ -1768,6 +1782,52 @@ cast(case when len(top) = 0 then 400
               from reach group by node
             )
             select doc_id, component from comp
+        """,
+        "corpus_split": """
+            select doc_id,
+                   case when b < 9000 then 'train'
+                        when b < 9500 then 'val'
+                        else 'test' end as split
+            from (select doc_id,
+                    cast('0x' || substr(md5(cast(doc_id as varchar)
+                         || 'split-v1'), 1, 15) as bigint) % 10000 as b
+                  from documents)
+        """,
+        "stratified_sample": """
+            select doc_id, lang
+            from (select doc_id, lang,
+                    cast('0x' || substr(md5(cast(doc_id as varchar)
+                         || 'sample-v1'), 1, 15) as bigint) % 10000 as b
+                  from documents)
+            where b < (case lang when 'en' then 0.5
+                                 when 'de' then 1.0
+                                 else 0.1 end) * 10000
+        """,
+        "pack_chunks": r"""
+            with toks as (
+              select doc_id,
+                     len(list_filter(string_split_regex(lower(text),
+                         '\s+'), t -> t <> '')) as n_tok
+              from documents
+            ), offs as (
+              select doc_id, n_tok,
+                     coalesce(sum(n_tok) over (order by doc_id
+                       rows between unbounded preceding and 1 preceding),
+                       0)::bigint as off
+              from toks
+            ), spans as (
+              select doc_id, n_tok, off,
+                     unnest(generate_series(cast(off // 512 as bigint),
+                            cast((off + n_tok - 1) // 512 as bigint)))
+                       as chunk_id
+              from offs where n_tok > 0
+            )
+            select chunk_id, count(*) as n_docs,
+                   cast(sum(least(off + n_tok, (chunk_id + 1) * 512)
+                        - greatest(off, chunk_id * 512)) as bigint)
+                     as n_tokens,
+                   min(doc_id) as first_doc, max(doc_id) as last_doc
+            from spans group by chunk_id
         """,
         "decontaminate": r"""
             with toks as (

@@ -51,7 +51,9 @@ HEADLINE = [
     "exact_dedup",
     "corpus_clean",         # composed dedup→gopher→c4→pii gate
     "span_dedup",
-    "decontaminate",           # C4 cross-doc 3-sentence-span dedup
+    "decontaminate",
+    "corpus_split",
+    "pack_chunks",           # C4 cross-doc 3-sentence-span dedup
     "ngram_jaccard",
     "minhash_signatures",
     "minhash_lsh_pairs",

@@ -1,0 +1,140 @@
+"""Training-set assembly operators: deterministic splits, stratified
+sampling, and GPT-style sequence packing.
+
+These are the steps between a cleaned corpus and a training run. All
+of them are driven by the same 60-bit md5 hash the dedup tier uses
+(`conv(substr(md5(..),1,15),16,10)` ↔ DuckDB `'0x'||substr(...)`), so
+every assignment is reproducible bit-for-bit from (doc_id, seed) alone
+— re-running the job, on any cluster size, yields the same split. No
+`rand()`: nondeterministic sampling breaks resume-from-checkpoint and
+makes train/test leakage unauditable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# 60-bit doc hash → uniform bucket in [0, 10_000)
+_BUCKETS = 10_000
+
+
+def _bucket_expr(seed: str) -> str:
+    return (f"cast(conv(substring(md5(concat(cast(doc_id as string), "
+            f"'{seed}')), 1, 15), 16, 10) as bigint) % {_BUCKETS}")
+
+
+def split_corpus(docs: DataFrame,
+                 weights: dict[str, float] | None = None,
+                 seed: str = "split-v1") -> DataFrame:
+    """Deterministic train/val/test assignment: each doc's md5 bucket
+    lands in one of the cumulative-weight intervals. Narrow (one
+    projection, no shuffle); the split column then drives partitioned
+    writes. Weights must sum to 1 (validated)."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    cases, lo = [], 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        lo += w
+        cases.append((int(round(lo * _BUCKETS)), name))
+    expr = f"'{items[-1][0]}'"
+    for edge, name in reversed(cases):
+        expr = f"if(b < {edge}, '{name}', {expr})"
+    return (docs
+            .select("doc_id", F.expr(_bucket_expr(seed)).alias("b"))
+            .select("doc_id", F.expr(expr).alias("split")))
+
+
+def sample_stratified(docs: DataFrame,
+                      fractions: dict[str, float],
+                      strata_col: str = "lang",
+                      default: float = 0.0,
+                      seed: str = "sample-v1") -> DataFrame:
+    """Deterministic stratified sampling: keep a doc iff its md5
+    bucket < fraction(stratum) * 10000. Unlike ``df.sampleBy`` the
+    result is a pure function of (doc_id, seed) — stable across
+    retries, resumes, and cluster sizes. Strata not in ``fractions``
+    use ``default``. Narrow; no shuffle."""
+    frac = (f"coalesce(map({', '.join(repr(x) for kv in fractions.items() for x in kv)})"
+            f"[{strata_col}], cast({default} as double))")
+    return (docs
+            .withColumn("_b", F.expr(_bucket_expr(seed)))
+            .filter(F.expr(f"_b < {frac} * {_BUCKETS}"))
+            .drop("_b"))
+
+
+def pack_chunks(docs: DataFrame, ctx_len: int = 512,
+                n_buckets: int = 256) -> DataFrame:
+    """GPT-style sequence packing (concat-and-chunk): lay every doc's
+    tokens end-to-end in doc_id order and cut the stream into
+    fixed-``ctx_len`` chunks; report per chunk how many docs touch it
+    and how many tokens it holds (the tail chunk runs short).
+
+    The global token offset of each doc is a prefix sum over a total
+    order — the naive ``Window.orderBy(doc_id)`` collapses to ONE
+    partition and dies at corpus scale, so this uses the classic
+    two-pass distributed prefix sum instead:
+
+      1. order-preserving range buckets (doc_id div span);
+      2. per-bucket token totals — B tiny rows — cumsummed with a
+         window over B rows only, then broadcast back;
+      3. intra-bucket cumsum via a window PARTITIONED by bucket
+         (parallel across buckets), + the bucket's base offset.
+
+    Each doc then contributes rows to chunks floor(off/C) ..
+    floor((off+n-1)/C) (empty docs to none), and one groupBy(chunk)
+    finishes. Two shuffles + one broadcast, no global sort.
+    """
+    toks = "size(filter(split(lower(text), '\\\\s+'), t -> t <> ''))"
+    counted = docs.select(
+        "doc_id", F.expr(toks).cast("long").alias("n_tok"))
+
+    # 1. range buckets from the doc_id span (one cheap agg; ids need
+    # not be dense — buckets only need to preserve order)
+    lo, hi = counted.agg(F.min("doc_id"), F.max("doc_id")).first()
+    if lo is None:
+        return counted.sparkSession.createDataFrame(
+            [], "chunk_id long, n_docs long, n_tokens long, "
+                "first_doc long, last_doc long")
+    span = max((hi - lo) // n_buckets + 1, 1)
+    counted = counted.withColumn(
+        "bucket", ((F.col("doc_id") - lo) / span).cast("long"))
+
+    # 2. bucket base offsets: B rows, windowed over B rows only
+    w_b = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1)
+    bases = (counted.groupBy("bucket").agg(F.sum("n_tok").alias("t"))
+             .select("bucket",
+                     F.coalesce(F.sum("t").over(w_b), F.lit(0))
+                     .alias("base")))
+
+    # 3. intra-bucket prefix (parallel) + base
+    w_i = (Window.partitionBy("bucket").orderBy("doc_id")
+           .rowsBetween(Window.unboundedPreceding, -1))
+    offs = (counted
+            .join(F.broadcast(bases), "bucket")
+            .select("doc_id", "n_tok",
+                    (F.col("base")
+                     + F.coalesce(F.sum("n_tok").over(w_i), F.lit(0)))
+                    .alias("off")))
+
+    c = ctx_len
+    spans = offs.filter("n_tok > 0").select(
+        "doc_id", "n_tok", "off",
+        F.explode(F.expr(
+            # `div` (integer division) — `/` is double division in
+            # Spark SQL and loses exactness past 2^53 tokens
+            f"sequence(off div {c}, "
+            f"(off + n_tok - 1) div {c})")).alias("chunk_id"))
+    in_chunk = (F.least(F.col("off") + F.col("n_tok"),
+                        (F.col("chunk_id") + 1) * c)
+                - F.greatest(F.col("off"), F.col("chunk_id") * c))
+    return (spans
+            .groupBy("chunk_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(in_chunk).alias("n_tokens"),
+                 F.min("doc_id").alias("first_doc"),
+                 F.max("doc_id").alias("last_doc")))

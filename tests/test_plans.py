@@ -203,3 +203,21 @@ class TestComposedPlans:
             plan = plan_of(step(e))
             assert "CartesianProduct" not in plan
             assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_split_corpus_is_narrow(self, spark, queries):
+        """Split assignment is a pure projection — zero shuffles."""
+        plan = plan_of(queries["corpus_split"](spark, SF_DIR))
+        assert n_nodes(plan, "Exchange") == 0
+
+    def test_pack_chunks_avoids_global_sort_window(self, spark, queries):
+        """The doc-offset prefix sum must not funnel the corpus
+        through one partition: the per-doc window partitions by range
+        bucket, the bucket bases broadcast back, and the only
+        single-partition exchange feeds the B-row bases window."""
+        plan = plan_of(queries["pack_chunks"](spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan
+        assert n_nodes(plan, "Window") == 2
+        # exactly one SinglePartition exchange (the B-row bases side),
+        # and it must sit downstream of the bucket aggregate
+        singles = plan.count("Exchange SinglePartition")
+        assert singles <= 1
