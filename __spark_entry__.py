@@ -300,6 +300,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_ngram_jaccard(spark, sf_dir):
         return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), 0.5)
 
+    def q_resample_mixture(spark, sf_dir):
+        # epoch-weighted mixture: 2.4 copies of src1, a quarter of
+        # src2, src3 dropped, everything else 1 epoch
+        return sampling.resample_mixture(
+            _t(spark, sf_dir, "documents"),
+            {"src1": 2.4, "src2": 0.25, "src3": 0.0}
+        ).select("doc_id", "source", "copy")
+
     def q_corpus_split(spark, sf_dir):
         return sampling.split_corpus(_t(spark, sf_dir, "documents"))
 
@@ -637,6 +645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": q_corpus_clean,
         "span_dedup": q_span_dedup,
         "decontaminate": q_decontaminate,
+        "resample_mixture": q_resample_mixture,
         "corpus_split": q_corpus_split,
         "stratified_sample": q_stratified_sample,
         "pack_chunks": q_pack_chunks,
@@ -1782,6 +1791,26 @@ cast(case when len(top) = 0 then 400
               from reach group by node
             )
             select doc_id, component from comp
+        """,
+        "resample_mixture": """
+            with w as (
+              select doc_id, source,
+                     (case source when 'src1' then 2.4
+                                  when 'src2' then 0.25
+                                  when 'src3' then 0.0
+                                  else 1.0 end) as wt,
+                     cast('0x' || substr(md5(cast(doc_id as varchar)
+                          || 'mix-v1'), 1, 15) as bigint) % 10000 as b
+              from documents
+            ), n as (
+              select doc_id, source,
+                     cast(floor(wt) + (case when b < (wt - floor(wt))
+                          * 10000 then 1 else 0 end) as bigint) as nc
+              from w
+            )
+            select doc_id, source,
+                   unnest(generate_series(0, nc - 1)) as copy
+            from n where nc >= 1
         """,
         "corpus_split": """
             select doc_id,

@@ -138,3 +138,64 @@ def pack_chunks(docs: DataFrame, ctx_len: int = 512,
                  F.sum(in_chunk).alias("n_tokens"),
                  F.min("doc_id").alias("first_doc"),
                  F.max("doc_id").alias("last_doc")))
+
+
+def resample_mixture(docs: DataFrame,
+                     weights: dict[str, float],
+                     source_col: str = "source",
+                     default: float = 1.0,
+                     seed: str = "mix-v1") -> DataFrame:
+    """Deterministic data-mixture resampling: ``weights[source]`` is
+    the expected number of copies of each doc from that source in the
+    output (the "epochs" column of an LLM mixture table). A weight of
+    2.4 emits 2 full copies of every doc plus a 3rd copy of a
+    deterministic 40% hash slice; 0.25 keeps a quarter of docs once.
+
+    Output rows carry (doc_id, copy) with copy in [0, n) as the unique
+    key, so downstream shuffles/packing treat repeated epochs as
+    distinct rows. Narrow (hash + guarded sequence explode) — no
+    shuffle, no rand().
+    """
+    if any(w < 0 for w in weights.values()) or default < 0:
+        raise ValueError("mixture weights must be >= 0")
+    wexpr = (f"coalesce(map({', '.join(repr(x) for kv in weights.items() for x in kv)})"
+             f"[{source_col}], cast({default} as double))")
+    return (docs
+            .withColumn("_w", F.expr(wexpr))
+            .withColumn("_b", F.expr(_bucket_expr(seed)))
+            .withColumn(
+                "_n",
+                (F.floor("_w")
+                 + (F.col("_b")
+                    < (F.col("_w") - F.floor("_w")) * _BUCKETS)
+                 .cast("long")))
+            # sequence(0, -1) runs DESCENDING — guard zero-copy docs
+            .withColumn("copy", F.explode(F.expr(
+                "if(_n < 1, cast(array() as array<long>), "
+                "sequence(0L, _n - 1))")))
+            .drop("_w", "_b", "_n"))
+
+
+def write_shards(df: DataFrame, path: str, n_shards: int,
+                 key: str = "doc_id", seed: str = "shard-v1") -> dict:
+    """Write a training corpus as ``n_shards`` deterministic shards
+    (directories ``shard=K``): shard = md5-bucket(key, seed) mod n —
+    balanced by hash uniformity, stable across reruns and cluster
+    sizes, so a data loader can address shards by index and a re-run
+    overwrites in place (idempotent).
+
+    Repartitions ON THE SHARD VALUE before the partitioned write so
+    each shard directory is written by as few tasks as possible (one
+    shuffle); returns {"path", "n_shards", "counts": {shard: rows}}.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    bucket = _bucket_expr(seed).replace("doc_id", key)
+    out = df.withColumn(
+        "shard", (F.expr(bucket) % n_shards).cast("int"))
+    (out.repartition(n_shards, "shard")
+        .write.mode("overwrite").partitionBy("shard").parquet(path))
+    spark = df.sparkSession
+    counts = {int(r.shard): r["count"] for r in
+              spark.read.parquet(path).groupBy("shard").count().collect()}
+    return {"path": path, "n_shards": n_shards, "counts": counts}

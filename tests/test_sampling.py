@@ -5,7 +5,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from pdf_table_spark.ops.sampling import (
-    pack_chunks, sample_stratified, split_corpus)
+    pack_chunks, resample_mixture, sample_stratified, split_corpus,
+    write_shards)
 
 
 @pytest.fixture(scope="module")
@@ -87,3 +88,48 @@ def test_pack_chunks_matches_naive_prefix_sum(spark):
 def test_pack_chunks_empty_corpus(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert pack_chunks(empty).count() == 0
+
+
+def test_resample_mixture_copy_counts(spark):
+    rows = [(i, f"doc {i}", ["a", "b", "c"][i % 3]) for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = resample_mixture(docs, {"a": 3.0, "b": 0.5, "c": 0.0},
+                           default=1.0)
+    by = {r.source: (r.rows, r.docs) for r in
+          out.groupBy("source")
+             .agg(F.count("*").alias("rows"),
+                  F.countDistinct("doc_id").alias("docs")).collect()}
+    assert by["a"] == (300, 100)          # exactly 3 copies each
+    assert "c" not in by                  # weight 0 drops the source
+    r_b, d_b = by["b"]
+    assert r_b == d_b and 30 < r_b < 70   # ~half of b, one copy each
+    # copy index is a dense [0, n) per doc
+    copies = {r.copy for r in out.filter("source = 'a'").collect()}
+    assert copies == {0, 1, 2}
+    # deterministic
+    again = resample_mixture(docs, {"a": 3.0, "b": 0.5, "c": 0.0})
+    assert sorted(map(tuple, out.select("doc_id", "copy").collect())) \
+        == sorted(map(tuple, again.select("doc_id", "copy").collect()))
+
+
+def test_resample_mixture_rejects_negative(spark):
+    docs = spark.createDataFrame([(1, "x", "a")],
+                                 "doc_id long, text string, source string")
+    with pytest.raises(ValueError):
+        resample_mixture(docs, {"a": -1.0})
+
+
+def test_write_shards_balanced_and_idempotent(spark, tmp_path):
+    rows = [(i, f"doc {i}") for i in range(1000)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "shards")
+    out = write_shards(docs, path, 8)
+    assert set(out["counts"]) == set(range(8))
+    assert sum(out["counts"].values()) == 1000
+    assert max(out["counts"].values()) < 2.0 * min(out["counts"].values())
+    # re-run overwrites to the identical sharding
+    again = write_shards(docs, path, 8)
+    assert again["counts"] == out["counts"]
+    back = spark.read.parquet(path)
+    assert back.count() == 1000
+    assert back.select("doc_id").distinct().count() == 1000
