@@ -61,10 +61,12 @@ def with_part_id(docs: DataFrame, n_buckets: int) -> DataFrame:
 
 def input_fingerprint(docs: DataFrame, part_id_col: str = "part_id") -> DataFrame:
     """Order-insensitive per-bucket content fingerprint: xor of per-doc
-    hashes — cheap, associative, reorder-proof."""
+    hashes — cheap, associative, reorder-proof. Hashes every non-bucket
+    column, so it works for spans corpora and flat text tables alike."""
+    cols = [c for c in docs.columns if c != part_id_col]
     per_doc = docs.select(
         part_id_col,
-        F.xxhash64("doc_id", F.to_json(F.struct("spans"))).alias("h"))
+        F.xxhash64(F.to_json(F.struct(*cols))).alias("h"))
     return per_doc.groupBy(part_id_col).agg(
         F.expr("bit_xor(h)").alias("fp"), F.count("*").alias("n_docs"))
 
@@ -150,7 +152,8 @@ def read_manifests(out_dir: str) -> list[dict]:
 def run_checkpointed(spark: SparkSession, docs: DataFrame, out_dir: str,
                      n_buckets: int = 64, run_id: str = "run0",
                      part_col: str | None = None,
-                     fingerprint_mode: str = "auto") -> dict:
+                     fingerprint_mode: str = "auto",
+                     transform=None) -> dict:
     """Extract ``docs`` to ``out_dir`` (parquet, partitioned by
     part_id), resuming past completed buckets. Returns a summary dict.
 
@@ -165,6 +168,15 @@ def run_checkpointed(spark: SparkSession, docs: DataFrame, out_dir: str,
     part_id = pmod(xxhash64(doc_id), n_buckets) is stable but every
     bucket job must rescan the input (fine at sandbox scale; at 10^12
     docs always feed a partitioned table).
+
+    ``transform``: DataFrame -> DataFrame applied per bucket; defaults
+    to the extraction pipeline (flatten_output . extract_documents).
+    Passing e.g. ``ops.prepare.prepare_corpus`` makes the composed
+    clean/near-dedup/model program resumable the same way. NOTE:
+    any cross-document step inside the transform (near-dedup) then
+    runs WITHIN each bucket — the right semantics when partitions are
+    crawls/snapshots (the usual Iceberg layout); run a global pass
+    instead when duplicates straddle partitions.
 
     ``fingerprint_mode``: 'metadata' fingerprints each partition from
     its files' (path, size, mtime) — a listing, NO input scan, so a
@@ -230,8 +242,9 @@ def run_checkpointed(spark: SparkSession, docs: DataFrame, out_dir: str,
         try:
             bucket = bucketed.filter(
                 F.col("part_id") == part_id).drop("part_id")
-            out = flatten_output(extract_documents(bucket)) \
-                .withColumn("part_id", F.lit(part_id))
+            fn = transform if transform is not None else (
+                lambda d: flatten_output(extract_documents(d)))
+            out = fn(bucket).withColumn("part_id", F.lit(part_id))
             (out.write.mode("overwrite")
                 .partitionBy("part_id")
                 .parquet(out_dir))

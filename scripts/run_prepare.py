@@ -42,6 +42,14 @@ def main() -> None:
     ap.add_argument("--weights", default=None,
                     help=".npz quality-head artifact (see "
                          "spark.model_stage.save_weights)")
+    ap.add_argument("--checkpointed", action="store_true",
+                    help="resumable per-bucket run via manifest "
+                         "checkpoints (near-dedup then applies WITHIN "
+                         "each bucket)")
+    ap.add_argument("--part-col", default=None,
+                    help="input partition column for checkpointed "
+                         "runs (metadata fingerprints, pruned scans)")
+    ap.add_argument("--n-buckets", type=int, default=16)
     args = ap.parse_args()
 
     from pdf_table_spark.ops import dedup
@@ -54,13 +62,33 @@ def main() -> None:
         docs = docs.withColumnRenamed(args.text_col, "text")
     docs = docs.select("doc_id", "text")
 
+    def gate(d):
+        return prepare_corpus(
+            d, min_words=args.min_words,
+            min_stopword_hits=args.min_stopword_hits,
+            neardup_threshold=args.neardup_threshold,
+            max_df=args.max_df, max_bucket=args.max_bucket,
+            hash_fn=args.hash_fn, weights_path=args.weights)
+
     t0 = time.perf_counter()
-    out = prepare_corpus(
-        docs, min_words=args.min_words,
-        min_stopword_hits=args.min_stopword_hits,
-        neardup_threshold=args.neardup_threshold,
-        max_df=args.max_df, max_bucket=args.max_bucket,
-        hash_fn=args.hash_fn, weights_path=args.weights)
+    if args.checkpointed:
+        from pdf_table_spark.spark.checkpoint import run_checkpointed
+        summary = run_checkpointed(
+            spark, docs, args.output, n_buckets=args.n_buckets,
+            part_col=args.part_col, transform=gate)
+        wall = time.perf_counter() - t0
+        dedup.release_caches()
+        print(json.dumps({
+            "metric": "prepare_corpus_wall", "value": round(wall, 3),
+            "unit": "sec", "checkpointed": True,
+            "done": len(summary["done"]),
+            "skipped": len(summary["skipped"]),
+            "failed": len(summary["failed"]),
+        }))
+        spark.stop()
+        return
+
+    out = gate(docs)
     (out.write.mode("overwrite").partitionBy("stage")
      .parquet(args.output))
     wall = time.perf_counter() - t0

@@ -224,3 +224,33 @@ def test_metadata_mode_rejects_non_hive_input(spark, docs, tmp_path):
     s2 = cp.run_checkpointed(spark, pdocs.drop("part_id"), out,
                              run_id="r2", part_col="day")
     assert not s2["done"] and len(s2["skipped"]) == 2
+
+
+def test_custom_transform_checkpointed(spark, tmp_path):
+    """run_checkpointed(transform=...) makes ANY program resumable —
+    here the composed corpus gate. Resume skips every bucket and the
+    per-bucket provenance frame lands under each part_id."""
+    from pdf_table_spark.ops import dedup
+    from pdf_table_spark.ops.prepare import prepare_corpus
+
+    rows = [(i, ("the quick brown fox jumps over the lazy dog and "
+                 "then the dog sleeps. " * 4) + f"unique tail {i}.")
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "prep")
+
+    def gate(d):
+        return prepare_corpus(d, min_words=10, min_stopword_hits=1,
+                              max_df=1000, max_bucket=1000)
+
+    s1 = run_checkpointed(spark, docs, out, n_buckets=3, run_id="p1",
+                          transform=gate)
+    assert len(s1["done"]) == 3 and not s1["failed"]
+    back = spark.read.parquet(out)
+    assert back.count() == 40                      # one row per doc
+    assert set(back.columns) >= {"doc_id", "stage", "kept", "part_id"}
+
+    s2 = run_checkpointed(spark, docs, out, n_buckets=3, run_id="p2",
+                          transform=gate)
+    assert not s2["done"] and len(s2["skipped"]) == 3
+    dedup.release_caches()
