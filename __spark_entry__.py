@@ -300,6 +300,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_ngram_jaccard(spark, sf_dir):
         return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), 0.5)
 
+    def _assemble(spark, sf_dir):
+        # the full assembly program on the raw (non-benchmark) corpus
+        # with 20 injected exact dups; src0 plays the eval suite.
+        # C4 off (min_sentences=0): the word-salad corpus has no
+        # sentence structure, and the C4 gate is oracled elsewhere.
+        d = _t(spark, sf_dir, "documents")
+        base = d.filter("source <> 'src0'").select(
+            "doc_id", "text", "source")
+        dups = (base.orderBy("doc_id").limit(20)
+                .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                        "text", "source"))
+        dedup.release_caches()
+        from pdf_table_spark.ops.prepare import assemble_training_set
+        return assemble_training_set(
+            base.unionByName(dups),
+            benchmark=d.filter("source = 'src0'"),
+            mixture={"src1": 2.0, "src2": 0.5},
+            min_words=10, min_stopword_hits=1, min_sentences=0,
+            neardup_threshold=0.5, max_df=20, max_bucket=10,
+            hash_fn="md5")
+
+    def q_assemble_provenance(spark, sf_dir):
+        return _assemble(spark, sf_dir)["provenance"]
+
+    def q_assemble_rows(spark, sf_dir):
+        return _assemble(spark, sf_dir)["assembled"]
+
     def q_resample_mixture(spark, sf_dir):
         # epoch-weighted mixture: 2.4 copies of src1, a quarter of
         # src2, src3 dropped, everything else 1 epoch
@@ -645,6 +672,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": q_corpus_clean,
         "span_dedup": q_span_dedup,
         "decontaminate": q_decontaminate,
+        "assemble_provenance": q_assemble_provenance,
+        "assemble_rows": q_assemble_rows,
         "resample_mixture": q_resample_mixture,
         "corpus_split": q_corpus_split,
         "stratified_sample": q_stratified_sample,
@@ -902,6 +931,123 @@ def _dk_prepare_sql() -> str:
                case when stage = 'kept'
                     then md5({redact('clean_text')}) end as clean_fp
         from final
+    """
+
+
+def _dk_assemble_sql(select: str) -> str:
+    """DuckDB twin of ``ops.prepare.assemble_training_set`` at the
+    driver query's knobs: injected-dup corpus (source <> src0) ->
+    exact-dup rank + Gopher(10,1) (C4 off via min_sentences=0) ->
+    capped near-dedup + recursive-CTE connected components (one
+    canonical per cluster) -> 13-gram decontamination vs src0 ->
+    mixture (src1 x2, src2 x0.5, default 1) -> 90/5/5 split.
+    ``select`` picks the final projection (provenance vs assembled
+    rows)."""
+    g = _dk_gates()
+    lines, gopher_sig = g["lines"], g["gopher_sig"]
+    pass_gopher = g["pass_gopher"]
+    dedup_cte = _dk_dedup_corpus_cte(0.5, 20, 10, src="survivors",
+                                     lead="")
+    grams = ("list_distinct(list_transform("
+             "generate_series(1, greatest(len(tk) - 12, 0)), "
+             "i -> md5(array_to_string(list_slice(tk, i, i + 12), "
+             "' '))))")
+    return f"""
+        with recursive corpus as (
+          select doc_id, source, text from documents
+          where source <> 'src0'
+          union all
+          select doc_id + 1000000 as doc_id, source, text from
+            (select * from documents where source <> 'src0'
+             order by doc_id limit 20)
+        ), ranked as (
+          select doc_id, source, text, row_number() over (
+            partition by md5(text) order by doc_id) as rn
+          from corpus
+        ), base as (
+          select doc_id, source, text, rn, {lines} as lines,
+                 {DK_TOKENS_CASED} as ws, {DK_TOKENS} as wsl
+          from ranked
+        ), gop as (
+          select doc_id, source, text, rn, lines, {gopher_sig}
+          from base
+        ), cstage as (
+          select doc_id, source, text,
+            case when rn > 1 then 'dup'
+                 when not {pass_gopher(10, 1)} then 'gopher'
+                 else 'kept' end as cst
+          from gop
+        ), survivors as (
+          select doc_id, text from cstage where cst = 'kept'
+        ), {dedup_cte}
+        , edges as (
+          select doc_a as u, doc_b as v from pairs
+          union select doc_b, doc_a from pairs
+        ), reach as (
+          select u as node, v as r from edges
+          union
+          select e.u, reach.r from edges e
+            join reach on reach.node = e.v
+        ), comp as (
+          select node as doc_id, least(node, min(r)) as component
+          from reach group by node
+        ), nddrop as (
+          select doc_id from comp where doc_id <> component
+        ), decon_in as (
+          select s.doc_id, s.text from survivors s
+            left join nddrop n using (doc_id)
+          where n.doc_id is null
+        ), tgrams as (
+          select doc_id, unnest({grams}) as gg
+          from (select doc_id,
+                  list_filter(string_split_regex(lower(text), '\\s+'),
+                              t -> t <> '') as tk
+                from decon_in)
+          where len(tk) >= 13
+        ), bgrams as (
+          select distinct unnest({grams}) as gg
+          from (select list_filter(string_split_regex(lower(text),
+                       '\\s+'), t -> t <> '') as tk
+                from documents where source = 'src0')
+          where len(tk) >= 13
+        ), cont as (
+          select distinct t.doc_id from tgrams t join bgrams using (gg)
+        ), final as (
+          select c.doc_id, c.source,
+            case when c.cst <> 'kept' then c.cst
+                 when n.doc_id is not null then 'neardup'
+                 when ct.doc_id is not null then 'contaminated'
+                 else 'kept' end as stage
+          from cstage c
+            left join nddrop n using (doc_id)
+            left join cont ct using (doc_id)
+        ), kept as (
+          select doc_id, source from final where stage = 'kept'
+        ), assembled as (
+          -- mixture AND split in one pass over kept: a second
+          -- reference to the recursive chain would re-execute it
+          select doc_id, source,
+                 unnest(generate_series(0, nc - 1)) as copy, split
+          from (select doc_id, source,
+                  cast(floor(wt) + (case when b < (wt - floor(wt))
+                       * 10000 then 1 else 0 end) as bigint) as nc,
+                  case when sb < 9000 then 'train'
+                       when sb < 9500 then 'val'
+                       else 'test' end as split
+                from (select doc_id, source,
+                        (case source when 'src1' then 2.0
+                                     when 'src2' then 0.5
+                                     else 1.0 end) as wt,
+                        cast('0x' || substr(md5(cast(doc_id as varchar)
+                             || 'assemble-v1-mix'), 1, 15) as bigint)
+                          % 10000 as b,
+                        cast('0x' || substr(md5(cast(doc_id as varchar)
+                             || 'assemble-v1-split'), 1, 15) as bigint)
+                          % 10000 as sb
+                      from kept))
+          where nc >= 1
+        )
+        {select}
     """
 
 
@@ -1792,6 +1938,10 @@ cast(case when len(top) = 0 then 400
             )
             select doc_id, component from comp
         """,
+        "assemble_provenance": _dk_assemble_sql(
+            "select doc_id, stage, stage = 'kept' as kept from final"),
+        "assemble_rows": _dk_assemble_sql(
+            "select doc_id, source, copy, split from assembled"),
         "resample_mixture": """
             with w as (
               select doc_id, source,

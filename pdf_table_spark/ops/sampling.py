@@ -158,8 +158,11 @@ def resample_mixture(docs: DataFrame,
     """
     if any(w < 0 for w in weights.values()) or default < 0:
         raise ValueError("mixture weights must be >= 0")
-    wexpr = (f"coalesce(map({', '.join(repr(x) for kv in weights.items() for x in kv)})"
-             f"[{source_col}], cast({default} as double))")
+    if weights:
+        wexpr = (f"coalesce(map({', '.join(repr(x) for kv in weights.items() for x in kv)})"
+                 f"[{source_col}], cast({default} as double))")
+    else:   # map() has no value type — empty weights mean default-only
+        wexpr = f"cast({default} as double)"
     return (docs
             .withColumn("_w", F.expr(wexpr))
             .withColumn("_b", F.expr(_bucket_expr(seed)))

@@ -1,0 +1,79 @@
+"""assemble_training_set: the composed assembly program — stage
+priority, decontamination gating, mixture/split composition."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_table_spark.ops import dedup
+from pdf_table_spark.ops.prepare import assemble_training_set
+
+def _body(i):
+    # mostly-unique body (passes Gopher: stopwords + enough words)
+    salad = " ".join(f"item{i}word{j}" for j in range(25))
+    return f"the report {i} covers {salad} and the totals match."
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(i, _body(i), "web") for i in range(30)]
+    rows.append((100, _body(0), "web"))            # exact dup of 0
+    rows.append((101, _body(0).replace("item0word7", "changed"),
+                 "web"))                           # near-dup of 0
+    rows.append((102, "short", "web"))             # fails gopher
+    rows.append((103, _body(31) + " leaked " + " ".join(
+        f"b{j}" for j in range(13)), "web"))       # contaminated
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+
+
+@pytest.fixture(scope="module")
+def bench(spark):
+    return spark.createDataFrame(
+        [(900, " ".join(f"b{j}" for j in range(13)))],
+        "doc_id long, text string")
+
+
+def test_stage_priority_and_keep(spark, corpus, bench):
+    out = assemble_training_set(
+        corpus, benchmark=bench, min_words=10, min_stopword_hits=1,
+        min_sentences=0, neardup_threshold=0.8, max_df=1000,
+        max_bucket=1000)
+    st = {r.doc_id: r.stage for r in out["provenance"].collect()}
+    assert st[100] == "dup"
+    assert st[101] == "neardup"
+    assert st[102] == "gopher"
+    assert st[103] == "contaminated"
+    assert st[0] == "kept" and st[7] == "kept"
+    # assembled rows: only kept docs, each with a split, default 1 copy
+    rows = out["assembled"].collect()
+    kept_ids = {d for d, s in st.items() if s == "kept"}
+    assert {r.doc_id for r in rows} == kept_ids
+    assert all(r.copy == 0 for r in rows)
+    assert all(r.split in ("train", "val", "test") for r in rows)
+    dedup.release_caches()
+
+
+def test_no_benchmark_skips_decontamination(spark, corpus):
+    out = assemble_training_set(
+        corpus, benchmark=None, min_words=10, min_stopword_hits=1,
+        min_sentences=0, neardup_threshold=0.8, max_df=1000,
+        max_bucket=1000)
+    st = {r.doc_id: r.stage for r in out["provenance"].collect()}
+    assert st[103] == "kept"          # nothing to leak against
+    assert "contaminated" not in st.values()
+    dedup.release_caches()
+
+
+def test_mixture_multiplies_assembled_rows(spark, corpus, bench):
+    out = assemble_training_set(
+        corpus, benchmark=bench, mixture={"web": 2.0},
+        min_words=10, min_stopword_hits=1, min_sentences=0,
+        neardup_threshold=0.8, max_df=1000, max_bucket=1000)
+    a = out["assembled"]
+    n_kept = out["provenance"].filter("kept").count()
+    assert a.count() == 2 * n_kept
+    # both copies of a doc share one split (split is per-doc)
+    assert (a.groupBy("doc_id")
+            .agg(F.countDistinct("split").alias("n"))
+            .filter("n > 1").count()) == 0
+    dedup.release_caches()
