@@ -488,8 +488,9 @@ def connected_components(pairs: DataFrame, a: str = "doc_a",
     xxhash64(u,v)): a 2^-64 collision risk, traded against re-scanning
     the edge set with exceptAll every round at 10^12-doc scale.
     """
-    e = (pairs.select(F.col(a).cast("long").alias("u"),
-                      F.col(b).cast("long").alias("v"))
+    # any orderable id type works — the star steps only need
+    # least/greatest/min over the ids (bigint corpora AND string ids)
+    e = (pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
          .filter(F.col("u") != F.col("v")).distinct()
          .localCheckpoint())
     prev_sig = None

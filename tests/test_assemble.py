@@ -77,3 +77,28 @@ def test_mixture_multiplies_assembled_rows(spark, corpus, bench):
             .agg(F.countDistinct("split").alias("n"))
             .filter("n > 1").count()) == 0
     dedup.release_caches()
+
+
+def test_extraction_feeds_assembly_end_to_end(spark, fixture_root):
+    """The two tiers compose: span extraction (api.document_text) ->
+    the assembly program — the full path from an interleaved spans
+    corpus to loader-ready (doc_id, copy, split) rows."""
+    import os
+    from pdf_table_spark.api import document_text
+
+    docs = document_text(
+        spark, os.path.join(fixture_root, "sf0.001",
+                            "documents_spans.parquet"))
+    docs = docs.withColumn("source", F.lit("fixtures"))
+    out = assemble_training_set(
+        docs, benchmark=None, min_words=5, min_stopword_hits=0,
+        min_sentences=0, neardup_threshold=0.9, max_df=1000,
+        max_bucket=1000)
+    prov = out["provenance"]
+    assert prov.count() == docs.count()            # one row per doc
+    kept = prov.filter("kept").count()
+    assert kept > 0
+    a = out["assembled"]
+    assert a.count() == kept                       # default 1 copy
+    assert a.filter("split not in ('train','val','test')").count() == 0
+    dedup.release_caches()
