@@ -335,6 +335,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             {"src1": 2.4, "src2": 0.25, "src3": 0.0}
         ).select("doc_id", "source", "copy")
 
+    def q_top_ngrams(spark, sf_dir):
+        return text.top_ngrams(_t(spark, sf_dir, "documents"), 2, 20)
+
     def q_corpus_split(spark, sf_dir):
         return sampling.split_corpus(_t(spark, sf_dir, "documents"))
 
@@ -675,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assemble_provenance": q_assemble_provenance,
         "assemble_rows": q_assemble_rows,
         "resample_mixture": q_resample_mixture,
+        "top_ngrams": q_top_ngrams,
         "corpus_split": q_corpus_split,
         "stratified_sample": q_stratified_sample,
         "pack_chunks": q_pack_chunks,
@@ -1961,6 +1965,24 @@ cast(case when len(top) = 0 then 400
             select doc_id, source,
                    unnest(generate_series(0, nc - 1)) as copy
             from n where nc >= 1
+        """,
+        "top_ngrams": """
+            with toks as (
+              select doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 t -> t <> '') as tk
+              from documents
+            ), grams as (
+              select doc_id, unnest(list_transform(
+                       generate_series(1, greatest(len(tk) - 1, 0)),
+                       i -> array_to_string(
+                              list_slice(tk, i, i + 1), ' '))) as gram
+              from toks where len(tk) >= 2
+            )
+            select gram, count(*) as occurrences,
+                   count(distinct doc_id) as n_docs
+            from grams group by gram
+            order by occurrences desc, gram asc limit 20
         """,
         "corpus_split": """
             select doc_id,

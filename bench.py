@@ -52,6 +52,7 @@ HEADLINE = [
     "corpus_clean",         # composed dedup→gopher→c4→pii gate
     "span_dedup",
     "decontaminate",
+    "top_ngrams",
     "corpus_split",
     "resample_mixture",
     "pack_chunks",           # C4 cross-doc 3-sentence-span dedup

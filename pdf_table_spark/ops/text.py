@@ -279,3 +279,28 @@ def corpus_stats(docs: DataFrame) -> DataFrame:
         F.max("n_tokens").alias("max_tokens"),
         (F.sum("n_tokens") / F.count("*")).alias("mean_tokens"),
     )
+
+
+def top_ngrams(docs: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
+    """Corpus-wide heavy hitters: the ``k`` most frequent lowercase
+    token ``n``-grams, with total occurrences and how many docs
+    contain each. The dataset-card / contamination-triage query.
+
+    Shape: explode grams (narrow) → ONE partial-aggregating groupBy on
+    the gram string → global top-k via TakeOrderedAndProject (no full
+    sort). Ties break on the gram string so the result is total-
+    ordered and rerun-stable.
+    """
+    toks = "filter(split(lower(text), '\\\\s+'), t -> t <> '')"
+    grams = (docs
+             .select("doc_id", F.expr(toks).alias("tk"))
+             .select("doc_id", F.explode(F.expr(
+                 f"if(size(tk) < {n}, cast(array() as array<string>), "
+                 f"transform(sequence(1, size(tk) - {n - 1}), "
+                 f"i -> array_join(slice(tk, i, {n}), ' ')))"
+             )).alias("gram")))
+    return (grams.groupBy("gram")
+            .agg(F.count("*").alias("occurrences"),
+                 F.countDistinct("doc_id").alias("n_docs"))
+            .orderBy(F.desc("occurrences"), F.asc("gram"))
+            .limit(k))

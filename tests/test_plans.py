@@ -221,3 +221,8 @@ class TestComposedPlans:
         # and it must sit downstream of the bucket aggregate
         singles = plan.count("Exchange SinglePartition")
         assert singles <= 1
+
+    def test_top_ngrams_is_topk_not_global_sort(self, spark, queries):
+        plan = plan_of(queries["top_ngrams"](spark, SF_DIR))
+        assert "TakeOrderedAndProject" in plan
+        assert n_nodes(plan, "Sort") == 0      # no full corpus sort
