@@ -335,6 +335,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             {"src1": 2.4, "src2": 0.25, "src3": 0.0}
         ).select("doc_id", "source", "copy")
 
+    def q_token_budget(spark, sf_dir):
+        # best docs (by n_chars) until a 10k-token budget
+        return sampling.select_token_budget(
+            _t(spark, sf_dir, "documents"), 10_000,
+            score_col="n_chars")
+
     def q_top_ngrams(spark, sf_dir):
         return text.top_ngrams(_t(spark, sf_dir, "documents"), 2, 20)
 
@@ -678,6 +684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assemble_provenance": q_assemble_provenance,
         "assemble_rows": q_assemble_rows,
         "resample_mixture": q_resample_mixture,
+        "token_budget": q_token_budget,
         "top_ngrams": q_top_ngrams,
         "corpus_split": q_corpus_split,
         "stratified_sample": q_stratified_sample,
@@ -1965,6 +1972,24 @@ cast(case when len(top) = 0 then 400
             select doc_id, source,
                    unnest(generate_series(0, nc - 1)) as copy
             from n where nc >= 1
+        """,
+        "token_budget": r"""
+            with t as (
+              select doc_id, cast(n_chars as double) as score,
+                     cast(len(list_filter(string_split_regex(
+                       lower(text), '\s+'), x -> x <> '')) as bigint)
+                       as n_tok
+              from documents
+            ), o as (
+              select doc_id, score, n_tok,
+                     cast(coalesce(sum(n_tok) over (
+                       order by score desc, doc_id asc
+                       rows between unbounded preceding and 1
+                       preceding), 0) as bigint) as cum_before
+              from t
+            )
+            select doc_id, score, n_tok, cum_before
+            from o where cum_before + n_tok <= 10000
         """,
         "top_ngrams": """
             with toks as (

@@ -53,6 +53,7 @@ HEADLINE = [
     "span_dedup",
     "decontaminate",
     "top_ngrams",
+    "token_budget",
     "corpus_split",
     "resample_mixture",
     "pack_chunks",           # C4 cross-doc 3-sentence-span dedup

@@ -202,3 +202,59 @@ def write_shards(df: DataFrame, path: str, n_shards: int,
     counts = {int(r.shard): r["count"] for r in
               spark.read.parquet(path).groupBy("shard").count().collect()}
     return {"path": path, "n_shards": n_shards, "counts": counts}
+
+
+def select_token_budget(docs: DataFrame, budget: int,
+                        score_col: str = "score",
+                        n_buckets: int = 256) -> DataFrame:
+    """Budgeted subset selection: lay whole documents end-to-end in
+    descending ``score_col`` order and keep every doc that fits
+    entirely inside the first ``budget`` tokens — the fine-tuning-set
+    / data-budget op ("best docs until N tokens"). A doc too large for
+    the remaining gap is skipped but later smaller docs that still fit
+    are kept (the filter is per-doc, not a prefix stop).
+
+    Needs an exact prefix sum over the (score desc, doc_id) total
+    order. Same two-pass distributed scheme as ``pack_chunks``, but the
+    range buckets come from driver-side approximate score quantiles
+    (the bucketing only shapes parallelism — the prefix sum, and
+    therefore the selected set, is exact regardless of boundaries;
+    score ties always share a bucket, and the (score desc, doc_id)
+    tie-break makes the result total-ordered and rerun-stable).
+
+    Returns (doc_id, score, n_tok, cum_before) for the selected docs.
+    """
+    toks = "size(filter(split(lower(text), '\\\\s+'), t -> t <> ''))"
+    counted = docs.select(
+        "doc_id", F.col(score_col).cast("double").alias("score"),
+        F.expr(toks).cast("long").alias("n_tok"))
+
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(set(counted.stat.approxQuantile("score", qs, 0.001)),
+                    reverse=True)
+    if bounds:
+        arr = ", ".join(f"cast({b!r} as double)" for b in bounds)
+        # bucket 0 = highest scores; equal scores -> equal bucket
+        bucket = F.expr(
+            f"size(filter(array({arr}), b -> b > score))")
+    else:
+        bucket = F.lit(0)
+    counted = counted.withColumn("bucket", bucket)
+
+    w_b = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1)
+    bases = (counted.groupBy("bucket").agg(F.sum("n_tok").alias("t"))
+             .select("bucket",
+                     F.coalesce(F.sum("t").over(w_b), F.lit(0))
+                     .alias("base")))
+    w_i = (Window.partitionBy("bucket")
+           .orderBy(F.desc("score"), F.asc("doc_id"))
+           .rowsBetween(Window.unboundedPreceding, -1))
+    return (counted
+            .join(F.broadcast(bases), "bucket")
+            .select("doc_id", "score", "n_tok",
+                    (F.col("base")
+                     + F.coalesce(F.sum("n_tok").over(w_i), F.lit(0)))
+                    .alias("cum_before"))
+            .filter(F.col("cum_before") + F.col("n_tok")
+                    <= F.lit(int(budget))))

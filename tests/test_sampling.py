@@ -133,3 +133,31 @@ def test_write_shards_balanced_and_idempotent(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 1000
     assert back.select("doc_id").distinct().count() == 1000
+
+
+def test_select_token_budget_greedy_exact(spark):
+    from pdf_table_spark.ops.sampling import select_token_budget
+    # scores with ties; token counts chosen so the budget cuts inside
+    # a tie group
+    rows = [(i, " ".join("w" for _ in range(10 + i % 3)),
+             float([5, 9, 9, 7, 9, 3][i % 6])) for i in range(60)]
+    docs = spark.createDataFrame(rows,
+                                 "doc_id long, text string, score double")
+    budget = 333
+    got = {r.doc_id for r in
+           select_token_budget(docs, budget, n_buckets=4).collect()}
+    # driver-side greedy over (score desc, doc_id asc)
+    ordered = sorted(rows, key=lambda r: (-r[2], r[0]))
+    cum, want = 0, set()
+    for d, t, s in ordered:
+        n = len(t.split())
+        if cum + n <= budget:
+            want.add(d)
+        cum += n
+    assert got == want and len(got) > 0
+    # cum_before is the exact global prefix sum
+    sel = select_token_budget(docs, budget, n_buckets=4).collect()
+    for r in sel:
+        before = sum(len(t.split()) for d, t, s in ordered
+                     if (-s, d) < (-r.score, r.doc_id))
+        assert r.cum_before == before
