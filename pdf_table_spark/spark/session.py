@@ -26,13 +26,21 @@ ARROW_BATCH_ROWS = 1024
 def build_session(app: str = "pdf_table_spark", master: str | None = None,
                   shuffle_partitions: int | None = None) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # precedence: explicit arg > spark-submit --master > local[cpus].
+    # Under spark-submit the PythonRunner pre-creates the JVM gateway
+    # (PYSPARK_GATEWAY_PORT is set) and its conf already carries
+    # --master; calling .master() here would silently discard it
+    # (run_prepare/run_assemble ran at local[32] whatever was asked).
+    submitted = master is None and "PYSPARK_GATEWAY_PORT" in os.environ
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
         n = cpus * 2 if master.startswith("local") else 256
     else:
         n = shuffle_partitions
+    b = SparkSession.builder if submitted \
+        else SparkSession.builder.master(master)
     return (
-        SparkSession.builder.master(master)
+        b
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(n))
         .config("spark.sql.adaptive.enabled", "true")
