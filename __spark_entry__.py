@@ -335,6 +335,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             {"src1": 2.4, "src2": 0.25, "src3": 0.0}
         ).select("doc_id", "source", "copy")
 
+    def _semdedup(spark, sf_dir):
+        # 0.45: the synthetic embeddings' top pairs sit at cosine
+        # ~0.45-0.51 (no planted 0.95 dups), so this exercises the
+        # cluster path; the oracle mirrors the same OR-of-bands
+        # computation, so the pair set matches exactly either way
+        return similarity.semdedup(_t(spark, sf_dir, "embeddings"),
+                                   threshold=0.45)
+
+    def q_semdedup_assign(spark, sf_dir):
+        return _semdedup(spark, sf_dir)["components"]
+
+    def q_semdedup_keep(spark, sf_dir):
+        return _semdedup(spark, sf_dir)["keep"]
+
     def q_token_budget(spark, sf_dir):
         # best docs (by n_chars) until a 10k-token budget
         return sampling.select_token_budget(
@@ -684,6 +698,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assemble_provenance": q_assemble_provenance,
         "assemble_rows": q_assemble_rows,
         "resample_mixture": q_resample_mixture,
+        "semdedup_assign": q_semdedup_assign,
+        "semdedup_keep": q_semdedup_keep,
         "token_budget": q_token_budget,
         "top_ngrams": q_top_ngrams,
         "corpus_split": q_corpus_split,
@@ -1186,15 +1202,17 @@ def _dk_band_key_expr(dim: int, band: int, rows_per_band: int,
 
 
 def _dk_neardup_sql(threshold: float = 0.95, dim: int = 64,
-                    bands: int = 6, rows_per_band: int = 8) -> str:
+                    bands: int = 6, rows_per_band: int = 8,
+                    as_cte: bool = False) -> str:
+    """``as_cte`` wraps the final select in a ``pairs`` CTE (with a
+    ``with recursive`` lead) so callers can append the connected-
+    components reachability CTEs (semdedup)."""
     band_rows = " union all ".join(
         f"select vec_id, emb, {b} as band, "
         f"{_dk_band_key_expr(dim, b, rows_per_band)} as key from base"
         for b in range(bands))
-    return f"""
-        with base as (
-          select vec_id, embedding::DOUBLE[] as emb from embeddings
-        ), banded as ({band_rows})
+    lead = "with recursive " if as_cte else "with "
+    inner = f"""
         select distinct a.vec_id as vec_a, b.vec_id as vec_b,
                round(list_dot_product(a.emb, b.emb) /
                      (sqrt(list_dot_product(a.emb, a.emb)) *
@@ -1205,6 +1223,13 @@ def _dk_neardup_sql(threshold: float = 0.95, dim: int = 64,
                     (sqrt(list_dot_product(a.emb, a.emb)) *
                      sqrt(list_dot_product(b.emb, b.emb))), 9) >= {threshold}
     """
+    ctes = f"""
+        {lead}base as (
+          select vec_id, embedding::DOUBLE[] as emb from embeddings
+        ), banded as ({band_rows})"""
+    if as_cte:
+        return ctes + f", pairs as ({inner})"
+    return ctes + inner
 
 
 def _dk_layout_scores_sql(spans_rel: str) -> str:
@@ -2277,6 +2302,38 @@ cast(case when len(top) = 0 then 400
             from chunks where chunk_idx * 30.0 < dur
         """,
         "embedding_neardup": _dk_neardup_sql(),
+        "semdedup_assign": _dk_neardup_sql(0.45, as_cte=True) + """
+            , edges as (
+              select vec_a as u, vec_b as v from pairs
+              union select vec_b, vec_a from pairs
+            ), reach as (
+              select u as node, v as r from edges
+              union
+              select e.u, reach.r from edges e
+                join reach on reach.node = e.v
+            ), comp as (
+              select node as vec_id, least(node, min(r)) as component
+              from reach group by node
+            )
+            select vec_id, component from comp
+        """,
+        "semdedup_keep": _dk_neardup_sql(0.45, as_cte=True) + """
+            , edges as (
+              select vec_a as u, vec_b as v from pairs
+              union select vec_b, vec_a from pairs
+            ), reach as (
+              select u as node, v as r from edges
+              union
+              select e.u, reach.r from edges e
+                join reach on reach.node = e.v
+            ), comp as (
+              select node as vec_id, least(node, min(r)) as component
+              from reach group by node
+            )
+            select e.vec_id from embeddings e
+              left join comp on e.vec_id = comp.vec_id
+            where comp.vec_id is null or comp.vec_id = comp.component
+        """,
         "media_features": f"""
             with refs as (
               select distinct s.media_ref as media_ref

@@ -271,3 +271,28 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
         .filter(F.col("cosine") >= threshold)
         .distinct()
     )
+
+
+def semdedup(emb: DataFrame, threshold: float = 0.95, dim: int = 64,
+             bands: int = NEARDUP_BANDS,
+             rows_per_band: int = NEARDUP_ROWS) -> dict:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): embedding-
+    cosine near-dup pairs (OR-of-bands LSH, measured recall ≥0.9) →
+    connected components → keep exactly one vector (the minimum
+    vec_id) per semantic-duplicate cluster. The embedding-space
+    counterpart of ``dedup.dedup_corpus_clusters``: pairwise drops
+    split chains, components don't.
+
+    Returns {"pairs": (vec_a, vec_b, cosine), "components":
+    (vec_id, component), "keep": surviving vec_ids}.
+    """
+    from .dedup import connected_components
+
+    pairs = embedding_neardup_pairs(emb, threshold, dim, bands,
+                                    rows_per_band)
+    comp = (connected_components(pairs, a="vec_a", b="vec_b")
+            .withColumnsRenamed({"doc_id": "vec_id"}))
+    dropped = (comp.filter(F.col("vec_id") != F.col("component"))
+               .select("vec_id"))
+    keep = emb.join(dropped, "vec_id", "left_anti").select("vec_id")
+    return {"pairs": pairs, "components": comp, "keep": keep}

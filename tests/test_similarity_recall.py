@@ -116,3 +116,30 @@ def test_ann_ivf_search_space_shrinks(planted):
     # any 4 cells cover well under the whole corpus
     top4 = sum(sorted(sizes.values(), reverse=True)[:4])
     assert top4 < len(arr)
+
+
+def test_semdedup_keeps_one_per_embedding_cluster(spark):
+    """Planted identical/near-identical vectors collapse to one
+    canonical vec_id; unrelated vectors all survive."""
+    import random
+
+    from pdf_table_spark.ops.similarity import semdedup
+    rng = random.Random(7)
+    dim = 64
+
+    def vec(seed=None):
+        r = random.Random(seed) if seed is not None else rng
+        return [r.uniform(-1, 1) for _ in range(dim)]
+
+    base = vec(1)
+    near = list(base)
+    near[0] += 1e-4          # cosine ~1.0 with base
+    rows = [(0, base), (1, near), (2, list(base))]   # cluster {0,1,2}
+    rows += [(10 + i, vec()) for i in range(20)]     # unrelated
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    out = semdedup(emb, threshold=0.99)
+    comp = {r.vec_id: r.component for r in out["components"].collect()}
+    assert comp == {0: 0, 1: 0, 2: 0}
+    kept = {r.vec_id for r in out["keep"].collect()}
+    assert kept == {0} | {10 + i for i in range(20)}
