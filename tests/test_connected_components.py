@@ -75,3 +75,13 @@ def test_cluster_keep_keeps_one_per_chain(spark):
     assert kept == {1} | {100 + i for i in range(5)}
     from pdf_table_spark.ops.dedup import release_caches
     release_caches()
+
+
+def test_empty_pair_list(spark):
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(empty).count() == 0
+
+
+def test_self_loops_only(spark):
+    pairs = _pairs(spark, [(7, 7)])
+    assert connected_components(pairs).count() == 0

@@ -161,3 +161,14 @@ def test_select_token_budget_greedy_exact(spark):
         before = sum(len(t.split()) for d, t, s in ordered
                      if (-s, d) < (-r.score, r.doc_id))
         assert r.cum_before == before
+
+
+def test_empty_corpus_everywhere(spark):
+    from pdf_table_spark.ops.sampling import select_token_budget
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, "
+            "score double")
+    assert split_corpus(empty).count() == 0
+    assert sample_stratified(empty, {"en": 1.0}).count() == 0
+    assert resample_mixture(empty, {"a": 2.0}).count() == 0
+    assert select_token_budget(empty, 100).count() == 0
