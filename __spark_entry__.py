@@ -355,6 +355,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf_dir, "documents"), 10_000,
             score_col="n_chars")
 
+    def q_corpus_diff(spark, sf_dir):
+        # old = the corpus; new = drop doc_id%50==0, perturb %50==1
+        d = _t(spark, sf_dir, "documents")
+        new = (d.filter("doc_id % 50 != 0")
+               .selectExpr("doc_id",
+                           "if(doc_id % 50 = 1, concat(text, ' v2'), "
+                           "text) as text"))
+        return text.corpus_diff(d, new)
+
     def q_top_ngrams(spark, sf_dir):
         return text.top_ngrams(_t(spark, sf_dir, "documents"), 2, 20)
 
@@ -701,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_assign": q_semdedup_assign,
         "semdedup_keep": q_semdedup_keep,
         "token_budget": q_token_budget,
+        "corpus_diff": q_corpus_diff,
         "top_ngrams": q_top_ngrams,
         "corpus_split": q_corpus_split,
         "stratified_sample": q_stratified_sample,
@@ -2015,6 +2025,30 @@ cast(case when len(top) = 0 then 400
             )
             select doc_id, score, n_tok, cum_before
             from o where cum_before + n_tok <= 10000
+        """,
+        "corpus_diff": """
+            with fp as (
+              select doc_id, md5(array_to_string(list_filter(
+                string_split_regex(lower(text), '\\s+'),
+                t -> t <> ''), ' ')) as f
+              from documents
+            ), newdocs as (
+              select doc_id,
+                     case when doc_id % 50 = 1 then text || ' v2'
+                          else text end as text
+              from documents where doc_id % 50 != 0
+            ), nfp as (
+              select doc_id, md5(array_to_string(list_filter(
+                string_split_regex(lower(text), '\\s+'),
+                t -> t <> ''), ' ')) as f
+              from newdocs
+            )
+            select coalesce(a.doc_id, b.doc_id) as doc_id,
+                   case when a.doc_id is null then 'added'
+                        when b.doc_id is null then 'removed'
+                        when a.f <> b.f then 'changed'
+                        else 'unchanged' end as status
+            from fp a full outer join nfp b on a.doc_id = b.doc_id
         """,
         "top_ngrams": """
             with toks as (

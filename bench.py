@@ -53,6 +53,7 @@ HEADLINE = [
     "span_dedup",
     "decontaminate",
     "top_ngrams",
+    "corpus_diff",
     "token_budget",
     "corpus_split",
     "resample_mixture",

@@ -304,3 +304,24 @@ def top_ngrams(docs: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
                  F.countDistinct("doc_id").alias("n_docs"))
             .orderBy(F.desc("occurrences"), F.asc("gram"))
             .limit(k))
+
+
+def corpus_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Version diff between two corpus snapshots (crawls): per doc_id,
+    status ∈ added | removed | changed | unchanged, by comparing
+    normalized content fingerprints. The audit query run before
+    re-training on a refreshed corpus ("what actually moved?").
+
+    One fingerprint projection per side + one full outer join on
+    doc_id — both sides reduce to (id, 32-byte hash) before any
+    shuffle, so the join never moves text.
+    """
+    a = fingerprint(old).withColumnRenamed("fingerprint", "old_fp")
+    b = fingerprint(new).withColumnRenamed("fingerprint", "new_fp")
+    return (a.join(b, "doc_id", "full_outer")
+            .select("doc_id", F.when(F.col("old_fp").isNull(),
+                                     F.lit("added"))
+                    .when(F.col("new_fp").isNull(), F.lit("removed"))
+                    .when(F.col("old_fp") != F.col("new_fp"),
+                          F.lit("changed"))
+                    .otherwise(F.lit("unchanged")).alias("status")))
