@@ -42,11 +42,19 @@ def clean_docs_stream(docs: DataFrame,
                       max_words: int = 100_000,
                       min_sentences: int = 3,
                       min_stopword_hits: int = 2,
-                      line_sep: str = "\\n") -> DataFrame:
+                      line_sep: str = "\\n",
+                      benchmark: DataFrame | None = None,
+                      ngram_n: int = 13) -> DataFrame:
     """Transform a streaming ``documents(doc_id, text, <ts_col>)``
     DataFrame into the cleaned stream: one row per first-seen doc with
     (doc_id, <ts_col>, stage, kept, clean_fp). Pure transformation —
     attach any source/sink; append output mode.
+
+    ``benchmark`` (a STATIC DataFrame of eval docs) adds the GPT-3
+    13-gram decontamination gate to the stream: the bench side reduces
+    to a broadcast set of gram hashes once, and each micro-batch
+    checks its docs against it statelessly (stream-static join —
+    no streaming state beyond the dedup horizon).
     """
     deduped = (
         docs.select("doc_id", ts_col, "text",
@@ -58,9 +66,46 @@ def clean_docs_stream(docs: DataFrame,
         deduped, min_words, max_words, 3.0, 10.0, 0.1, 0.9, 0.3, 0.8,
         min_stopword_hits, line_sep)
     staged = _with_c4(staged, 5, min_sentences, line_sep)
+    if benchmark is not None:
+        # a stream-side explode+groupBy would be a STATEFUL streaming
+        # aggregation (wrong for append mode); instead the bench gram
+        # set is collected once (eval suites are small next to a
+        # corpus), broadcast, and probed per row: the JVM computes the
+        # doc's gram-hash array, python does set membership only —
+        # stateless, so the only streaming state stays the dedup
+        # horizon.
+        from pyspark.sql.functions import pandas_udf
+
+        from ..ops.textfilters import _ngram_hash_rows
+        bench_hashes = {r.g for r in _ngram_hash_rows(benchmark,
+                                                      ngram_n)
+                        .select("g").distinct().collect()}
+        bc = docs.sparkSession.sparkContext.broadcast(bench_hashes)
+
+        @pandas_udf("boolean")
+        def _leaks(gs):
+            s = bc.value
+            return gs.apply(
+                lambda arr: arr is not None
+                and any(g in s for g in arr))
+
+        toks = ("filter(split(lower(text), '\\\\s+'), "
+                "t -> t <> '')")
+        grams = (f"array_distinct(transform(sequence(1, "
+                 f"size({toks}) - {ngram_n - 1}), "
+                 f"i -> md5(array_join(slice({toks}, i, {ngram_n}), "
+                 f"' '))))")
+        staged = staged.withColumn(
+            "contaminated",
+            _leaks(F.expr(
+                f"if(size({toks}) < {ngram_n}, "
+                f"cast(array() as array<string>), {grams})")))
+    else:
+        staged = staged.withColumn("contaminated", F.lit(False))
     stage = (
         F.when(~F.col("pass_gopher"), F.lit("gopher"))
         .when(~F.col("keep_c4"), F.lit("c4"))
+        .when(F.col("contaminated"), F.lit("contaminated"))
         .otherwise(F.lit("kept"))
     )
     return staged.select(
@@ -77,7 +122,8 @@ def clean_stream(spark: SparkSession, input_dir: str, output_dir: str,
                  checkpoint_dir: str,
                  dedup_horizon: str = "1 hour",
                  min_words: int = 50,
-                 min_stopword_hits: int = 2) -> None:
+                 min_stopword_hits: int = 2,
+                 benchmark: DataFrame | None = None) -> None:
     """File-source runner: discover new corpus parquet files, push them
     through the streaming gate, append survivors to ``output_dir``.
     Exactly-once per file via the source offset log in
@@ -88,7 +134,7 @@ def clean_stream(spark: SparkSession, input_dir: str, output_dir: str,
     stream = spark.readStream.schema(DOCS_SCHEMA).parquet(input_dir)
     cleaned = clean_docs_stream(
         stream, dedup_horizon=dedup_horizon, min_words=min_words,
-        min_stopword_hits=min_stopword_hits)
+        min_stopword_hits=min_stopword_hits, benchmark=benchmark)
     q = (cleaned.writeStream.outputMode("append")
          .format("parquet").option("path", output_dir)
          .option("checkpointLocation", checkpoint_dir)

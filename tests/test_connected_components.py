@@ -85,3 +85,43 @@ def test_empty_pair_list(spark):
 def test_self_loops_only(spark):
     pairs = _pairs(spark, [(7, 7)])
     assert connected_components(pairs).count() == 0
+
+
+def test_random_graphs_match_union_find(spark):
+    """Large-star/small-star vs a driver-side union-find reference on
+    random graphs (fixed seeds): identical components every time."""
+    import random
+
+    def uf_components(n_nodes, edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # min-id per component for every node that appears in an edge
+        return {x: find(x) for x in parent}
+
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        n = 40
+        edges = [(rng.randrange(n), rng.randrange(n))
+                 for _ in range(35)]
+        edges = [(a, b) for a, b in edges if a != b]
+        raw = uf_components(n, edges)
+
+        def root(x):
+            while raw[x] != x:
+                x = raw[x]
+            return x
+
+        want = {k: root(k) for k in raw}
+        got = _comp_map(connected_components(_pairs(spark, edges)))
+        assert got == want, f"seed {seed}"

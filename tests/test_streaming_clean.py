@@ -117,3 +117,32 @@ def test_clean_docs_stream_matches_batch_gate_on_survivors(spark):
     for d in ("a_keep", "c_gopher", "e_c4"):
         assert stream_like[d]["stage"] == batch[d]["stage"]
         assert stream_like[d]["clean_fp"] == batch[d]["clean_fp"]
+
+
+def test_streaming_decontamination_gate(spark, dirs):
+    """A static benchmark set adds the 13-gram decontamination gate to
+    the stream: leaked docs are stage='contaminated', the probe is
+    stateless (only the dedup horizon keeps state), and a second batch
+    through the SAME checkpoint still applies it."""
+    from pdf_table_spark.streaming.clean import clean_stream
+    leak = " ".join(f"benchword{j}" for j in range(13))
+    bench = spark.createDataFrame([("b1", leak)],
+                                  "doc_id string, text string")
+    _write_docs(dirs["in"], "b1.parquet", [
+        ("d1", KEEP_TEXT, _ts(9, 0)),
+        ("d2", KEEP_TEXT + "\nalso " + leak + " appears here.",
+         _ts(9, 1)),
+    ])
+    clean_stream(spark, dirs["in"], dirs["out"], dirs["ckpt"],
+                 min_words=10, min_stopword_hits=1, benchmark=bench)
+    out = _read_out(dirs["out"])
+    assert out["d1"]["stage"] == "kept" and out["d1"]["kept"]
+    assert out["d2"]["stage"] == "contaminated" and not out["d2"]["kept"]
+
+    _write_docs(dirs["in"], "b2.parquet", [
+        ("d3", KEEP_TEXT + "\nmore " + leak + " leaked.", _ts(9, 5)),
+    ])
+    clean_stream(spark, dirs["in"], dirs["out"], dirs["ckpt"],
+                 min_words=10, min_stopword_hits=1, benchmark=bench)
+    out = _read_out(dirs["out"])
+    assert out["d3"]["stage"] == "contaminated"
