@@ -19,8 +19,8 @@ from pyspark.sql import functions as F
 _BUCKETS = 10_000
 
 
-def _bucket_expr(seed: str) -> str:
-    return (f"cast(conv(substring(md5(concat(cast(doc_id as string), "
+def _bucket_expr(seed: str, key: str = "doc_id") -> str:
+    return (f"cast(conv(substring(md5(concat(cast(`{key}` as string), "
             f"'{seed}')), 1, 15), 16, 10) as bigint) % {_BUCKETS}")
 
 
@@ -193,9 +193,9 @@ def write_shards(df: DataFrame, path: str, n_shards: int,
     """
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
-    bucket = _bucket_expr(seed).replace("doc_id", key)
     out = df.withColumn(
-        "shard", (F.expr(bucket) % n_shards).cast("int"))
+        "shard",
+        (F.expr(_bucket_expr(seed, key)) % n_shards).cast("int"))
     (out.repartition(n_shards, "shard")
         .write.mode("overwrite").partitionBy("shard").parquet(path))
     spark = df.sparkSession
