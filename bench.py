@@ -50,14 +50,14 @@ HEADLINE = [
     "text_normalize",
     "exact_dedup",
     "corpus_clean",         # composed dedup→gopher→c4→pii gate
-    "span_dedup",
-    "decontaminate",
+    "span_dedup",            # C4 cross-doc 3-sentence-span dedup
+    "decontaminate",         # GPT-3-style 13-gram eval-set overlap
     "top_ngrams",
     "corpus_diff",
     "token_budget",
     "corpus_split",
     "resample_mixture",
-    "pack_chunks",           # C4 cross-doc 3-sentence-span dedup
+    "pack_chunks",           # concat-and-chunk sequence packing
     "ngram_jaccard",
     "minhash_signatures",
     "minhash_lsh_pairs",

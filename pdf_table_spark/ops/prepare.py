@@ -32,6 +32,48 @@ from . import dedup
 from .textfilters import corpus_clean
 
 
+def _clean_survivors(docs: DataFrame, min_words: int,
+                     min_stopword_hits: int, min_sentences: int | None,
+                     line_sep: str = "\\n"):
+    """corpus_clean + the survivor subset, both persisted (the gate
+    columns and the survivor rows each feed 2-3 downstream consumers).
+    Registered with the dedup cache registry: one release_caches()
+    call frees the whole program's intermediates."""
+    kw = dict(min_words=min_words,
+              min_stopword_hits=min_stopword_hits, line_sep=line_sep)
+    if min_sentences is not None:
+        kw["min_sentences"] = min_sentences
+    cc = corpus_clean(docs, **kw).persist()
+    dedup._PERSISTED.append(cc)
+    survivors = (docs.join(cc.filter("kept").select("doc_id"),
+                           "doc_id").persist())
+    dedup._PERSISTED.append(survivors)
+    return cc, survivors
+
+
+def _staged_provenance(cc: DataFrame, drops, with_clean_fp: bool):
+    """First-failing-stage provenance: the clean gates' stage wins,
+    then each (stage_name, doc_ids) in ``drops`` in order, else
+    'kept'. Shared by prepare_corpus and assemble_training_set so the
+    when-chain/rename scaffolding exists once."""
+    out = cc
+    cond = F.when(F.col("stage") != "kept", F.col("stage"))
+    for i, (name, ids) in enumerate(drops):
+        flag = f"_d{i}"
+        out = out.join(ids.select("doc_id").distinct()
+                       .withColumn(flag, F.lit(True)), "doc_id", "left")
+        cond = cond.when(F.col(flag).isNotNull(), F.lit(name))
+    stage = cond.otherwise(F.lit("kept"))
+    cols = ["doc_id", stage.alias("final_stage"),
+            (stage == "kept").alias("final_kept")]
+    if with_clean_fp:
+        cols.append(F.when(stage == "kept", F.col("clean_fp"))
+                    .alias("clean_fp"))
+    return (out.select(*cols)
+            .withColumnsRenamed({"final_stage": "stage",
+                                 "final_kept": "kept"}))
+
+
 def prepare_corpus(docs: DataFrame,
                    min_words: int = 50,
                    min_stopword_hits: int = 2,
@@ -42,51 +84,23 @@ def prepare_corpus(docs: DataFrame,
                    weights_path: str | None = None,
                    line_sep: str = "\\n") -> DataFrame:
     """documents(doc_id, text) → (doc_id, stage, kept, clean_fp)."""
-    # the gate columns are evaluated by three consumers (survivor ids,
-    # the final provenance join, and transitively every later stage);
-    # persist so the window + array-expression work runs once
-    cc = corpus_clean(docs, min_words=min_words,
-                      min_stopword_hits=min_stopword_hits,
-                      line_sep=line_sep).persist()
-    dedup._PERSISTED.append(cc)
-    clean_ids = cc.filter("kept").select("doc_id")
-    # both downstream consumers (near-dedup shingling, model gate)
-    # re-read the survivors; persist once so the gate computation runs
-    # a single pass over the raw corpus. Registered with the dedup
-    # cache registry: one release_caches() call frees the whole
-    # program's intermediates.
-    survivors = docs.join(clean_ids, "doc_id").persist()
-    dedup._PERSISTED.append(survivors)
+    cc, survivors = _clean_survivors(docs, min_words,
+                                     min_stopword_hits, None, line_sep)
 
     nd = dedup.dedup_corpus(survivors, threshold=neardup_threshold,
                             max_df=max_df, max_bucket=max_bucket,
                             hash_fn=hash_fn)
     nd_dropped = (nd["pairs"].select(F.col("doc_b").alias("doc_id"))
-                  .distinct().withColumn("nd_drop", F.lit(True)))
+                  .distinct())
 
-    qm = (score_doc_quality(
-        survivors.join(nd_dropped.select("doc_id"), "doc_id",
-                       "left_anti"),
-        weights_path=weights_path).select("doc_id", "pred"))
+    model_dropped = (score_doc_quality(
+        survivors.join(nd_dropped, "doc_id", "left_anti"),
+        weights_path=weights_path)
+        .filter(F.col("pred") == "drop").select("doc_id"))
 
-    stage = (
-        F.when(F.col("stage") != "kept", F.col("stage"))
-        .when(F.col("nd_drop").isNotNull(), F.lit("neardup"))
-        .when(F.col("pred") == "drop", F.lit("model"))
-        .otherwise(F.lit("kept"))
-    )
-    return (
-        cc.join(nd_dropped, "doc_id", "left")
-        .join(qm, "doc_id", "left")
-        .select(
-            "doc_id",
-            stage.alias("final_stage"),
-            (stage == "kept").alias("final_kept"),
-            F.when(stage == "kept", F.col("clean_fp")).alias("clean_fp"),
-        )
-        .withColumnsRenamed({"final_stage": "stage",
-                             "final_kept": "kept"})
-    )
+    return _staged_provenance(
+        cc, [("neardup", nd_dropped), ("model", model_dropped)],
+        with_clean_fp=True)
 
 
 def assemble_training_set(docs: DataFrame,
@@ -133,46 +147,27 @@ def assemble_training_set(docs: DataFrame,
     from .sampling import resample_mixture, split_corpus
     from .textfilters import decontaminate
 
-    cc = corpus_clean(docs, min_words=min_words,
-                      min_sentences=min_sentences,
-                      min_stopword_hits=min_stopword_hits).persist()
-    dedup._PERSISTED.append(cc)
-    survivors = (docs.join(cc.filter("kept").select("doc_id"), "doc_id")
-                 .persist())
-    dedup._PERSISTED.append(survivors)
+    cc, survivors = _clean_survivors(docs, min_words,
+                                     min_stopword_hits, min_sentences)
 
     cl = dedup.dedup_corpus_clusters(
         survivors, threshold=neardup_threshold, max_df=max_df,
         max_bucket=max_bucket, hash_fn=hash_fn)
     nd_dropped = (cl["components"]
                   .filter(F.col("doc_id") != F.col("component"))
-                  .select("doc_id").withColumn("nd", F.lit(True)))
+                  .select("doc_id"))
 
-    after_nd = survivors.join(nd_dropped.select("doc_id"),
-                              "doc_id", "left_anti")
+    after_nd = survivors.join(nd_dropped, "doc_id", "left_anti")
     if benchmark is not None:
         cont = (decontaminate(after_nd, benchmark, n=ngram_n)
-                ["contaminated"].select("doc_id")
-                .withColumn("ct", F.lit(True)))
+                ["contaminated"].select("doc_id"))
     else:
         # schema-matched empty frame whatever the doc_id type is
-        cont = (docs.select("doc_id").limit(0)
-                .withColumn("ct", F.lit(True)))
+        cont = docs.select("doc_id").limit(0)
 
-    stage = (
-        F.when(F.col("stage") != "kept", F.col("stage"))
-        .when(F.col("nd").isNotNull(), F.lit("neardup"))
-        .when(F.col("ct").isNotNull(), F.lit("contaminated"))
-        .otherwise(F.lit("kept"))
-    )
-    provenance = (
-        cc.join(nd_dropped, "doc_id", "left")
-        .join(cont, "doc_id", "left")
-        .select("doc_id", stage.alias("final_stage"),
-                (stage == "kept").alias("final_kept"))
-        .withColumnsRenamed({"final_stage": "stage",
-                             "final_kept": "kept"})
-    )
+    provenance = _staged_provenance(
+        cc, [("neardup", nd_dropped), ("contaminated", cont)],
+        with_clean_fp=False)
 
     kept_docs = docs.join(
         provenance.filter("kept").select("doc_id"), "doc_id")

@@ -18,10 +18,28 @@ from pyspark.sql import functions as F
 # 60-bit doc hash → uniform bucket in [0, 10_000)
 _BUCKETS = 10_000
 
+# frames persisted by the prefix-sum ops (tokenizing the corpus is the
+# expensive narrow stage; each op reads its counted frame 2-3 times)
+_PERSISTED: list = []
+
+
+def release_caches() -> int:
+    """Unpersist every frame this module cached; returns how many."""
+    n = len(_PERSISTED)
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+    return n
+
+
+def _hash_expr(seed: str, key: str = "doc_id") -> str:
+    """Raw 60-bit md5-prefix hash of (key, seed) — uniform in
+    [0, 2^60)."""
+    return (f"cast(conv(substring(md5(concat(cast(`{key}` as string), "
+            f"'{seed}')), 1, 15), 16, 10) as bigint)")
+
 
 def _bucket_expr(seed: str, key: str = "doc_id") -> str:
-    return (f"cast(conv(substring(md5(concat(cast(`{key}` as string), "
-            f"'{seed}')), 1, 15), 16, 10) as bigint) % {_BUCKETS}")
+    return f"{_hash_expr(seed, key)} % {_BUCKETS}"
 
 
 def split_corpus(docs: DataFrame,
@@ -89,8 +107,12 @@ def pack_chunks(docs: DataFrame, ctx_len: int = 512,
     finishes. Two shuffles + one broadcast, no global sort.
     """
     toks = "size(filter(split(lower(text), '\\\\s+'), t -> t <> ''))"
+    # persisted: the id-span agg, bucket totals, and the offset join
+    # each read this frame — without the cache the tokenizer (the
+    # expensive narrow stage) runs three times over the corpus
     counted = docs.select(
-        "doc_id", F.expr(toks).cast("long").alias("n_tok"))
+        "doc_id", F.expr(toks).cast("long").alias("n_tok")).persist()
+    _PERSISTED.append(counted)
 
     # 1. range buckets from the doc_id span (one cheap agg; ids need
     # not be dense — buckets only need to preserve order)
@@ -193,9 +215,12 @@ def write_shards(df: DataFrame, path: str, n_shards: int,
     """
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
+    # mod the RAW hash: going through the 10k-bucket reduction first
+    # skews shards once n_shards stops dividing 10k evenly (and
+    # empties most shards past n_shards > 10k)
     out = df.withColumn(
         "shard",
-        (F.expr(_bucket_expr(seed, key)) % n_shards).cast("int"))
+        (F.expr(_hash_expr(seed, key)) % n_shards).cast("int"))
     (out.repartition(n_shards, "shard")
         .write.mode("overwrite").partitionBy("shard").parquet(path))
     spark = df.sparkSession
@@ -212,7 +237,8 @@ def select_token_budget(docs: DataFrame, budget: int,
     entirely inside the first ``budget`` tokens — the fine-tuning-set
     / data-budget op ("best docs until N tokens"). A doc too large for
     the remaining gap is skipped but later smaller docs that still fit
-    are kept (the filter is per-doc, not a prefix stop).
+    are kept (the filter is per-doc, not a prefix stop). Docs with a
+    NULL score are excluded — null has no place in a score ordering.
 
     Needs an exact prefix sum over the (score desc, doc_id) total
     order. Same two-pass distributed scheme as ``pack_chunks``, but the
@@ -225,9 +251,15 @@ def select_token_budget(docs: DataFrame, budget: int,
     Returns (doc_id, score, n_tok, cum_before) for the selected docs.
     """
     toks = "size(filter(split(lower(text), '\\\\s+'), t -> t <> ''))"
-    counted = docs.select(
+    # persisted: approxQuantile + the main query both read it. NULL
+    # scores have no place in a score ordering and would otherwise
+    # land in the TOP bucket (b > score is null for every bound, the
+    # filter drops all, size() = 0) — excluded explicitly.
+    counted = (docs.select(
         "doc_id", F.col(score_col).cast("double").alias("score"),
         F.expr(toks).cast("long").alias("n_tok"))
+        .filter(F.col("score").isNotNull()).persist())
+    _PERSISTED.append(counted)
 
     qs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = sorted(set(counted.stat.approxQuantile("score", qs, 0.001)),

@@ -208,7 +208,11 @@ def run_checkpointed(spark: SparkSession, docs: DataFrame, out_dir: str,
             raise ValueError(
                 "fingerprint_mode='metadata' needs a Hive-layout scan "
                 f"partitioned on {part_col!r}; this input is not")
-        fps = {r["part_id"]: (r["fp"], r["n_docs"])
+        # 'c2:' marks the all-columns fingerprint formula (the original
+        # hashed (doc_id, spans) only); manifests written under either
+        # formula mismatch the other EXPLICITLY and re-run once, same
+        # as the documented metadata<->content mode switch
+        fps = {r["part_id"]: (f"c2:{r['fp']}", r["n_docs"])
                for r in input_fingerprint(bucketed).collect()}
     if None in fps:
         raise ValueError(

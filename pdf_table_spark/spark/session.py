@@ -32,17 +32,25 @@ def build_session(app: str = "pdf_table_spark", master: str | None = None,
     # --master; calling .master() here would silently discard it
     # (run_prepare/run_assemble ran at local[32] whatever was asked).
     submitted = master is None and "PYSPARK_GATEWAY_PORT" in os.environ
-    master = master or f"local[{cpus}]"
-    if shuffle_partitions is None:
-        n = cpus * 2 if master.startswith("local") else 256
+    if submitted:
+        # the submitted conf owns master AND sizing knobs like
+        # spark.sql.shuffle.partitions — only an EXPLICIT
+        # shuffle_partitions argument overrides it (AQE coalesces the
+        # 200 default anyway); inspecting the local fallback string
+        # here would mis-size real clusters to cpus*2
+        b = SparkSession.builder
+        if shuffle_partitions is not None:
+            b = b.config("spark.sql.shuffle.partitions",
+                         str(shuffle_partitions))
     else:
-        n = shuffle_partitions
-    b = SparkSession.builder if submitted \
-        else SparkSession.builder.master(master)
+        master = master or f"local[{cpus}]"
+        n = (shuffle_partitions if shuffle_partitions is not None
+             else (cpus * 2 if master.startswith("local") else 256))
+        b = (SparkSession.builder.master(master)
+             .config("spark.sql.shuffle.partitions", str(n)))
     return (
         b
         .appName(app)
-        .config("spark.sql.shuffle.partitions", str(n))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

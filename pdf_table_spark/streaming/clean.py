@@ -89,17 +89,22 @@ def clean_docs_stream(docs: DataFrame,
                 lambda arr: arr is not None
                 and any(g in s for g in arr))
 
-        toks = ("filter(split(lower(text), '\\\\s+'), "
-                "t -> t <> '')")
+        # materialize the token array ONCE: inlining the split inside
+        # the transform lambda re-tokenizes the doc at every n-gram
+        # position (O(n_tokens^2) on the streaming hot path)
+        toks = "filter(split(lower(text), '\\\\s+'), t -> t <> '')"
         grams = (f"array_distinct(transform(sequence(1, "
-                 f"size({toks}) - {ngram_n - 1}), "
-                 f"i -> md5(array_join(slice({toks}, i, {ngram_n}), "
+                 f"size(_tk) - {ngram_n - 1}), "
+                 f"i -> md5(array_join(slice(_tk, i, {ngram_n}), "
                  f"' '))))")
-        staged = staged.withColumn(
-            "contaminated",
-            _leaks(F.expr(
-                f"if(size({toks}) < {ngram_n}, "
-                f"cast(array() as array<string>), {grams})")))
+        staged = (staged
+                  .withColumn("_tk", F.expr(toks))
+                  .withColumn(
+                      "contaminated",
+                      _leaks(F.expr(
+                          f"if(size(_tk) < {ngram_n}, "
+                          f"cast(array() as array<string>), {grams})")))
+                  .drop("_tk"))
     else:
         staged = staged.withColumn("contaminated", F.lit(False))
     stage = (

@@ -60,7 +60,10 @@ def main() -> None:
     docs = spark.read.parquet(args.input)
     if args.text_col != "text":
         docs = docs.withColumnRenamed(args.text_col, "text")
-    docs = docs.select("doc_id", "text")
+    # keep the partition column: checkpointed runs bucket on it
+    keep_cols = ["doc_id", "text"] + (
+        [args.part_col] if args.part_col else [])
+    docs = docs.select(*keep_cols)
 
     def gate(d):
         return prepare_corpus(

@@ -172,3 +172,12 @@ def test_empty_corpus_everywhere(spark):
     assert sample_stratified(empty, {"en": 1.0}).count() == 0
     assert resample_mixture(empty, {"a": 2.0}).count() == 0
     assert select_token_budget(empty, 100).count() == 0
+
+
+def test_select_token_budget_excludes_null_scores(spark):
+    from pdf_table_spark.ops.sampling import select_token_budget
+    docs = spark.createDataFrame(
+        [(1, "a b c", 5.0), (2, "d e f", None), (3, "g h i", 1.0)],
+        "doc_id long, text string, score double")
+    got = {r.doc_id for r in select_token_budget(docs, 100).collect()}
+    assert got == {1, 3}            # null-score doc 2 never charged
