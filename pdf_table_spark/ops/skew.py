@@ -26,8 +26,11 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
     resumed runs produce identical partitioning."""
     salted_big = big.withColumn(
         "__salt", F.pmod(F.xxhash64(*big.columns), F.lit(salt)))
-    replicated_small = small.crossJoin(
-        F.broadcast(big.sparkSession.range(salt)
-                    .select(F.col("id").cast("int").alias("__salt"))))
+    # replicate via explode — narrow, whole-stage-codegen'd; the
+    # crossJoin(range(salt)) alternative plans a (cheap but alarming)
+    # BroadcastNestedLoopJoin node for the same rows
+    replicated_small = small.withColumn(
+        "__salt", F.explode(F.expr(
+            f"sequence(0L, {int(salt) - 1}L)")))
     out = salted_big.join(replicated_small, [key, "__salt"], how)
     return out.drop("__salt")
