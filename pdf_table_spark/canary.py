@@ -31,6 +31,15 @@ def wait_quiet(max_wait: float = 120.0, threshold: float = 0.93) -> dict:
     rate seen this session (or ``max_wait`` expires). Returns
     {rate, ratio, waited} so callers can record the window quality."""
     waited = 0.0
+    if not _PROBE_BEST[0]:
+        # warm the baseline with spaced probes so the first wait isn't
+        # self-referential (a bench started during a background burst
+        # would otherwise adopt the depressed rate as 'best' and pass
+        # every check trivially)
+        for _ in range(3):
+            _PROBE_BEST[0] = max(_PROBE_BEST[0], cpu_probe(0.3))
+            time.sleep(0.5)
+            waited += 0.8
     while True:
         rate = cpu_probe()
         _PROBE_BEST[0] = max(_PROBE_BEST[0], rate)

@@ -494,6 +494,7 @@ def connected_components(pairs: DataFrame, a: str = "doc_a",
          .filter(F.col("u") != F.col("v")).distinct()
          .localCheckpoint())
     prev_sig = None
+    converged = False
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint()
         sig = tuple(e.agg(
@@ -503,8 +504,17 @@ def connected_components(pairs: DataFrame, a: str = "doc_a",
             F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
             F.sum(F.xxhash64("v", "u").cast("decimal(38,0)"))).first())
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # a partial star forest maps docs to the WRONG component, and
+        # every caller would then keep/drop the wrong docs silently;
+        # max_iter=30 covers graphs far beyond 2^30 nodes (O(log n)
+        # rounds), so exhaustion means something is genuinely wrong
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "large-star/small-star rounds; raise max_iter")
     # converged star forest: (u -> root) plus the roots themselves
     return (e.select(F.col("u").alias("doc_id"),
                      F.col("v").alias("component"))

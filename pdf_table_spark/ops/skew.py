@@ -23,7 +23,16 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
                 salt: int = 16, how: str = "inner") -> DataFrame:
     """Inner/left join ``big ⋈ small`` on ``key`` with hot keys split
     ``salt`` ways. Deterministic (hash salt, not random) so retries and
-    resumed runs produce identical partitioning."""
+    resumed runs produce identical partitioning.
+
+    Only 'inner' and 'left' are supported: the replicate-small scheme
+    would emit unmatched small-side rows ``salt`` times under right /
+    full outer joins."""
+    if salt < 1:
+        raise ValueError(f"salt must be >= 1, got {salt}")
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got {how!r}")
     salted_big = big.withColumn(
         "__salt", F.pmod(F.xxhash64(*big.columns), F.lit(salt)))
     # replicate via explode — narrow, whole-stage-codegen'd; the

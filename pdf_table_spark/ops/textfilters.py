@@ -459,6 +459,8 @@ def corpus_clean(docs: DataFrame,
       1. exact dedup   — md5(text) content key, min doc_id survives
       2. Gopher rules  — published thresholds (word count overridable)
       3. C4 line gate  — cleaned text must keep >= min_sentences
+                         (the whole stage, lorem/brace included, is
+                         skipped when min_sentences <= 0)
       4. PII redaction — survivors only (the regexes sit inside the
                          ``when``, so they evaluate just for rows
                          every earlier gate passed)
@@ -489,7 +491,18 @@ def corpus_clean(docs: DataFrame,
     staged = _with_gopher(
         staged, min_words, max_words, 3.0, 10.0, 0.1, 0.9, 0.3, 0.8,
         min_stopword_hits, line_sep)
-    staged = _with_c4(staged, 5, min_sentences, line_sep)
+    if min_sentences > 0:
+        staged = _with_c4(staged, 5, min_sentences, line_sep)
+    else:
+        # C4 stage OFF entirely (including the lorem/brace sub-gates):
+        # the clean text is the input text and no doc can land in the
+        # 'c4' stage — callers composing over corpora without sentence
+        # structure (e.g. assemble_training_set(min_sentences=0)) get
+        # exactly the gate set their oracle mirrors
+        staged = staged.withColumns({
+            "clean_text": F.col("text"),
+            "keep_c4": F.lit(True),
+        })
     stage = (
         F.when(F.col("rn") > 1, F.lit("dup"))
         .when(~F.col("pass_gopher"), F.lit("gopher"))

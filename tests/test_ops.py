@@ -414,3 +414,15 @@ def test_chunk_audio_window_semantics(spark):
     assert not any(ref.startswith("bad") for ref, _ in rows)
     feats = chunk_audio(audio, 30.0, 30.0).select("chunk_feature").collect()
     assert all(len(r.chunk_feature) == 16 for r in feats)
+
+
+def test_salted_join_rejects_bad_salt_and_outer_joins(spark):
+    import pytest
+
+    from pdf_table_spark.ops.skew import salted_join
+    big = spark.createDataFrame([("k", 1)], "domain string, v long")
+    small = spark.createDataFrame([("k", 1.0)], "domain string, w double")
+    with pytest.raises(ValueError, match="salt must be >= 1"):
+        salted_join(big, small, "domain", salt=0)
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(big, small, "domain", salt=2, how="full_outer")

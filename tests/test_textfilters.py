@@ -233,3 +233,27 @@ def test_c4_span_dedup_cross_document(spark):
     assert out["e"].n_dropped == 3 and out["e"].clean_text == ""
     # totality: one row per input doc
     assert len(out) == 5
+
+
+def test_corpus_clean_c4_off_keeps_brace_and_lorem_docs(spark):
+    """min_sentences <= 0 disables the WHOLE C4 stage, lorem/brace
+    sub-gates included — no doc may land in the 'c4' stage and the
+    clean text is the input text."""
+    from pdf_table_spark.ops.textfilters import corpus_clean
+    body = ("the quick brown fox jumps over the lazy dog and then "
+            "sits with all of them for a while")
+    df = _docs(spark, [
+        ("d1", body + " {json: true}"),
+        ("d2", body + " lorem ipsum dolor"),
+        ("d3", body),
+    ])
+    out = {r.doc_id: r for r in
+           corpus_clean(df, min_words=5, min_stopword_hits=1,
+                        min_sentences=0).collect()}
+    assert {r.stage for r in out.values()} == {"kept"}
+    assert all(r.kept for r in out.values())
+    # with min_sentences=3 the same brace/lorem docs DO drop as 'c4'
+    gated = {r.doc_id: r.stage for r in
+             corpus_clean(df, min_words=5, min_stopword_hits=1,
+                          min_sentences=3).collect()}
+    assert gated["d1"] == "c4" and gated["d2"] == "c4"
