@@ -478,6 +478,11 @@ def orientation_vote_flip(page: dict) -> dict:
                 [w - p[0], h - p[1], w - p[2], h - p[3],
                  w - p[4], h - p[5], w - p[6], h - p[7]]
                 for p in t["polygons"]]
+        if t.get("lgpma"):
+            new["lgpma"] = [
+                [[w - b[2], h - b[3], w - b[0], h - b[1], b[4]]
+                 for b in cls]
+                for cls in t["lgpma"]]
         if t.get("region"):
             r = t["region"]
             new["region"] = [w - r[2], h - r[3], w - r[0], h - r[1]]
@@ -515,6 +520,11 @@ def _to_page_coords(table: dict) -> dict:
             [p[0] + dx, p[1] + dy, p[2] + dx, p[3] + dy,
              p[4] + dx, p[5] + dy, p[6] + dx, p[7] + dy]
             for p in table["polygons"]]
+    if table.get("lgpma"):
+        new["lgpma"] = [
+            [[b[0] + dx, b[1] + dy, b[2] + dx, b[3] + dy, b[4]]
+             for b in cls]
+            for cls in table["lgpma"]]
     return new
 
 
@@ -537,8 +547,16 @@ def extract_ocr_page(payload: str):
     frags = []
     used_all: set[int] = set()
     for table in tables:
-        is_logi = bool(table.get("polygons")) and bool(table.get("logi"))
-        if is_logi:
+        is_lgpma = bool(table.get("lgpma"))
+        is_logi = (not is_lgpma and bool(table.get("polygons"))
+                   and bool(table.get("logi")))
+        if is_lgpma:
+            # M9: aligned-cell boxes (per class, scored); the band uses
+            # the raw boxes — NMS happens inside the route
+            bx = [b[:4] for cls in table["lgpma"] for b in cls]
+            if not bx:
+                continue
+        elif is_logi:
             from .logicell import _poly_rect, extract_logi_table
             bx = [_poly_rect(p) for p in table["polygons"]]
         else:
@@ -577,7 +595,12 @@ def extract_ocr_page(payload: str):
                     and tx0 <= (c["x0"] + c["x1"]) / 2.0 <= tx1
                     and ty0 - pad <= (c["y0"] + c["y1"]) / 2.0 <= ty1 + pad]
         mine_cells = [det_cells[i] for i in mine]
-        if is_logi:
+        if is_lgpma:
+            from .lgpma import extract_lgpma_table
+            html, used_local = extract_lgpma_table(table, mine_cells)
+            if html is None:
+                continue
+        elif is_logi:
             html, used_local = extract_logi_table(table, mine_cells)
             if html is None:
                 continue

@@ -64,12 +64,16 @@ def build_sf(root: str, sf: str, force: bool = False) -> dict:
     docs_path = os.path.join(out_dir, "documents_spans.parquet")
     golden_path = os.path.join(out_dir, "golden_flat.parquet")
     exports_path = os.path.join(out_dir, "golden_exports.parquet")
+    tsr_model_path = os.path.join(out_dir, "tsr_head.npz")
+    tsr_golden_path = os.path.join(out_dir, "golden_model_tsr.parquet")
     flavor_paths = {
         fl: os.path.join(out_dir, f"golden_flat_{fl}.parquet")
         for fl in ("lattice", "stream")}
     if (not force and os.path.isdir(docs_path)
             and os.path.exists(golden_path)
             and os.path.exists(exports_path)
+            and os.path.exists(tsr_model_path)
+            and os.path.exists(tsr_golden_path)
             and all(os.path.exists(p) for p in flavor_paths.values())):
         return {"sf": sf, "skipped": True}
     if os.path.isfile(docs_path):  # migrate old single-file layout
@@ -128,6 +132,32 @@ def build_sf(root: str, sf: str, force: bool = False) -> dict:
             e[name].append(val)
     pq.write_table(pa.Table.from_pydict(e, schema=EXPORTS_SCHEMA),
                    exports_path)
+
+    # from-model TSR oracle: write the .npz head artifact, then run
+    # every ocr_page payload through the SAME deterministic head +
+    # logicell decode single-process (core.tsrhead) — what
+    # spark.model_stage.score_table_structure(weights_path=…) must
+    # reproduce distributed
+    import json as _json
+
+    from ..core.tsrhead import (TSR_VERSION, TSR_WEIGHTS,
+                                extract_page_from_model)
+    from ..spark.model_stage import save_weights
+    save_weights(tsr_model_path, TSR_WEIGHTS, TSR_VERSION)
+    tg = {"doc_id": [], "offset": [], "kind": [], "text": []}
+    for doc_id, spans in zip(doc_ids, span_lists):
+        for s in spans:
+            if s["kind"] != "ocr_page":
+                continue
+            tg["doc_id"].append(doc_id)
+            tg["offset"].append(s["offset"])
+            tg["kind"].append("table_html")
+            tg["text"].append(extract_page_from_model(
+                _json.loads(s["text"]), TSR_WEIGHTS))
+    pq.write_table(pa.Table.from_pydict(tg, schema=pa.schema([
+        ("doc_id", pa.string()), ("offset", pa.int32()),
+        ("kind", pa.string()), ("text", pa.string())])),
+        tsr_golden_path)
 
     # flavor-forced goldens (the read_pdf flavor kwarg surface): same
     # corpus decoded lattice-only / stream-only

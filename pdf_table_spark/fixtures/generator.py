@@ -477,6 +477,83 @@ def _ocr_page_plain(rng):
                     "use_master": False}]}, sort_keys=True)
 
 
+def _ocr_page_lgpma(rng):
+    """F-J variant: the LGPMA contract (M9) — per-class ALIGNED CELL
+    boxes with scores, no axis head. Exercises the full adjacency
+    reduction: a 2-col spanning header cell (clique spans), a
+    lower-scored duplicate box (cross-class NMS kill), an occasionally
+    MISSING cell (empty-cell fill), multi-det cells with the '%'/'-'
+    join rules, prose below."""
+    n_rows, n_cols = rng.randint(2, 4), rng.randint(2, 3)
+    x0, y0 = 65.0, 85.0
+    col_w, row_h = 125.0, 27.0
+    span_head = rng.random() < 0.6 and n_cols >= 2
+    drop_cell = (rng.randint(1, n_rows - 1), rng.randint(0, n_cols - 1)) \
+        if rng.random() < 0.4 and n_rows > 1 else None
+
+    head_boxes, body_boxes = [], []
+    skip = set()
+    for r in range(n_rows):
+        c = 0
+        while c < n_cols:
+            if span_head and r == 0 and c == 0:
+                head_boxes.append([x0, y0, x0 + 2 * col_w, y0 + row_h,
+                                   round(rng.uniform(0.8, 0.99), 3)])
+                skip.add((0, 1))
+                c += 2
+                continue
+            if drop_cell == (r, c):
+                skip.add((r, c))
+                c += 1
+                continue
+            box = [x0 + c * col_w, y0 + r * row_h,
+                   x0 + (c + 1) * col_w, y0 + (r + 1) * row_h,
+                   round(rng.uniform(0.8, 0.99), 3)]
+            (head_boxes if r == 0 else body_boxes).append(box)
+            c += 1
+    if rng.random() < 0.5 and body_boxes:
+        # cross-class duplicate of a body box at a LOWER score: the
+        # NMS pass must suppress it
+        b = body_boxes[rng.randrange(len(body_boxes))]
+        head_boxes.append([b[0] + 3.0, b[1] + 2.0, b[2] - 3.0,
+                           b[3] - 2.0, round(b[4] - 0.3, 3)])
+
+    dets = _grid_dets(rng, x0, y0, n_rows, n_cols, col_w, row_h,
+                      skip=skip, multiline_p=0.0)
+    if rng.random() < 0.5:
+        # second det in a surviving cell, '%'-prefixed half the time:
+        # the join must skip the space before '%'
+        txt = ("%" if rng.random() < 0.5 else "") + rng.choice(VOCAB)
+        rr = n_rows - 1
+        dets.append({"x0": x0 + 60.0, "y0": y0 + rr * row_h + 4.0,
+                     "x1": x0 + 60.0 + 6.0 * len(txt),
+                     "y1": y0 + (rr + 1) * row_h - 4.0, "text": txt})
+
+    py = y0 + n_rows * row_h + 3.0 * row_h
+    for _ in range(rng.randint(0, 2)):
+        line = _words(rng, 4, 8)
+        dets.append({"x0": x0, "y0": py, "x1": x0 + 6.0 * len(line),
+                     "y1": py + 12.0, "text": line})
+        py += 22.0
+
+    table = {"lgpma": [head_boxes, body_boxes]}
+    if rng.random() < 0.4:
+        region = [x0 - 4.0, y0 - 4.0,
+                  x0 + n_cols * col_w + 4.0,
+                  y0 + n_rows * row_h + 4.0]
+        table["region"] = region
+        if rng.random() < 0.5:
+            dx, dy = round(region[0]), round(region[1])
+            table["coords"] = "local"
+            table["lgpma"] = [
+                [[b[0] - dx, b[1] - dy, b[2] - dx, b[3] - dy, b[4]]
+                 for b in cls]
+                for cls in table["lgpma"]]
+    return json.dumps({
+        "width": PAGE_W, "height": PAGE_H,
+        "det_cells": dets, "tables": [table]}, sort_keys=True)
+
+
 def _ocr_page_stacked(rng):
     """F-J variant: two tables stacked closer than one cell height,
     each with an explicit layout-crop region — the case the band
@@ -783,12 +860,14 @@ def gen_doc(doc_idx: int, seed: int = 42, heavy: bool = False):
         for p in range(rng.randint(1, 2)):
             add("image", "", f"blob://{doc_id}/page{p}")
             draw = rng.random()
-            if draw < 0.5:
+            if draw < 0.45:
                 payload = _ocr_page(rng)
-            elif draw < 0.7:
+            elif draw < 0.62:
                 payload = _ocr_page_logi(rng)
-            elif draw < 0.9:
+            elif draw < 0.78:
                 payload = _ocr_page_plain(rng)
+            elif draw < 0.9:
+                payload = _ocr_page_lgpma(rng)
             else:
                 payload = _ocr_page_stacked(rng)
             add("ocr_page", payload, f"page://{doc_id}/{p}")

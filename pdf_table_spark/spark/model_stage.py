@@ -236,3 +236,73 @@ def score_doc_quality(docs: DataFrame,
     return docs.select("doc_id", "text").mapInArrow(
         _make_quality_stage(weights_bc, version, _mat_counter),
         schema=QUALITY_SCHEMA.format(id_ty=id_ty))
+
+
+# --------------------------------------------------------------------
+# TSR head — third consumer of the seam: artifact → structure → HTML
+# --------------------------------------------------------------------
+
+# the TSR stand-in head's literal weights/version live in core.tsrhead
+# (shared with the single-process fixture oracle); this section wires
+# them through the SAME broadcast/singleton/Arrow plumbing as the
+# layout and quality heads — the reference's base_infer_task dispatch
+# (base_infer_task.py:311-315) feeding lineless_table_process decode.
+
+TSR_SCHEMA = "doc_id string, offset int, kind string, text string"
+
+
+def _make_tsr_stage(weights_bc, version: str, mat_counter=None):
+    def stage(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..core.tsrhead import extract_page_from_model
+        w = _get_model(version, weights_bc, mat_counter)
+        for batch in batches:
+            doc_ids = batch.column(0).to_pylist()
+            offsets = batch.column(1).to_pylist()
+            payloads = batch.column(2).to_pylist()
+            htmls = []
+            for p in payloads:
+                try:
+                    htmls.append(extract_page_from_model(
+                        json.loads(p), w.tolist()))
+                except Exception:  # noqa: BLE001 — quarantine bad pages
+                    htmls.append("")
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(doc_ids, pa.string()),
+                 pa.array(offsets, pa.int32()),
+                 pa.array(["table_html"] * len(htmls), pa.string()),
+                 pa.array(htmls, pa.string())],
+                names=["doc_id", "offset", "kind", "text"])
+    return stage
+
+
+def score_table_structure(docs_spans: DataFrame,
+                          weights_path: str | None = None,
+                          _mat_counter=None) -> DataFrame:
+    """documents(doc_id, spans) → one (doc_id, offset, 'table_html',
+    html) row per ocr_page span, with the STRUCTURE inferred by the
+    TSR head at runtime (core.tsrhead: grid clustering + linear axis
+    head) and decoded through core.logicell — no pre-filled fixture
+    structure anywhere on the path.
+
+    Same seam as the other heads: ``weights_path`` loads a ``.npz``
+    once on the driver, broadcasts it, and the executor singleton keys
+    on the artifact's version string; omitted → the literal
+    core.tsrhead.TSR_WEIGHTS the fixture oracle embeds. ONE Python
+    boundary (plan-asserted), narrow — runs at scan speed."""
+    from ..core.tsrhead import TSR_VERSION, TSR_WEIGHTS
+    spark = docs_spans.sparkSession
+    if weights_path is not None:
+        weights, version = load_weights(weights_path)
+        weights_bc = spark.sparkContext.broadcast(weights.tolist())
+    else:
+        version = TSR_VERSION
+        weights_bc = spark.sparkContext.broadcast(TSR_WEIGHTS)
+    pages = (
+        docs_spans.select("doc_id", F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "ocr_page")
+        .select("doc_id", F.col("s.offset").alias("offset"),
+                F.col("s.text").alias("text"))
+    )
+    return pages.mapInArrow(
+        _make_tsr_stage(weights_bc, version, _mat_counter),
+        schema=TSR_SCHEMA)

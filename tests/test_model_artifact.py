@@ -149,3 +149,80 @@ def test_quality_stage_single_python_boundary(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("MapInArrow") == 1
     assert "Exchange" not in plan
+
+
+def test_tsr_head_hand_worked_example():
+    """Frozen hand computation: 4 dets in a 2x2 grid → 4 cells whose
+    logical axes are exactly (col+.5, col+.5, row+.5, row+.5), which
+    round_logi floors (the .5-rounds-DOWN quirk) to (col, col, row,
+    row); the HTML reads row-major."""
+    from pdf_table_spark.core.tsrhead import (
+        TSR_WEIGHTS, extract_page_from_model, structure_from_dets)
+    dets = [
+        {"x0": 0.0, "y0": 0.0, "x1": 20.0, "y1": 10.0, "text": "a"},
+        {"x0": 40.0, "y0": 0.0, "x1": 60.0, "y1": 10.0, "text": "b"},
+        {"x0": 0.0, "y0": 30.0, "x1": 20.0, "y1": 40.0, "text": "c"},
+        {"x0": 40.0, "y0": 30.0, "x1": 60.0, "y1": 40.0, "text": "d"},
+    ]
+    s = structure_from_dets(dets, TSR_WEIGHTS)
+    assert sorted(s["logi"]) == [
+        [0.5, 0.5, 0.5, 0.5], [0.5, 0.5, 1.5, 1.5],
+        [1.5, 1.5, 0.5, 0.5], [1.5, 1.5, 1.5, 1.5]]
+    html = extract_page_from_model({"det_cells": dets}, TSR_WEIGHTS)
+    assert html == ('<table border="1"><tbody>'
+                    '<tr><td width="33%">a</td><td width="33%">b</td>'
+                    "</tr>"
+                    '<tr><td width="33%">c</td><td width="33%">d</td>'
+                    "</tr></tbody></table>")
+
+
+def test_tsr_head_merges_same_cell_dets_and_clusters_bands():
+    """Two dets in one visual band/column merge into ONE cell with
+    reading-order text; a det beyond the tolerance opens a new row."""
+    from pdf_table_spark.core.tsrhead import (
+        TSR_WEIGHTS, grid_assign, structure_from_dets)
+    dets = [
+        {"x0": 0.0, "y0": 0.0, "x1": 20.0, "y1": 10.0, "text": "x"},
+        {"x0": 2.0, "y0": 1.0, "x1": 22.0, "y1": 11.0, "text": "y"},
+        {"x0": 0.0, "y0": 50.0, "x1": 20.0, "y1": 60.0, "text": "z"},
+    ]
+    assert grid_assign(dets) == [(0, 0), (0, 0), (1, 0)]
+    s = structure_from_dets(dets, TSR_WEIGHTS)
+    assert len(s["polygons"]) == 2     # one unit per occupied cell
+
+
+def test_tsr_stage_from_npz_matches_fixture_golden(spark, fixture_root):
+    """The distributed artifact path reproduces the single-process
+    golden exactly: spark mapInArrow (npz → broadcast → singleton)
+    vs fixtures/build.py's core.tsrhead run."""
+    import os
+    from pdf_table_spark.spark.model_stage import score_table_structure
+    docs = spark.read.parquet(os.path.join(
+        fixture_root, "sf0.001", "documents_spans.parquet"))
+    npz = os.path.join(fixture_root, "sf0.001", "tsr_head.npz")
+    got = {(r.doc_id, r.offset): r.text
+           for r in score_table_structure(
+               docs, weights_path=npz).collect()}
+    want = {(r.doc_id, r.offset): r.text
+            for r in spark.read.parquet(os.path.join(
+                fixture_root, "sf0.001",
+                "golden_model_tsr.parquet")).collect()}
+    assert got == want and want
+
+
+def test_tsr_stage_single_python_boundary(spark, fixture_root):
+    import os
+    import re
+    from pdf_table_spark.spark.model_stage import score_table_structure
+    docs = spark.read.parquet(os.path.join(
+        fixture_root, "sf0.001", "documents_spans.parquet"))
+    df = score_table_structure(docs)
+    jvm = spark._jvm
+    plan = df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    assert len(re.findall(r"^\(\d+\) MapInArrow\b", plan,
+                          re.MULTILINE)) == 1
+    assert "BatchEvalPython" not in plan
+    assert len(re.findall(r"^\(\d+\) Scan parquet\b", plan,
+                          re.MULTILINE)) == 1
