@@ -36,18 +36,13 @@ HEADLINE = [
     "doc_metrics",
     "table_quality",        # A9 metrics ride the extraction
     "ocr_table_match",      # imaged-doc (OCR) path
-    "table_exports",        # S7 export fan-out
-    "page_select",
-    "doc_html",
-    "layout_scores",
-    "quality_model_scores",  # broadcast-weights seam, text-side
-    "token_stats",
+    "exports",              # S7 export fan-out + merged doc HTML
+    "doc_profile",          # imaged-doc classifier + page select
+    "model_scores",         # broadcast-weights seam, both heads
+    "doc_text_stats",       # token/quality/normalize stats
     "corpus_stats",
-    "quality_score",
-    "lang_id",
-    "lang_id_ngram",
-    "fingerprint",
-    "text_normalize",
+    "lang_id",              # stopword + trigram methods
+    "fingerprint",          # md5 + winnowing
     "exact_dedup",
     "corpus_clean",         # composed dedup→gopher→c4→pii gate
     "span_dedup",            # C4 cross-doc 3-sentence-span dedup
@@ -59,21 +54,16 @@ HEADLINE = [
     "resample_mixture",
     "pack_chunks",           # concat-and-chunk sequence packing
     "ngram_jaccard",
-    "minhash_signatures",
-    "minhash_lsh_pairs",
-    "lsh_dedup_keep",
-    "simhash",
-    "simhash_pairs",        # banded hamming join + exact verify
+    "minhash_lsh",          # signatures + band pairs + keep
+    "simhash",              # fingerprints + banded hamming pairs
     "ocr_table_logi",       # polygon + logical-axis TSR contract
+    "ocr_table_lgpma",      # LGPMA aligned-bbox adjacency contract
+    "ocr_from_model",       # .npz TSR head -> structure -> HTML
     "html_main_content",    # web-doc boilerplate-strip path
-    "cosine_topk",
-    "ann_topk_lsh",
-    "ann_topk_ivf",
+    "ann_topk",             # brute + LSH + IVF in one
     "embedding_neardup",
-    "media_features",
-    "audio_chunks",
-    "video_frames",
-    "media_resize",
+    "media_sampling",       # audio chunks + video frames
+    "media_meta",           # decode metadata + thumbnail fit
     "pricing_summary",
     "top_revenue_orders",
     "salted_priority_revenue",  # skew-salted join == plain join

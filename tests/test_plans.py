@@ -37,6 +37,10 @@ def queries():
     return entrymod.queries()
 
 
+def _tbl(spark, name):
+    return spark.read.parquet(os.path.join(SF_DIR, f"{name}.parquet"))
+
+
 @pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata absent")
 class TestPlans:
     def test_pricing_summary_pushdown_and_partial_agg(self, spark, queries):
@@ -55,13 +59,14 @@ class TestPlans:
 
     def test_cosine_topk_broadcasts_queries_and_limits_window(
             self, spark, queries):
-        plan = plan_of(queries["cosine_topk"](spark, SF_DIR))
+        from pdf_table_spark.ops.similarity import cosine_topk
+        plan = plan_of(cosine_topk(_tbl(spark, "embeddings"), k=5))
         assert "BroadcastNestedLoopJoin" in plan      # tiny query side
         assert "WindowGroupLimit" in plan             # rank<=k pushed down
         assert "LessThan(vec_id,10)" in plan          # query filter at scan
 
     def test_token_stats_prunes_scan(self, spark, queries):
-        plan = plan_of(queries["token_stats"](spark, SF_DIR))
+        plan = plan_of(queries["doc_text_stats"](spark, SF_DIR))
         # documents has (doc_id, text, lang, source, n_chars); only two
         # referenced columns may be read
         for unused in ("lang", "source", "n_chars:"):
@@ -97,7 +102,8 @@ class TestPlans:
 
     def test_ann_multiprobe_windowlimit_and_broadcast(self, spark,
                                                       queries):
-        plan = plan_of(queries["ann_topk_lsh"](spark, SF_DIR))
+        from pdf_table_spark.ops.similarity import ann_topk_lsh
+        plan = plan_of(ann_topk_lsh(_tbl(spark, "embeddings"), k=5))
         assert "BroadcastHashJoin" in plan   # probe set broadcast
         assert "WindowGroupLimit" in plan    # rank<=k pushed down
         assert "CartesianProduct" not in plan
@@ -122,7 +128,8 @@ class TestPlans:
         exchange between the scan and the candidate join's streamed
         side) and the probe set must broadcast; the final top-k stays
         a WindowGroupLimit, never a global sort."""
-        plan = plan_of(queries["ann_topk_ivf"](spark, SF_DIR))
+        from pdf_table_spark.ops.similarity import ann_topk_ivf
+        plan = plan_of(ann_topk_ivf(_tbl(spark, "embeddings"), k=5))
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert n_nodes(plan, "BroadcastHashJoin") >= 1
@@ -135,7 +142,20 @@ class TestPlans:
         """Chunk enumeration (sequence/explode) must run before the
         single Python stage: no row reaches Python that isn't a kept
         window."""
-        plan = plan_of(queries["audio_chunks"](spark, SF_DIR))
+        import __spark_entry__ as e
+        from pyspark.sql import functions as F
+
+        from pdf_table_spark.ops.dedup import H60_SPARK
+        from pdf_table_spark.ops.multimodal import (
+            chunk_audio, media_refs_with_payloads)
+        refs = media_refs_with_payloads(
+            e._spans_df(spark, SF_DIR)).select("media_ref")
+        audio = refs.select(
+            "media_ref",
+            F.expr(f"(({H60_SPARK.format(s='media_ref')} % 90) + 1) "
+                   "* 16000").alias("n_samples"),
+            F.lit(16000).alias("sample_rate"))
+        plan = plan_of(chunk_audio(audio, 30.0, 30.0))
         assert n_nodes(plan, "MapInPandas") == 1
         assert "BatchEvalPython" not in plan
         gen = plan.index("Generate")        # explode(sequence(...))
@@ -147,13 +167,29 @@ class TestPlans:
         """Frame enumeration (sequence/explode with the every-n step)
         runs before the single Python stage — only sampled frames
         reach the decode."""
-        plan = plan_of(queries["video_frames"](spark, SF_DIR))
+        import __spark_entry__ as e
+        from pyspark.sql import functions as F
+
+        from pdf_table_spark.ops.dedup import H60_SPARK
+        from pdf_table_spark.ops.multimodal import (
+            media_refs_with_payloads, sample_frames)
+        refs = media_refs_with_payloads(
+            e._spans_df(spark, SF_DIR)).select("media_ref")
+        h = H60_SPARK.format(s="media_ref")
+        hf = H60_SPARK.format(s="media_ref || 'f'")
+        videos = refs.select(
+            "media_ref",
+            F.expr(f"cast(({h} % 240) + 1 as int)").alias("n_frames"),
+            F.expr(f"cast(({hf} % 30) + 1 as double)").alias("fps"))
+        plan = plan_of(sample_frames(videos, every_n=5))
         assert n_nodes(plan, "MapInPandas") == 1
         assert "BatchEvalPython" not in plan
         assert plan.index("Generate") > plan.index("MapInPandas")
 
     def test_simhash_pairs_banded_equijoin(self, spark, queries):
-        plan = plan_of(queries["simhash_pairs"](spark, SF_DIR))
+        from pdf_table_spark.ops.dedup import simhash_pairs
+        plan = plan_of(
+            simhash_pairs(_tbl(spark, "documents"), max_hamming=3))
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
@@ -173,7 +209,7 @@ class TestComposedPlans:
 
     def test_corpus_filter_gates_prune_scan(self, spark, queries):
         """The narrow filter gates read only (doc_id, text)."""
-        for q in ("gopher_quality", "c4_filters", "pii_redact"):
+        for q in ("gopher_quality", "c4_filters"):
             plan = plan_of(queries[q](spark, SF_DIR))
             m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
             assert m, plan
