@@ -709,15 +709,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return t.join(q, "doc_id").join(n, "doc_id")
 
     def q_lang_id_both(spark, sf_dir):
-        # stopword-hit and char-trigram language ID, tagged by method
+        # stopword-hit and char-trigram language ID over the 24
+        # data-file profiles, tagged by method; each row carries the
+        # winner's score and the confidence margin vs the runner-up
         d = _t(spark, sf_dir, "documents")
-        cols = ["score_de", "score_en", "score_es", "score_fr"]
+        cols = ["pred_lang", "top_score", "margin"]
         sw = text.lang_id(d).select(
-            "doc_id", F.lit("stopword").alias("method"), "pred_lang",
-            *[F.col(c).cast("bigint").alias(c) for c in cols])
+            "doc_id", F.lit("stopword").alias("method"), *cols)
         ng = text.lang_id_ngram(d).select(
-            "doc_id", F.lit("trigram").alias("method"), "pred_lang",
-            *[F.col(c).cast("bigint").alias(c) for c in cols])
+            "doc_id", F.lit("trigram").alias("method"), *cols)
         return sw.unionByName(ng)
 
     def q_fingerprint_both(spark, sf_dir):
@@ -1333,6 +1333,60 @@ def _dk_assemble_sql(select: str) -> str:
     """
 
 
+def _dk_lang_ngram_sql(top_n: int = 20) -> str:
+    """DuckDB twin of ``ops.text.lang_id_ngram`` over the 24 data-file
+    trigram profiles: Cavnar-Trenkle out-of-place scores per language,
+    ascending (penalty, lang) rank, winner + confidence margin."""
+    import sys
+    sys.path.insert(0, REPO)
+    from pdf_table_spark.ops.text import LANG_TRIGRAM_PROFILES, OOP_MAX
+    langs = sorted(LANG_TRIGRAM_PROFILES)
+
+    def score(la: str) -> str:
+        prof = ", ".join(f"'{g}'" for g in LANG_TRIGRAM_PROFILES[la])
+        return (
+            f"cast(case when len(top) = 0 then {OOP_MAX * top_n} "
+            f"else coalesce(list_sum(list_transform("
+            f"generate_series(1, len(top)), i -> "
+            f"case when coalesce(list_position([{prof}], top[i].g), 0)"
+            f" = 0 then {OOP_MAX} "
+            f"else abs(i - list_position([{prof}], top[i].g)) end)), 0)"
+            f" end as bigint) as score_{la}")
+
+    scores = ",\n".join(score(la) for la in langs)
+    pairs = ", ".join(
+        f"{{'s': score_{la}, 'lang': '{la}'}}" for la in langs)
+    return f"""
+        with tri as (
+          select doc_id, list_filter(list_transform(
+            generate_series(1, greatest(length(lower(text)) - 2, 1)),
+            i -> substr(lower(text), i, 3)),
+            g -> regexp_matches(g, '^[a-z][a-z][a-z]$')) as tri
+          from documents
+        ), tops as (
+          select doc_id, list_slice(list_sort(list_transform(
+            list_distinct(tri),
+            g -> {{'nc': -len(list_filter(tri, x -> x = g)),
+                  'g': g}})), 1, {top_n}) as top
+          from tri
+        ), scored as (
+          select doc_id, len(top) as n_grams,
+          {scores}
+          from tops
+        ), ranked as (
+          select doc_id, n_grams, list_sort([{pairs}]) as r
+          from scored
+        )
+        select doc_id,
+               case when n_grams = 0 then 'und' else r[1].lang end
+                 as pred_lang,
+               r[1].s as top_score,
+               case when n_grams = 0 then cast(0 as bigint)
+                    else r[2].s - r[1].s end as margin
+        from ranked
+    """
+
+
 def _dk_simhash_sql(n_bits: int = 60) -> str:
     votes = ", ".join(
         f"sum(case when (h // {1 << b}) % 2 = 1 then 1 else -1 end) as v{b}"
@@ -1929,13 +1983,9 @@ def oracle_sql() -> dict[str, str]:
         "len(list_filter(toks, t -> list_contains([{w}], t))) as score_{la}"
         .format(w=", ".join(f"'{x}'" for x in LANG_STOPWORDS[la]), la=la)
         for la in langs)
-    lang_pick = (
-        "case when greatest({gs}) = 0 then 'und' else "
-        "list_min(list_transform([{pairs}], x -> x)) end"
-    )  # placeholder, built below
-
-    # winner by (score desc, lang asc) == min over (-score, lang) structs;
-    # duckdb compares structs lexicographically like spark
+    # winner by (score desc, lang asc) == ascending sort of
+    # (-score, lang) structs; duckdb compares structs field-by-field
+    # like spark. [1] = winner, [2] = runner-up → margin.
     pairs = ", ".join(
         f"{{'neg': -score_{la}, 'lang': '{la}'}}" for la in langs)
     gs = ", ".join(f"score_{la}" for la in langs)
@@ -1943,12 +1993,17 @@ def oracle_sql() -> dict[str, str]:
         with scored as (
           select doc_id, {lang_scores}
           from (select doc_id, {DK_TOKENS} as toks from documents)
+        ), ranked as (
+          select doc_id, greatest({gs}) as g,
+                 list_sort([{pairs}]) as r
+          from scored
         )
         select doc_id,
-               case when greatest({gs}) = 0 then 'und'
-                    else list_min([{pairs}]).lang end as pred_lang,
-               {gs}
-        from scored
+               case when g = 0 then 'und' else r[1].lang end
+                 as pred_lang,
+               cast(-r[1].neg as bigint) as top_score,
+               cast(r[2].neg - r[1].neg as bigint) as margin
+        from ranked
     """
 
     jacc = """
@@ -2125,57 +2180,7 @@ def oracle_sql() -> dict[str, str]:
             from m
         """,
         "lang_id": lang_sql,
-        "lang_id_ngram": """
-            with tri as (
-              select doc_id, list_filter(list_transform(
-                generate_series(1, greatest(length(lower(text)) - 2, 1)),
-                i -> substr(lower(text), i, 3)),
-                g -> regexp_matches(g, '^[a-z][a-z][a-z]$')) as tri
-              from documents
-            ), tops as (
-              select doc_id, list_slice(list_sort(list_transform(
-                list_distinct(tri),
-                g -> {'nc': -len(list_filter(tri, x -> x = g)),
-                      'g': g})), 1, 20) as top
-              from tri
-            ), scored as (
-              select doc_id, len(top) as n_grams,
-cast(case when len(top) = 0 then 400
-              else coalesce(list_sum(list_transform(
-                generate_series(1, len(top)), i ->
-                case when coalesce(list_position(['der', 'ein', 'sch', 'ich', 'die', 'und', 'che', 'den', 'gen', 'ung'], top[i].g), 0) = 0
-                     then 20
-                     else abs(i - list_position(['der', 'ein', 'sch', 'ich', 'die', 'und', 'che', 'den', 'gen', 'ung'], top[i].g))
-                end)), 0) end as bigint) as score_de,
-cast(case when len(top) = 0 then 400
-              else coalesce(list_sum(list_transform(
-                generate_series(1, len(top)), i ->
-                case when coalesce(list_position(['the', 'and', 'ing', 'ion', 'ent', 'her', 'for', 'tha', 'ter', 'hat'], top[i].g), 0) = 0
-                     then 20
-                     else abs(i - list_position(['the', 'and', 'ing', 'ion', 'ent', 'her', 'for', 'tha', 'ter', 'hat'], top[i].g))
-                end)), 0) end as bigint) as score_en,
-cast(case when len(top) = 0 then 400
-              else coalesce(list_sum(list_transform(
-                generate_series(1, len(top)), i ->
-                case when coalesce(list_position(['que', 'con', 'ado', 'los', 'ien', 'cio', 'nte', 'era', 'las', 'par'], top[i].g), 0) = 0
-                     then 20
-                     else abs(i - list_position(['que', 'con', 'ado', 'los', 'ien', 'cio', 'nte', 'era', 'las', 'par'], top[i].g))
-                end)), 0) end as bigint) as score_es,
-cast(case when len(top) = 0 then 400
-              else coalesce(list_sum(list_transform(
-                generate_series(1, len(top)), i ->
-                case when coalesce(list_position(['les', 'ent', 'que', 'des', 'ion', 'une', 'ait', 'lle', 'our', 'ans'], top[i].g), 0) = 0
-                     then 20
-                     else abs(i - list_position(['les', 'ent', 'que', 'des', 'ion', 'une', 'ait', 'lle', 'our', 'ans'], top[i].g))
-                end)), 0) end as bigint) as score_fr
-              from tops
-            )
-            select doc_id,
-              case when n_grams = 0 then 'und'
-                   else list_min([{'s': score_de, 'lang': 'de'}, {'s': score_en, 'lang': 'en'}, {'s': score_es, 'lang': 'es'}, {'s': score_fr, 'lang': 'fr'}]).lang end as pred_lang,
-              score_de, score_en, score_es, score_fr
-            from scored
-        """,
+        "lang_id_ngram": _dk_lang_ngram_sql(),
         "fingerprint": f"""
             select doc_id,
                    md5(array_to_string({DK_TOKENS}, ' ')) as fingerprint
@@ -2718,15 +2723,11 @@ def _merge_oracles(o: dict[str, str]) -> dict[str, str]:
 
     merged["lang_id"] = f"""
         with sw as ({o.pop('lang_id')}), ng as ({o.pop('lang_id_ngram')})
-        select doc_id, 'stopword' as method, pred_lang,
-               cast(score_de as bigint) as score_de,
-               cast(score_en as bigint) as score_en,
-               cast(score_es as bigint) as score_es,
-               cast(score_fr as bigint) as score_fr
+        select doc_id, 'stopword' as method, pred_lang, top_score,
+               margin
         from sw
         union all
-        select doc_id, 'trigram', pred_lang,
-               score_de, score_en, score_es, score_fr
+        select doc_id, 'trigram', pred_lang, top_score, margin
         from ng
     """
 

@@ -54,16 +54,32 @@ def _clean_survivors(docs: DataFrame, min_words: int,
 def _staged_provenance(cc: DataFrame, drops, with_clean_fp: bool):
     """First-failing-stage provenance: the clean gates' stage wins,
     then each (stage_name, doc_ids) in ``drops`` in order, else
-    'kept'. Shared by prepare_corpus and assemble_training_set so the
-    when-chain/rename scaffolding exists once."""
-    out = cc
-    cond = F.when(F.col("stage") != "kept", F.col("stage"))
+    'kept'. Shared by prepare_corpus and assemble_training_set.
+
+    All drop sets union into ONE labeled id table (earliest stage wins
+    via min_by on the priority) and join cc exactly once — one shuffle
+    of the big side instead of one per stage. The drop sets are
+    disjoint by construction (each later stage only processes earlier
+    stages' survivors), so the min_by is a formality that keeps the
+    first-failing rule correct even if a caller overlaps them."""
+    labeled = None
     for i, (name, ids) in enumerate(drops):
-        flag = f"_d{i}"
-        out = out.join(ids.select("doc_id").distinct()
-                       .withColumn(flag, F.lit(True)), "doc_id", "left")
-        cond = cond.when(F.col(flag).isNotNull(), F.lit(name))
-    stage = cond.otherwise(F.lit("kept"))
+        one = ids.select("doc_id").distinct().select(
+            "doc_id", F.lit(name).alias("_drop_stage"),
+            F.lit(i).alias("_drop_prio"))
+        labeled = one if labeled is None else labeled.unionByName(one)
+    out = cc
+    if labeled is not None:
+        first = labeled.groupBy("doc_id").agg(
+            F.expr("min_by(_drop_stage, _drop_prio)")
+            .alias("_drop_stage"))
+        out = cc.join(first, "doc_id", "left")
+        stage = (F.when(F.col("stage") != "kept", F.col("stage"))
+                 .when(F.col("_drop_stage").isNotNull(),
+                       F.col("_drop_stage"))
+                 .otherwise(F.lit("kept")))
+    else:
+        stage = F.col("stage")
     cols = ["doc_id", stage.alias("final_stage"),
             (stage == "kept").alias("final_kept")]
     if with_clean_fp:
@@ -144,7 +160,7 @@ def assemble_training_set(docs: DataFrame,
     produce identical assignments. Call ``dedup.release_caches()``
     when done.
     """
-    from .sampling import resample_mixture, split_corpus
+    from .sampling import resample_mixture, split_expr
     from .textfilters import decontaminate
 
     cc, survivors = _clean_survivors(docs, min_words,
@@ -174,8 +190,11 @@ def assemble_training_set(docs: DataFrame,
     mixed = resample_mixture(kept_docs, mixture or {},
                              source_col=source_col,
                              seed=f"{seed}-mix")
-    split = split_corpus(kept_docs, split_weights,
-                         seed=f"{seed}-split")
-    assembled = (mixed.select("doc_id", source_col, "copy")
-                 .join(split, "doc_id"))
+    # split is a pure function of (doc_id, seed): append it as a
+    # column on the mixture rows instead of joining a separate split
+    # frame — same values, one whole-corpus shuffle less
+    assembled = mixed.select(
+        "doc_id", source_col, "copy",
+        F.expr(split_expr(split_weights, seed=f"{seed}-split"))
+        .alias("split"))
     return {"provenance": provenance, "assembled": assembled}

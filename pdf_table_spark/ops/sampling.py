@@ -42,17 +42,21 @@ def _bucket_expr(seed: str, key: str = "doc_id") -> str:
     return f"{_hash_expr(seed, key)} % {_BUCKETS}"
 
 
-def split_corpus(docs: DataFrame,
-                 weights: dict[str, float] | None = None,
-                 seed: str = "split-v1") -> DataFrame:
-    """Deterministic train/val/test assignment: each doc's md5 bucket
-    lands in one of the cumulative-weight intervals. Narrow (one
-    projection, no shuffle); the split column then drives partitioned
-    writes. Weights must sum to 1 (validated)."""
+def split_expr(weights: dict[str, float] | None = None,
+               seed: str = "split-v1", bucket_col: str | None = None
+               ) -> str:
+    """SQL expression assigning the train/val/test label from doc_id
+    (each doc's md5 bucket lands in a cumulative-weight interval).
+    ``bucket_col`` names a precomputed bucket column; None inlines the
+    bucket hash so the expression can ride ANY projection that has
+    doc_id — composed programs append the split as a column instead of
+    joining a separate split frame (one shuffle saved per use).
+    Weights must sum to 1 (validated)."""
     weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split weights must sum to 1, got {total}")
+    b = bucket_col or f"({_bucket_expr(seed)})"
     cases, lo = [], 0.0
     items = list(weights.items())
     for name, w in items[:-1]:
@@ -60,10 +64,21 @@ def split_corpus(docs: DataFrame,
         cases.append((int(round(lo * _BUCKETS)), name))
     expr = f"'{items[-1][0]}'"
     for edge, name in reversed(cases):
-        expr = f"if(b < {edge}, '{name}', {expr})"
+        expr = f"if({b} < {edge}, '{name}', {expr})"
+    return expr
+
+
+def split_corpus(docs: DataFrame,
+                 weights: dict[str, float] | None = None,
+                 seed: str = "split-v1") -> DataFrame:
+    """Deterministic train/val/test assignment via ``split_expr``.
+    Narrow (one projection, no shuffle); the split column then drives
+    partitioned writes."""
     return (docs
             .select("doc_id", F.expr(_bucket_expr(seed)).alias("b"))
-            .select("doc_id", F.expr(expr).alias("split")))
+            .select("doc_id", F.expr(split_expr(weights, seed,
+                                                bucket_col="b"))
+                    .alias("split")))
 
 
 def sample_stratified(docs: DataFrame,

@@ -16,13 +16,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# tiny deterministic stopword sets for the language-ID heuristic
-LANG_STOPWORDS = {
-    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "for", "on"],
-    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
-    "fr": ["le", "la", "les", "et", "est", "pas", "un", "une", "dans"],
-    "es": ["el", "la", "los", "que", "y", "es", "un", "una", "para"],
-}
+# language-ID profiles as DATA: per-language stopword lists and
+# ranked ASCII letter-trigram profiles live in lang_profiles.json
+# (24 languages) — swapping in corpus-derived profiles is a data
+# change, not a code change
+import json as _json
+import os as _os
+
+with open(_os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                        "lang_profiles.json")) as _f:
+    _PROFILES = _json.load(_f)
+LANG_STOPWORDS = _PROFILES["stopwords"]
+LANG_TRIGRAM_PROFILES = _PROFILES["trigrams"]
 
 _TOKENS = "filter(split(text, '\\\\s+'), t -> t <> '')"
 
@@ -72,8 +77,12 @@ def quality_score(docs: DataFrame) -> DataFrame:
 
 
 def lang_id(docs: DataFrame) -> DataFrame:
-    """Stopword-hit language ID: score = hits per language's stopword
-    list; winner by (score desc, language asc); 'und' when all zero."""
+    """Stopword-hit language ID over the 24 data-file profiles:
+    score = hits per language's stopword list; winner by (score desc,
+    language asc); 'und' when all zero. Emits the winner's score and
+    the confidence margin (winner − runner-up hits) instead of one
+    column per language — the schema is profile-count-independent.
+    Narrow map."""
     toks = "filter(split(lower(text), '\\\\s+'), t -> t <> '')"
     scores = [
         F.expr(
@@ -85,15 +94,22 @@ def lang_id(docs: DataFrame) -> DataFrame:
     ]
     scored = docs.select("doc_id", *scores)
     langs = sorted(LANG_STOPWORDS)
+    # ascending sort of (-score, lang) structs: [0] = winner,
+    # [1] = runner-up under the same (score desc, lang asc) rule
     pairs = ", ".join(
         f"struct(-score_{lang} as neg, '{lang}' as lang)" for lang in langs)
+    ranked = f"array_sort(array({pairs}))"
     return scored.select(
         "doc_id",
         F.expr(
             f"if(greatest({', '.join('score_' + la for la in langs)}) = 0, "
-            f"'und', array_min(array({pairs})).lang)"
+            f"'und', element_at({ranked}, 1).lang)"
         ).alias("pred_lang"),
-        *[F.col(f"score_{lang}") for lang in langs],
+        F.expr(f"cast(-element_at({ranked}, 1).neg as bigint)")
+        .alias("top_score"),
+        F.expr(f"cast(element_at({ranked}, 2).neg "
+               f"- element_at({ranked}, 1).neg as bigint)")
+        .alias("margin"),
     )
 
 
@@ -171,17 +187,6 @@ def winnow_fingerprint_rows(docs: DataFrame, k: int = 8,
 # trigram profiles per language (hand-derived from each language's
 # most frequent words; rank order is the signal). Deterministic
 # literals so the DuckDB oracle embeds identical values.
-LANG_TRIGRAM_PROFILES = {
-    "en": ["the", "and", "ing", "ion", "ent", "her", "for", "tha",
-           "ter", "hat"],
-    "de": ["der", "ein", "sch", "ich", "die", "und", "che", "den",
-           "gen", "ung"],
-    "fr": ["les", "ent", "que", "des", "ion", "une", "ait", "lle",
-           "our", "ans"],
-    "es": ["que", "con", "ado", "los", "ien", "cio", "nte", "era",
-           "las", "par"],
-}
-
 OOP_MAX = 20  # out-of-place penalty for grams absent from a profile
 
 
@@ -244,13 +249,18 @@ def lang_id_ngram(docs: DataFrame, top_n: int = 20) -> DataFrame:
     scored = staged.select(
         "doc_id", F.size("top").alias("n_grams"),
         *[F.expr(score(la)).alias(f"score_{la}") for la in langs])
+    # ascending (penalty, lang) structs: [0] = winner, [1] = runner-up;
+    # margin = runner-up − winner penalty (the confidence gap)
     pairs = ", ".join(
         f"struct(score_{la} as s, '{la}' as lang)" for la in langs)
+    ranked = f"array_sort(array({pairs}))"
     return scored.select(
         "doc_id",
-        F.expr(f"if(n_grams = 0, 'und', array_min(array({pairs})).lang)"
+        F.expr(f"if(n_grams = 0, 'und', element_at({ranked}, 1).lang)"
                ).alias("pred_lang"),
-        *[F.col(f"score_{la}") for la in langs],
+        F.expr(f"element_at({ranked}, 1).s").alias("top_score"),
+        F.expr(f"if(n_grams = 0, 0L, element_at({ranked}, 2).s "
+               f"- element_at({ranked}, 1).s)").alias("margin"),
     )
 
 

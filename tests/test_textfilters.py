@@ -203,10 +203,46 @@ def test_lang_id_ngram_picks_profile_language(spark):
     assert out["en"].pred_lang == "en"
     assert out["de"].pred_lang == "de"
     assert out["none"].pred_lang == "und"
-    # scores are bounded by OOP_MAX * top_n
+    # winner score bounded by OOP_MAX * top_n; margin nonnegative and
+    # zero for the no-gram doc
     from pdf_table_spark.ops.text import OOP_MAX
-    assert all(0 <= out["en"][f"score_{la}"] <= OOP_MAX * 20
-               for la in ("en", "de", "fr", "es"))
+    assert 0 <= out["en"].top_score <= OOP_MAX * 20
+    assert out["en"].margin >= 0 and out["de"].margin >= 0
+    assert out["none"].margin == 0
+
+
+def test_lang_id_broad_profiles_and_margin(spark):
+    """24-language data-file profiles: new-language fixtures rank
+    their own language first on BOTH paths, and the margin behaves as
+    a confidence gap (saturated doc > ambiguous doc)."""
+    from pdf_table_spark.ops.text import (LANG_STOPWORDS,
+                                          LANG_TRIGRAM_PROFILES,
+                                          lang_id, lang_id_ngram)
+    assert len(LANG_STOPWORDS) >= 20
+    assert set(LANG_STOPWORDS) == set(LANG_TRIGRAM_PROFILES)
+    df = _docs(spark, [
+        ("pl", "nie to sie jest na co jak czy ale tak nie jest"),
+        ("tr", "ve bir bu da de ile icin ama gibi daha bir bu"),
+        ("sw", "na ya wa kwa ni za katika hii kuwa lakini na ya"),
+        ("vi", "va cua la co khong trong mot nguoi nay cho va cua"),
+        ("ambig", "the der"),
+    ])
+    sw_out = {r.doc_id: r for r in lang_id(df).collect()}
+    for la in ("pl", "tr", "sw", "vi"):
+        assert sw_out[la].pred_lang == la, (la, sw_out[la])
+        assert sw_out[la].margin >= 0
+    # one hit each for en and de: tie -> margin 0, alphabetical winner
+    assert sw_out["ambig"].margin == 0
+    assert sw_out["ambig"].pred_lang == "de"
+
+    ng = {r.doc_id: r for r in lang_id_ngram(_docs(spark, [
+        ("pl", "nie przez owany przednie niego ych ani rzeczy"
+               " sie czy dzien nie przez"),
+        ("fi", "kaikista olemassa asuinalueilla sanottavansa"
+               " istuntosali elamaansa"),
+    ])).collect()}
+    assert ng["pl"].pred_lang == "pl"
+    assert ng["fi"].pred_lang == "fi"
 
 
 def test_c4_span_dedup_cross_document(spark):
