@@ -129,6 +129,54 @@ def metadata_fingerprints(spark: SparkSession, docs: DataFrame,
     return fps
 
 
+def read_table_snapshot(table_path: str) -> dict | None:
+    """Current snapshot of an Iceberg-layout table from its METADATA
+    ONLY — the table-spec files are plain JSON, so no Iceberg runtime
+    is needed to read the transactional version (this sandbox ships no
+    iceberg-spark-runtime jar; with one on the classpath the same ids
+    come from ``spark.sql("select snapshot_id from …snapshots")``).
+
+    Resolution follows the Hadoop-catalog layout of the public spec:
+    ``metadata/version-hint.text`` names the current
+    ``v<N>.metadata.json``; without a hint the newest
+    ``*.metadata.json`` wins. Returns {snapshot_id, sequence_number,
+    last_updated_ms, metadata_file} or None when the path is not an
+    Iceberg-layout table."""
+    meta_dir = os.path.join(table_path, "metadata")
+    if not os.path.isdir(meta_dir):
+        return None
+    meta_file = None
+    hint = os.path.join(meta_dir, "version-hint.text")
+    if os.path.exists(hint):
+        with open(hint) as f:
+            v = f.read().strip()
+        for cand in (f"v{v}.metadata.json", f"{v}.metadata.json"):
+            p = os.path.join(meta_dir, cand)
+            if os.path.exists(p):
+                meta_file = p
+                break
+    if meta_file is None:
+        cands = sorted(n for n in os.listdir(meta_dir)
+                       if n.endswith(".metadata.json"))
+        if not cands:
+            return None
+        meta_file = os.path.join(meta_dir, cands[-1])
+    with open(meta_file) as f:
+        meta = json.load(f)
+    if "current-snapshot-id" not in meta:
+        return None
+    return {
+        "snapshot_id": meta["current-snapshot-id"],
+        "sequence_number": meta.get("last-sequence-number"),
+        "last_updated_ms": meta.get("last-updated-ms"),
+        "metadata_file": os.path.basename(meta_file),
+    }
+
+
+def _snapshot_marker_path(out_dir: str) -> str:
+    return os.path.join(out_dir, MANIFEST_DIR, "_table_snapshot.json")
+
+
 def _manifest_path(out_dir: str, part_id) -> str:
     # escape like the data partition dirs: '/' (→%2F) and friends can
     # appear in part_col values and must not create subdirectories (or
@@ -153,6 +201,7 @@ def run_checkpointed(spark: SparkSession, docs: DataFrame, out_dir: str,
                      n_buckets: int = 64, run_id: str = "run0",
                      part_col: str | None = None,
                      fingerprint_mode: str = "auto",
+                     snapshot_path: str | None = None,
                      transform=None) -> dict:
     """Extract ``docs`` to ``out_dir`` (parquet, partitioned by
     part_id), resuming past completed buckets. Returns a summary dict.
@@ -178,6 +227,16 @@ def run_checkpointed(spark: SparkSession, docs: DataFrame, out_dir: str,
     crawls/snapshots (the usual Iceberg layout); run a global pass
     instead when duplicates straddle partitions.
 
+    ``snapshot_path``: root of an Iceberg-layout input table. The
+    resume then fingerprints the TABLE first: when the current
+    snapshot id equals the one recorded at the last fully-successful
+    run, every bucket is provably unchanged (an Iceberg snapshot is
+    the transactional table version) and the whole run skips O(1) —
+    no listings, no scans, zero Spark jobs. On snapshot change (or on
+    partial previous runs) it falls through to the per-bucket
+    fingerprints below, and re-records the marker only after a run
+    with no failed buckets.
+
     ``fingerprint_mode``: 'metadata' fingerprints each partition from
     its files' (path, size, mtime) — a listing, NO input scan, so a
     fully-skipped resume runs zero Spark jobs; requires ``part_col``
@@ -191,6 +250,20 @@ def run_checkpointed(spark: SparkSession, docs: DataFrame, out_dir: str,
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     if fingerprint_mode not in ("auto", "metadata", "content"):
         raise ValueError(f"unknown fingerprint_mode {fingerprint_mode!r}")
+
+    snap = None
+    if snapshot_path is not None:
+        snap = read_table_snapshot(snapshot_path)
+        marker = _snapshot_marker_path(out_dir)
+        if snap is not None and os.path.exists(marker):
+            with open(marker) as f:
+                prev = json.load(f)
+            if (prev.get("snapshot_id") == snap["snapshot_id"]
+                    and prev.get("run_complete")):
+                return {"done": [], "skipped": prev.get("part_ids", []),
+                        "failed": [], "n_buckets": n_buckets,
+                        "snapshot_skip": True,
+                        "snapshot_id": snap["snapshot_id"]}
 
     if part_col is not None:
         # keep the partition values as-is (string form): dates/strings
@@ -274,5 +347,13 @@ def run_checkpointed(spark: SparkSession, docs: DataFrame, out_dir: str,
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, mpath)  # atomic: ok-manifest exists ⇔ committed
+    if snap is not None and not failed:
+        # record the table version only behind a fully-successful run:
+        # a partial run must keep re-checking per-bucket manifests
+        tmp = _snapshot_marker_path(out_dir) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({**snap, "run_complete": True,
+                       "part_ids": sorted(map(str, fps))}, f)
+        os.replace(tmp, _snapshot_marker_path(out_dir))
     return {"done": done, "skipped": skipped, "failed": failed,
             "n_buckets": n_buckets}

@@ -50,6 +50,9 @@ def main() -> None:
                     help="input partition column for checkpointed "
                          "runs (metadata fingerprints, pruned scans)")
     ap.add_argument("--n-buckets", type=int, default=16)
+    ap.add_argument("--snapshot-path", default=None,
+                    help="Iceberg-layout table root: resume O(1) on "
+                         "unchanged snapshot id (checkpointed runs)")
     args = ap.parse_args()
 
     from pdf_table_spark.ops import dedup
@@ -78,7 +81,8 @@ def main() -> None:
         from pdf_table_spark.spark.checkpoint import run_checkpointed
         summary = run_checkpointed(
             spark, docs, args.output, n_buckets=args.n_buckets,
-            part_col=args.part_col, transform=gate)
+            part_col=args.part_col, transform=gate,
+            snapshot_path=args.snapshot_path)
         wall = time.perf_counter() - t0
         dedup.release_caches()
         print(json.dumps({

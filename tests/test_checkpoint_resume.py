@@ -254,3 +254,87 @@ def test_custom_transform_checkpointed(spark, tmp_path):
                           transform=gate)
     assert not s2["done"] and len(s2["skipped"]) == 3
     dedup.release_caches()
+
+
+def test_iceberg_snapshot_fingerprint_o1_resume(spark, docs, tmp_path,
+                                                monkeypatch):
+    """Iceberg-layout input: the resume fingerprints the TABLE by its
+    snapshot id (plain-JSON table-spec metadata, no runtime needed).
+    Unchanged snapshot -> the WHOLE run skips O(1): no file listing,
+    no fingerprint computation, zero Spark jobs. Snapshot bump ->
+    falls back to per-bucket fingerprints (all still unchanged ->
+    skipped via listings), then the marker re-records."""
+    import pdf_table_spark.spark.checkpoint as cp
+    from pyspark.sql import functions as F
+
+    table = str(tmp_path / "iceberg_table")
+    data = os.path.join(table, "data")
+    docs.withColumn(
+        "part_id", F.pmod(F.xxhash64("doc_id"), F.lit(3)).cast("int")
+    ).write.partitionBy("part_id").parquet(data)
+    meta = os.path.join(table, "metadata")
+    os.makedirs(meta)
+
+    def write_snapshot(version: int, snap_id: int):
+        with open(os.path.join(meta,
+                               f"v{version}.metadata.json"), "w") as f:
+            json.dump({"format-version": 2,
+                       "current-snapshot-id": snap_id,
+                       "last-sequence-number": version,
+                       "last-updated-ms": 1700000000000 + version}, f)
+        with open(os.path.join(meta, "version-hint.text"), "w") as f:
+            f.write(str(version))
+
+    write_snapshot(1, 4242)
+    assert cp.read_table_snapshot(table)["snapshot_id"] == 4242
+
+    pdocs = spark.read.parquet(data)
+    out = str(tmp_path / "out")
+    s1 = cp.run_checkpointed(spark, pdocs, out, run_id="r1",
+                             part_col="part_id",
+                             fingerprint_mode="metadata",
+                             snapshot_path=table)
+    assert len(s1["done"]) == 3 and not s1["failed"]
+
+    # unchanged snapshot: O(1) skip — every fingerprint path is
+    # unreachable, no DataFrame is touched
+    def boom(*a, **k):
+        raise AssertionError("fingerprinting ran despite snapshot match")
+
+    monkeypatch.setattr(cp, "metadata_fingerprints", boom)
+    monkeypatch.setattr(cp, "input_fingerprint", boom)
+    s2 = cp.run_checkpointed(spark, None, out, run_id="r2",
+                             part_col="part_id",
+                             fingerprint_mode="metadata",
+                             snapshot_path=table)
+    assert s2["snapshot_skip"] and s2["snapshot_id"] == 4242
+    assert len(s2["skipped"]) == 3 and not s2["done"]
+    monkeypatch.undo()
+
+    # a new snapshot invalidates the fast path; per-bucket metadata
+    # fingerprints still prove every bucket unchanged
+    write_snapshot(2, 4343)
+    s3 = cp.run_checkpointed(spark, pdocs, out, run_id="r3",
+                             part_col="part_id",
+                             fingerprint_mode="metadata",
+                             snapshot_path=table)
+    assert "snapshot_skip" not in s3
+    assert len(s3["skipped"]) == 3 and not s3["done"]
+    with open(os.path.join(out, "_manifests",
+                           "_table_snapshot.json")) as f:
+        assert json.load(f)["snapshot_id"] == 4343
+
+
+def test_non_iceberg_path_ignores_snapshot_fast_path(spark, docs,
+                                                     tmp_path):
+    """A plain directory (no metadata/) simply disables the snapshot
+    fast path; the run behaves exactly as without snapshot_path."""
+    import pdf_table_spark.spark.checkpoint as cp
+    out = str(tmp_path / "out")
+    assert cp.read_table_snapshot(str(tmp_path)) is None
+    s1 = cp.run_checkpointed(spark, docs, out, n_buckets=2,
+                             run_id="r1", snapshot_path=str(tmp_path))
+    assert len(s1["done"]) == 2
+    s2 = cp.run_checkpointed(spark, docs, out, n_buckets=2,
+                             run_id="r2", snapshot_path=str(tmp_path))
+    assert len(s2["skipped"]) == 2 and "snapshot_skip" not in s2
