@@ -631,7 +631,8 @@ def _ngram_hash_rows(docs: DataFrame, n: int) -> DataFrame:
 
 
 def decontaminate(corpus: DataFrame, benchmark: DataFrame,
-                  n: int = 13, broadcast_bench: bool = True) -> dict:
+                  n: int = 13, broadcast_bench: bool | None = None,
+                  broadcast_limit: int = 5_000_000) -> dict:
     """Benchmark decontamination a la GPT-3 (Brown et al. 2020,
     App. C): flag every training document that shares at least one
     token ``n``-gram (default 13) with the benchmark/eval set, so eval
@@ -639,16 +640,21 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
 
     Both sides reduce to distinct md5 n-gram hashes — the join runs on
     32-byte uniform keys (skew-free), NEVER on text. With
-    ``broadcast_bench`` (default) the benchmark gram set is broadcast:
-    eval suites are small next to a training corpus, so the corpus-side
-    scan never shuffles. Flip it off if the benchmark side outgrows
-    executor memory; the plan degrades to a shuffled semi-join on the
-    same uniform keys.
+    ``broadcast_bench`` True the benchmark gram set is broadcast: eval
+    suites are small next to a training corpus, so the corpus-side
+    scan never shuffles. False degrades to a shuffled semi-join on the
+    same uniform keys — the safe shape when the bench side outgrows
+    executor memory. The default (None) decides automatically: one
+    count over the (small) bench gram side, broadcast iff it holds at
+    most ``broadcast_limit`` distinct grams — the corpus side is never
+    scanned to decide.
 
     Returns {"contaminated": (doc_id, n_hits) — distinct shared grams
     per flagged doc, "keep": doc_ids of clean corpus docs}.
     """
     bench = _ngram_hash_rows(benchmark, n).select("g").distinct()
+    if broadcast_bench is None:
+        broadcast_bench = bench.count() <= broadcast_limit
     if broadcast_bench:
         bench = F.broadcast(bench)
     hits = (_ngram_hash_rows(corpus, n)

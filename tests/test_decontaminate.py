@@ -41,3 +41,33 @@ def test_hit_count_is_distinct_grams(spark):
     out = decontaminate(corpus, bench)
     assert {(r.doc_id, r.n_hits)
             for r in out["contaminated"].collect()} == {(1, 3)}
+
+
+def test_broadcast_threshold_flip(spark):
+    """The auto mode broadcasts small bench gram sets and flips to a
+    shuffled semi-join when the bench side exceeds the limit — the
+    flip is visible in the physical plan."""
+    from pdf_table_spark.ops.textfilters import decontaminate
+
+    words = " ".join(f"w{i}" for i in range(20))
+    corpus = spark.createDataFrame(
+        [(1, words)], "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, words)], "doc_id long, text string")
+
+    def plan_of(df):
+        jvm = spark._jvm
+        return df._jdf.queryExecution().explainString(
+            jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"))
+
+    small = decontaminate(corpus, bench)["contaminated"]
+    assert "BroadcastHashJoin" in plan_of(small)
+
+    big = decontaminate(corpus, bench, broadcast_limit=0)["contaminated"]
+    p = plan_of(big)
+    assert "BroadcastHashJoin" not in p
+    assert ("SortMergeJoin" in p or "ShuffledHashJoin" in p)
+    # both shapes produce the same answer
+    assert [tuple(r) for r in small.collect()] == \
+        [tuple(r) for r in big.collect()]
