@@ -868,14 +868,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return resize_media(refs).join(feat, "media_ref")
 
     def q_model_scores(spark, sf_dir):
-        # both broadcast-weights heads: page layout + doc quality
+        # all three broadcast-weights heads: page layout + doc quality
+        # + page orientation (M1/M4's PULC classifier half)
         from pdf_table_spark.spark.model_stage import (
-            score_doc_quality, score_page_layout)
+            score_doc_quality, score_page_layout, score_page_orientation)
+        nd = F.lit(None).cast("double")
         lay = score_page_layout(_spans_df(spark, sf_dir)).select(
             F.lit("layout").alias("head"), "doc_id", "offset",
             F.col("score_table").alias("score_a"),
             F.col("score_text").alias("score_b"),
             F.col("score_figure").alias("score_c"),
+            nd.alias("score_d"),
             F.col("layout_class").alias("label"))
         qu = score_doc_quality(_t(spark, sf_dir, "documents")).select(
             F.lit("quality").alias("head"),
@@ -883,9 +886,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit(-1).cast("int").alias("offset"),
             F.col("score_keep").alias("score_a"),
             F.col("score_drop").alias("score_b"),
-            F.lit(None).cast("double").alias("score_c"),
+            nd.alias("score_c"), nd.alias("score_d"),
             F.col("pred").alias("label"))
-        return lay.unionByName(qu)
+        ori = score_page_orientation(_spans_df(spark, sf_dir)).select(
+            F.lit("orient").alias("head"), "doc_id", "offset",
+            F.col("score_rot0").alias("score_a"),
+            F.col("score_rot90").alias("score_b"),
+            F.col("score_rot180").alias("score_c"),
+            F.col("score_rot270").alias("score_d"),
+            F.concat_ws(":", F.col("pred_rot"), F.col("declared_rot"))
+            .alias("label"))
+        return lay.unionByName(qu).unionByName(ori)
 
     def q_exports(spark, sf_dir):
         # S7 fan-out melted long (fmt, payload) + merged doc HTML
@@ -1581,6 +1592,85 @@ def _dk_layout_scores_sql(spans_rel: str) -> str:
                     when {s_txt} >= {s_fig} then 'text'
                     else 'figure' end as layout_class
         from feats
+    """
+
+
+def _dk_orient_sql(spans_rel: str) -> str:
+    """DuckDB twin of ``model_stage.score_page_orientation``: same
+    first-text-line features (is_vertical, cx/w, cy/h, bias), same 4x4
+    literal matmul rounded to 6dp, argmax with ties toward the lower
+    class, pred in degrees. Poison contract mirrored exactly for the
+    fixture domain: invalid JSON OR a first line with a missing /
+    non-numeric coordinate → scores 0, pred = declared = -1."""
+    import sys
+    sys.path.insert(0, REPO)
+    from pdf_table_spark.spark.model_stage import ORIENT_WEIGHTS
+    w = ORIENT_WEIGHTS
+
+    def score(j):
+        return (f"round(f0 * {w[0][j]} + f1 * {w[1][j]} + "
+                f"f2v * {w[2][j]} + {w[3][j]}, 6)")
+
+    coord = ("case when json_valid(text) then "
+             "try_cast(json_extract(text, '$.text_lines[0].{c}') "
+             "as double) end")
+    dim = ("coalesce(nullif(try_cast(json_extract(text, '$.{c}') "
+           "as double), 0.0), 1.0)")
+    return f"""
+        with pages as (
+          select doc_id, s."offset" as "offset", s.text as text
+          from (select doc_id, unnest(spans) as s from {spans_rel})
+          where s.kind = 'pdf_page'
+        ), feats as (
+          select doc_id, "offset", json_valid(text) as jok,
+                 case when json_valid(text) then coalesce(
+                   json_array_length(text, '$.text_lines'), 0)
+                   else 0 end as n_lines,
+                 {coord.format(c='x0')} as x0,
+                 {coord.format(c='x1')} as x1,
+                 {coord.format(c='y0')} as y0,
+                 {coord.format(c='y1')} as y1,
+                 case when json_valid(text)
+                   then {dim.format(c='width')} else 1.0 end as w,
+                 case when json_valid(text)
+                   then {dim.format(c='height')} else 1.0 end as h,
+                 case when json_valid(text) and json_extract_string(
+                   text, '$.text_lines[0].dir') = 'v'
+                   then 1.0 else 0.0 end as isv,
+                 case when json_valid(text) then coalesce(try_cast(
+                   json_extract(text, '$.rotation') as int), 0)
+                   else 0 end as decl
+          from pages
+        ), f2 as (
+          select doc_id, "offset",
+                 (jok and (n_lines = 0 or (x0 is not null and
+                   x1 is not null and y0 is not null and
+                   y1 is not null))) as ok,
+                 case when n_lines = 0 then 0.0 else isv end as f0,
+                 case when n_lines = 0 then 0.5
+                      else (x0 + x1) / 2 / w end as f1,
+                 case when n_lines = 0 then 0.5
+                      else (y0 + y1) / 2 / h end as f2v,
+                 decl
+          from feats
+        ), sc as (
+          select doc_id, "offset", ok, decl,
+                 {score(0)} as s0, {score(1)} as s1,
+                 {score(2)} as s2, {score(3)} as s3
+          from f2
+        )
+        select doc_id, "offset" as offset,
+               case when ok then s0 else 0.0 end as score_rot0,
+               case when ok then s1 else 0.0 end as score_rot90,
+               case when ok then s2 else 0.0 end as score_rot180,
+               case when ok then s3 else 0.0 end as score_rot270,
+               case when not ok then -1
+                    when s0 >= s1 and s0 >= s2 and s0 >= s3 then 0
+                    when s1 >= s2 and s1 >= s3 then 90
+                    when s2 >= s3 then 180
+                    else 270 end as pred_rot,
+               case when ok then decl else -1 end as declared_rot
+        from sc
     """
 
 
@@ -2889,15 +2979,25 @@ def _merge_oracles(o: dict[str, str]) -> dict[str, str]:
 
     merged["model_scores"] = f"""
         with l as ({o.pop('layout_scores')}),
-             q as ({o.pop('quality_model_scores')})
+             q as ({o.pop('quality_model_scores')}),
+             r as ({_dk_orient_sql(
+                 f"read_parquet('{SPANS_001}/*.parquet')")})
         select 'layout' as head, doc_id, "offset" as offset,
                score_table as score_a, score_text as score_b,
-               score_figure as score_c, layout_class as label
+               score_figure as score_c, cast(null as double) as score_d,
+               layout_class as label
         from l
         union all
         select 'quality', cast(doc_id as varchar), cast(-1 as int),
-               score_keep, score_drop, cast(null as double), pred
+               score_keep, score_drop, cast(null as double),
+               cast(null as double), pred
         from q
+        union all
+        select 'orient', doc_id, "offset",
+               score_rot0, score_rot90, score_rot180, score_rot270,
+               cast(pred_rot as varchar) || ':' ||
+                 cast(declared_rot as varchar)
+        from r
     """
 
     merged["exports"] = f"""

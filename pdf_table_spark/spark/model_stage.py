@@ -306,3 +306,117 @@ def score_table_structure(docs_spans: DataFrame,
     return pages.mapInArrow(
         _make_tsr_stage(weights_bc, version, _mat_counter),
         schema=TSR_SCHEMA)
+
+
+# --------------------------------------------------------------------
+# page-orientation head — fourth consumer of the seam (M1/M4's PULC
+# text_image_orientation classifier half)
+# --------------------------------------------------------------------
+
+# 4x4 linear head over page-geometry features, rows = (first-line-is-
+# vertical, first-line center x / width, center y / height, bias),
+# cols = (rot0, rot90, rot180, rot270). The reference runs a PULC
+# image classifier for this decision and rotates the raster before
+# OCR (ocr_table_preprocess_task.py:27-206); this data model carries
+# vector geometry, where the same decision falls out of where content
+# STARTS and whether line direction flipped h->v. The page model is
+# PDF-coordinate (origin bottom-left, y up), so an upright page's
+# first content line sits at LARGE y; the 90-cw point map
+# (x,y)->(y,W-x) then sends it to the right edge, 180 to the bottom,
+# 270 to the left. Literal so the DuckDB oracle embeds identical
+# values; ``weights_path`` swaps in a .npz artifact exactly like the
+# other heads.
+ORIENT_WEIGHTS = [
+    [-2.0, 2.0, -2.0, 2.0],
+    [0.0, 2.0, 0.0, -2.0],
+    [2.0, 0.0, -2.0, 0.0],
+    [0.0, -2.0, 2.0, 0.0],
+]
+
+ORIENT_CLASSES = ["rot0", "rot90", "rot180", "rot270"]
+
+ORIENT_SCHEMA = ("doc_id string, offset int, score_rot0 double, "
+                 "score_rot90 double, score_rot180 double, "
+                 "score_rot270 double, pred_rot int, declared_rot int")
+
+ORIENT_VERSION = "page-orient-linear-v1"
+
+
+def _orient_features(page: dict) -> tuple[float, float, float]:
+    """(is_v, cx, cy) of the FIRST text line in content order —
+    scalar-JSON-path extractable, so the oracle mirrors it verbatim.
+    A page with no text lines gets the neutral (0, 0.5, 0.5), which
+    the head maps to rot0 (ties break toward the lower class)."""
+    lines = page.get("text_lines") or []
+    if not lines:
+        return 0.0, 0.5, 0.5
+    t = lines[0]
+    w = float(page.get("width") or 1.0) or 1.0
+    h = float(page.get("height") or 1.0) or 1.0
+    return (1.0 if t.get("dir", "h") == "v" else 0.0,
+            (float(t["x0"]) + float(t["x1"])) / 2.0 / w,
+            (float(t["y0"]) + float(t["y1"])) / 2.0 / h)
+
+
+def _make_orient_stage(weights_bc, version: str, mat_counter=None):
+    def stage(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        w = _get_model(version, weights_bc, mat_counter)
+        for batch in batches:
+            doc_ids = batch.column(0).to_pylist()
+            offsets = batch.column(1).to_pylist()
+            payloads = batch.column(2).to_pylist()
+            n = len(payloads)
+            feats = np.zeros((n, 4), dtype=np.float64)
+            feats[:, 3] = 1.0
+            declared = np.zeros(n, dtype=np.int32)
+            poisoned = np.zeros(n, dtype=bool)
+            for i, p in enumerate(payloads):
+                try:
+                    page = json.loads(p)
+                    feats[i, :3] = _orient_features(page)
+                    declared[i] = int(page.get("rotation") or 0)
+                except Exception:  # noqa: BLE001 — quarantine bad pages
+                    poisoned[i] = True
+            scores = np.round(feats @ w, 6)
+            cls = np.argmax(scores, axis=1)
+            scores[poisoned] = 0.0
+            pred = np.where(poisoned, -1, cls * 90).astype(np.int32)
+            declared[poisoned] = -1
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(doc_ids, pa.string()),
+                 pa.array(offsets, pa.int32()),
+                 pa.array(scores[:, 0]), pa.array(scores[:, 1]),
+                 pa.array(scores[:, 2]), pa.array(scores[:, 3]),
+                 pa.array(pred, pa.int32()),
+                 pa.array(declared, pa.int32())],
+                names=["doc_id", "offset", "score_rot0", "score_rot90",
+                       "score_rot180", "score_rot270", "pred_rot",
+                       "declared_rot"])
+    return stage
+
+
+def score_page_orientation(docs_spans: DataFrame,
+                           weights_path: str | None = None,
+                           _mat_counter=None) -> DataFrame:
+    """documents(doc_id, spans) → one orientation prediction per
+    pdf_page span: (scores over rot0/90/180/270, pred_rot in degrees,
+    declared_rot from the payload for parity checks; -1 on a poisoned
+    payload). Same seam as the other heads — broadcast weights,
+    version-keyed executor singleton, one matmul per Arrow batch,
+    narrow plan."""
+    spark = docs_spans.sparkSession
+    if weights_path is not None:
+        weights, version = load_weights(weights_path)
+        weights_bc = spark.sparkContext.broadcast(weights.tolist())
+    else:
+        version = ORIENT_VERSION
+        weights_bc = spark.sparkContext.broadcast(ORIENT_WEIGHTS)
+    pages = (
+        docs_spans.select("doc_id", F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "pdf_page")
+        .select("doc_id", F.col("s.offset").alias("offset"),
+                F.col("s.text").alias("text"))
+    )
+    return pages.mapInArrow(
+        _make_orient_stage(weights_bc, version, _mat_counter),
+        schema=ORIENT_SCHEMA)
