@@ -936,17 +936,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             q_page_select(spark, sf_dir), "doc_id")
 
     def q_ocr_from_model(spark, sf_dir):
-        # artifact → structure → HTML with NO pre-filled fixture
-        # structure: the .npz TSR head (loaded from disk, broadcast)
-        # infers (polygons, logi) from the det boxes at runtime and
-        # the existing core.logicell route decodes it — the
-        # reference's base_infer_task model dispatch end-to-end
-        # (base_infer_task.py:311-315)
+        # artifact → model output with NO pre-filled fixture payloads,
+        # two heads (the reference's base_infer_task model dispatch,
+        # base_infer_task.py:311-315):
+        #  * TSR arm — the .npz TSR head infers (polygons, logi) from
+        #    det boxes at runtime, decoded by core.logicell to HTML;
+        #  * det/rec arm — the .npz det head recovers text-line boxes
+        #    + text from per-character glyph EVIDENCE (core.dethead),
+        #    never reading the planted det_cells; the oracle is an
+        #    independent SQL interval-merge twin over the plants.
         from pdf_table_spark.spark.model_stage import (
-            score_table_structure)
-        npz = os.path.join(_fixture_dir(sf_dir), "tsr_head.npz")
-        return score_table_structure(
-            _spans_df(spark, sf_dir), weights_path=npz)
+            score_table_structure, score_text_detection)
+        fx = _fixture_dir(sf_dir)
+        tsr = score_table_structure(
+            _spans_df(spark, sf_dir),
+            weights_path=os.path.join(fx, "tsr_head.npz"))
+        det = score_text_detection(
+            _spans_df(spark, sf_dir),
+            weights_path=os.path.join(fx, "det_head.npz")).select(
+            "doc_id", "offset", F.lit("det_cell").alias("kind"),
+            F.format_string("%.1f,%.1f,%.1f,%.1f|%s", "x0", "y0",
+                            "x1", "y1", "text").alias("text"))
+        return tsr.unionByName(det)
 
     return {
         "extract_spans": q_extract_spans,
@@ -3015,15 +3026,64 @@ def _merge_oracles(o: dict[str, str]) -> dict[str, str]:
         union all select doc_id, -1, 'doc_html', html from d
     """
 
-    # from-model TSR: checked against golden_model_tsr.parquet —
-    # written by fixtures/build.py from the SAME .npz artifact through
-    # the single-process core.tsrhead + core.logicell path (the
-    # extract_spans golden pattern applied to the model seam)
+    # from-model, two arms. TSR: checked against
+    # golden_model_tsr.parquet — written by fixtures/build.py from the
+    # SAME .npz artifact through the single-process core.tsrhead +
+    # core.logicell path (the extract_spans golden pattern applied to
+    # the model seam). det/rec: an INDEPENDENT pure-SQL twin — the
+    # head works from glyph evidence, the oracle merges the PLANTED
+    # det intervals (same visual line = same y-extent here; x-gaps >=
+    # 2x the median char width split detections, >= 0.5x insert the
+    # space) — code-disjoint ground truth, not a shared golden.
     merged["ocr_from_model"] = (
         f'select doc_id, "offset" as offset, kind, text '
         f"from read_parquet('"
         + os.path.join(FIXTURE_ROOT, "sf0.01",
-                       "golden_model_tsr.parquet") + "')")
+                       "golden_model_tsr.parquet") + "')"
+        + f"""
+        union all
+        select * from (
+        with pages as (
+          select doc_id, s."offset" as "offset", s.text as text
+          from (select doc_id, unnest(spans) as s
+                from read_parquet('{SPANS_001}/*.parquet'))
+          where s.kind = 'ocr_page' and json_valid(s.text)
+        ), dets as (
+          select doc_id, "offset",
+                 unnest(json_transform(json_extract(text,
+                   '$.det_cells'),
+                   '[{{"x0":"DOUBLE","y0":"DOUBLE","x1":"DOUBLE",'
+                   '"y1":"DOUBLE","text":"VARCHAR"}}]'),
+                   recursive := true)
+          from pages
+        ), mw as (
+          select doc_id, "offset",
+                 median((x1 - x0) / length(text)) as mw
+          from dets group by 1, 2
+        ), gapped as (
+          select d.doc_id, d."offset", d.x0, d.y0, d.x1, d.y1,
+                 d.text, m.mw, d.x0 - lag(d.x1) over w as gap
+          from dets d join mw m using (doc_id, "offset")
+          window w as (partition by d.doc_id, d."offset", d.y0, d.y1
+                       order by d.x0)
+        ), islands as (
+          select *, sum(case when gap is null or gap >= 2 * mw
+                             then 1 else 0 end)
+                   over (partition by doc_id, "offset", y0, y1
+                         order by x0) as isl
+          from gapped
+        )
+        select doc_id, "offset", 'det_cell',
+               printf('%.1f,%.1f,%.1f,%.1f|%s',
+                      min(x0), min(y0), max(x1), max(y1),
+                      string_agg(
+                        case when gap is null or gap >= 2 * mw then ''
+                             when gap >= 0.5 * mw then ' '
+                             else '' end || text, '' order by x0))
+        from islands
+        group by doc_id, "offset", y0, y1, isl
+        )
+        """)
 
     o.pop("top_docs_by_tables")
     merged["tables_per_doc"] = f"""

@@ -293,10 +293,16 @@ def _ocr_page(rng):
                     "y1": cy1 - 6.0, "text": txt})
                 if rng.random() < 0.15:  # multi-det cell: joined by ' '
                     extra = rng.choice(VOCAB)
-                    det_cells.append({
-                        "x0": cx0 + 60.0, "y0": cy0 + 6.0,
-                        "x1": cx0 + 60.0 + 7.0 * len(extra),
-                        "y1": cy1 - 6.0, "text": extra})
+                    # glyph evidence is physical: the second det starts
+                    # clear of the first (never overlapping boxes) and
+                    # must still fit inside the cell, else it's skipped
+                    ex0 = max(cx0 + 60.0,
+                              det_cells[-1]["x1"] + 8.0)
+                    if ex0 + 7.0 * len(extra) <= cx1 - 2.0:
+                        det_cells.append({
+                            "x0": ex0, "y0": cy0 + 6.0,
+                            "x1": ex0 + 7.0 * len(extra),
+                            "y1": cy1 - 6.0, "text": extra})
             c += span
         if not (truncated and last_row):
             tokens.append("</tr>")
@@ -321,11 +327,43 @@ def _ocr_page(rng):
         cell_bboxes = [
             [PAGE_W - b[2], PAGE_H - b[3], PAGE_W - b[0], PAGE_H - b[1]]
             for b in cell_bboxes]
-    return json.dumps({
+    return _dump_ocr(rng, {
         "width": PAGE_W, "height": PAGE_H,
         "det_cells": det_cells,
-        "tables": [{"tokens": tokens, "cell_bboxes": cell_bboxes}]},
-        sort_keys=True)
+        "tables": [{"tokens": tokens, "cell_bboxes": cell_bboxes}]})
+
+
+def _plant_glyphs(rng, det_cells):
+    """Per-character glyph boxes — the PHYSICAL evidence a det model
+    detects from. Each det's chars tile its x-extent uniformly (char
+    width = width / len(text)); space slots stay empty, so word gaps
+    are exactly one char wide and inter-det gaps are whatever the
+    layout leaves. Emitted in SHUFFLED order: the det/rec head must
+    recover reading order itself. On 180-flipped pages glyphs tile in
+    text order within the flipped box (the in-box orientation recovery
+    is the rec model's internal job in the reference; here M4's
+    orientation vote handles it downstream)."""
+    glyphs = []
+    for d in det_cells:
+        txt = d["text"]
+        cw = (d["x1"] - d["x0"]) / len(txt)
+        for i, ch in enumerate(txt):
+            if ch == " ":
+                continue
+            glyphs.append({
+                "c": ch,
+                "x0": round(d["x0"] + cw * i, 3),
+                "x1": round(d["x0"] + cw * (i + 1), 3),
+                "y0": d["y0"], "y1": d["y1"]})
+    rng.shuffle(glyphs)
+    return glyphs
+
+
+def _dump_ocr(rng, payload):
+    """Finalize an ocr_page payload: plant the glyph evidence for its
+    det_cells, then dump with sorted keys (byte-stable fixtures)."""
+    payload["glyphs"] = _plant_glyphs(rng, payload["det_cells"])
+    return json.dumps(payload, sort_keys=True)
 
 
 def _grid_dets(rng, x0, y0, n_rows, n_cols, col_w, row_h,
@@ -434,9 +472,9 @@ def _ocr_page_logi(rng):
                 [p[0] - dx, p[1] - dy, p[2] - dx, p[3] - dy,
                  p[4] - dx, p[5] - dy, p[6] - dx, p[7] - dy]
                 for p in polygons]
-    return json.dumps({
+    return _dump_ocr(rng, {
         "width": PAGE_W, "height": PAGE_H,
-        "det_cells": dets, "tables": [table]}, sort_keys=True)
+        "det_cells": dets, "tables": [table]})
 
 
 def _ocr_page_plain(rng):
@@ -459,22 +497,26 @@ def _ocr_page_plain(rng):
     dets = _grid_dets(rng, x0, y0, n_rows, n_cols, col_w, row_h,
                       multiline_p=0.0)
     if rng.random() < 0.5:
-        # multi-det cell: second det right of the first in cell (0,0)
+        # multi-det cell: second det right of the first in cell (0,0);
+        # placed clear of the first det (glyph evidence never
+        # overlaps) and only if it still fits inside the cell
         extra = rng.choice(VOCAB)
-        dets.append({"x0": x0 + 62.0, "y0": y0 + 4.0,
-                     "x1": x0 + 62.0 + 6.0 * len(extra),
-                     "y1": y0 + row_h - 4.0, "text": extra})
+        ex0 = max(x0 + 62.0, dets[0]["x1"] + 8.0)
+        if ex0 + 6.0 * len(extra) <= x0 + col_w - 2.0:
+            dets.append({"x0": ex0, "y0": y0 + 4.0,
+                         "x1": ex0 + 6.0 * len(extra),
+                         "y1": y0 + row_h - 4.0, "text": extra})
     if rng.random() < 0.5:
         # F4: entirely above the table top → dropped, lands in prose
         cap = _words(rng, 2, 4)
         dets.append({"x0": x0, "y0": y0 - 30.0,
                      "x1": x0 + 6.0 * len(cap), "y1": y0 - 16.0,
                      "text": cap})
-    return json.dumps({
+    return _dump_ocr(rng, {
         "width": PAGE_W, "height": PAGE_H,
         "det_cells": dets,
         "tables": [{"tokens": tokens, "cell_bboxes": cell_bboxes,
-                    "use_master": False}]}, sort_keys=True)
+                    "use_master": False}]})
 
 
 def _ocr_page_lgpma(rng):
@@ -525,9 +567,15 @@ def _ocr_page_lgpma(rng):
         # the join must skip the space before '%'
         txt = ("%" if rng.random() < 0.5 else "") + rng.choice(VOCAB)
         rr = n_rows - 1
-        dets.append({"x0": x0 + 60.0, "y0": y0 + rr * row_h + 4.0,
-                     "x1": x0 + 60.0 + 6.0 * len(txt),
-                     "y1": y0 + (rr + 1) * row_h - 4.0, "text": txt})
+        # clear of the cell's first det — glyph evidence never overlaps
+        first = next((d for d in dets
+                      if d["y0"] == y0 + rr * row_h + 4.0
+                      and d["x0"] == x0 + 4.0), None)
+        ex0 = max(x0 + 60.0, (first["x1"] + 8.0) if first else 0.0)
+        if ex0 + 6.0 * len(txt) <= x0 + col_w - 2.0:
+            dets.append({"x0": ex0, "y0": y0 + rr * row_h + 4.0,
+                         "x1": ex0 + 6.0 * len(txt),
+                         "y1": y0 + (rr + 1) * row_h - 4.0, "text": txt})
 
     py = y0 + n_rows * row_h + 3.0 * row_h
     for _ in range(rng.randint(0, 2)):
@@ -549,9 +597,9 @@ def _ocr_page_lgpma(rng):
                 [[b[0] - dx, b[1] - dy, b[2] - dx, b[3] - dy, b[4]]
                  for b in cls]
                 for cls in table["lgpma"]]
-    return json.dumps({
+    return _dump_ocr(rng, {
         "width": PAGE_W, "height": PAGE_H,
-        "det_cells": dets, "tables": [table]}, sort_keys=True)
+        "det_cells": dets, "tables": [table]})
 
 
 def _ocr_page_stacked(rng):
@@ -584,9 +632,9 @@ def _ocr_page_stacked(rng):
     det_cells = [d for _, _, ds, _ in pages for d in ds]
     tables = [{"tokens": t, "cell_bboxes": b, "use_master": False,
                "region": rg} for t, b, _, rg in pages]
-    return json.dumps({
+    return _dump_ocr(rng, {
         "width": PAGE_W, "height": PAGE_H,
-        "det_cells": det_cells, "tables": tables}, sort_keys=True)
+        "det_cells": det_cells, "tables": tables})
 
 
 def _skewed_page(rng):

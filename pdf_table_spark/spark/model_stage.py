@@ -420,3 +420,78 @@ def score_page_orientation(docs_spans: DataFrame,
     return pages.mapInArrow(
         _make_orient_stage(weights_bc, version, _mat_counter),
         schema=ORIENT_SCHEMA)
+
+
+# --------------------------------------------------------------------
+# det/rec head — fifth consumer of the seam (M3 text detection + M5
+# recognition over glyph evidence; core.dethead holds the decode)
+# --------------------------------------------------------------------
+
+DET_SCHEMA = ("doc_id string, offset int, x0 double, y0 double, "
+              "x1 double, y1 double, text string")
+
+
+def _make_det_stage(weights_bc, version: str, mat_counter=None):
+    def stage(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..core.dethead import detect_lines
+        w = _get_model(version, weights_bc, mat_counter)
+        for batch in batches:
+            doc_ids = batch.column(0).to_pylist()
+            offsets = batch.column(1).to_pylist()
+            payloads = batch.column(2).to_pylist()
+            rows = {k: [] for k in
+                    ("doc_id", "offset", "x0", "y0", "x1", "y1", "text")}
+            for did, off, p in zip(doc_ids, offsets, payloads):
+                try:
+                    dets = detect_lines(json.loads(p), w.tolist())
+                except Exception:  # noqa: BLE001 — quarantine bad pages
+                    continue
+                for d in dets:
+                    rows["doc_id"].append(did)
+                    rows["offset"].append(off)
+                    for k in ("x0", "y0", "x1", "y1", "text"):
+                        rows[k].append(d[k])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(rows["doc_id"], pa.string()),
+                 pa.array(rows["offset"], pa.int32()),
+                 pa.array(rows["x0"], pa.float64()),
+                 pa.array(rows["y0"], pa.float64()),
+                 pa.array(rows["x1"], pa.float64()),
+                 pa.array(rows["y1"], pa.float64()),
+                 pa.array(rows["text"], pa.string())],
+                names=["doc_id", "offset", "x0", "y0",
+                       "x1", "y1", "text"])
+    return stage
+
+
+def score_text_detection(docs_spans: DataFrame,
+                         weights_path: str | None = None,
+                         _mat_counter=None) -> DataFrame:
+    """documents(doc_id, spans) → one row per DETECTED text line on
+    each ocr_page span: box + recognized text, recovered from the
+    page's per-character ``glyphs`` evidence with NO access to the
+    planted det_cells (core.dethead). The driver oracle checks the
+    output against the planted detections via an interval-merge twin
+    in pure SQL — an independent ground truth, not shared code.
+
+    Same seam as the other heads: ``weights_path`` loads a ``.npz``
+    parameter vector once on the driver, broadcasts it, and the
+    executor singleton keys on the artifact's version string; one
+    Python boundary, narrow plan."""
+    from ..core.dethead import DET_VERSION, DET_WEIGHTS
+    spark = docs_spans.sparkSession
+    if weights_path is not None:
+        weights, version = load_weights(weights_path)
+        weights_bc = spark.sparkContext.broadcast(weights.tolist())
+    else:
+        version = DET_VERSION
+        weights_bc = spark.sparkContext.broadcast(DET_WEIGHTS)
+    pages = (
+        docs_spans.select("doc_id", F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "ocr_page")
+        .select("doc_id", F.col("s.offset").alias("offset"),
+                F.col("s.text").alias("text"))
+    )
+    return pages.mapInArrow(
+        _make_det_stage(weights_bc, version, _mat_counter),
+        schema=DET_SCHEMA)
