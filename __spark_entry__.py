@@ -944,19 +944,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #  * det/rec arm — the .npz det head recovers text-line boxes
         #    + text from per-character glyph EVIDENCE (core.dethead),
         #    never reading the planted det_cells; the oracle is an
-        #    independent SQL interval-merge twin over the plants.
+        #    independent SQL interval-merge twin over the plants;
+        #  * contour arm (O4) — top-10 ink-blob region proposals per
+        #    page from the same detected lines, one shared boundary.
         from pdf_table_spark.spark.model_stage import (
-            score_table_structure, score_text_detection)
+            score_det_contours, score_table_structure)
         fx = _fixture_dir(sf_dir)
         tsr = score_table_structure(
             _spans_df(spark, sf_dir),
             weights_path=os.path.join(fx, "tsr_head.npz"))
-        det = score_text_detection(
+        det = score_det_contours(
             _spans_df(spark, sf_dir),
-            weights_path=os.path.join(fx, "det_head.npz")).select(
-            "doc_id", "offset", F.lit("det_cell").alias("kind"),
-            F.format_string("%.1f,%.1f,%.1f,%.1f|%s", "x0", "y0",
-                            "x1", "y1", "text").alias("text"))
+            weights_path=os.path.join(fx, "det_head.npz"))
         return tsr.unionByName(det)
 
     return {
@@ -3072,16 +3071,50 @@ def _merge_oracles(o: dict[str, str]) -> dict[str, str]:
                    over (partition by doc_id, "offset", y0, y1
                          order by x0) as isl
           from gapped
+        ), lines as (
+          select doc_id, "offset", min(x0) as x0, y0,
+                 max(x1) as x1, y1,
+                 string_agg(
+                   case when gap is null or gap >= 2 * mw then ''
+                        when gap >= 0.5 * mw then ' '
+                        else '' end || text, '' order by x0) as text
+          from islands
+          group by doc_id, "offset", y0, y1, isl
+        ), lh as (
+          select doc_id, "offset", median(y1 - y0) as mh
+          from lines group by 1, 2
+        ), reach as (
+          select l.*, h.mh,
+                 max(l.y1) over (partition by l.doc_id, l."offset"
+                   order by l.y0, l.x0
+                   rows between unbounded preceding and 1 preceding)
+                   as prev_reach
+          from lines l join lh h using (doc_id, "offset")
+        ), blob as (
+          select *, sum(case when prev_reach is null
+                              or y0 > prev_reach + 1.5 * mh
+                             then 1 else 0 end)
+                   over (partition by doc_id, "offset"
+                         order by y0, x0) as bid
+          from reach
+        ), bb as (
+          select doc_id, "offset", min(x0) as x0, min(y0) as y0,
+                 max(x1) as x1, max(y1) as y1,
+                 (max(x1) - min(x0)) * (max(y1) - min(y0)) as area
+          from blob group by doc_id, "offset", bid
+        ), ranked as (
+          select *, row_number() over (partition by doc_id, "offset"
+                   order by area desc, y0, x0) as rk
+          from bb
         )
         select doc_id, "offset", 'det_cell',
-               printf('%.1f,%.1f,%.1f,%.1f|%s',
-                      min(x0), min(y0), max(x1), max(y1),
-                      string_agg(
-                        case when gap is null or gap >= 2 * mw then ''
-                             when gap >= 0.5 * mw then ' '
-                             else '' end || text, '' order by x0))
-        from islands
-        group by doc_id, "offset", y0, y1, isl
+               printf('%.1f,%.1f,%.1f,%.1f|%s', x0, y0, x1, y1, text)
+        from lines
+        union all
+        select doc_id, "offset", 'contour',
+               printf('%d|%.1f,%.1f,%.1f,%.1f|%.1f',
+                      rk, x0, y0, x1, y1, area)
+        from ranked where rk <= 10
         )
         """)
 

@@ -106,3 +106,49 @@ def format_det(d: dict) -> str:
     recognized text (mirrored by the DuckDB oracle's printf)."""
     return (f"{d['x0']:.1f},{d['y0']:.1f},{d['x1']:.1f},"
             f"{d['y1']:.1f}|{d['text']}")
+
+
+def contour_blobs(lines: list[dict], tol_f: float = 1.5,
+                  top_k: int = 10) -> list[dict]:
+    """O4 stand-in: the reference proposes table regions by
+    binarizing the raster, taking cv2 contours, and keeping the 10
+    largest by area (``table_common.py`` contour top-10). Without a
+    raster, the ink evidence is the detected text lines: a contour
+    blob is a maximal vertical run of lines whose y-gap to the run so
+    far is < ``tol_f`` x the median line height (pure y-chaining —
+    the contour of a table spans its full width, so columns of one
+    row always share a blob). Returns the ``top_k`` largest blobs as
+    ``{rank, x0, y0, x1, y1, area}``, area-descending, ties broken by
+    (y0, x0)."""
+    if not lines:
+        return []
+    mh = _median([ln["y1"] - ln["y0"] for ln in lines])
+    tol = tol_f * mh
+    ordered = sorted(lines, key=lambda d: (d["y0"], d["x0"]))
+    blobs: list[list[dict]] = [[ordered[0]]]
+    reach = ordered[0]["y1"]
+    for ln in ordered[1:]:
+        if ln["y0"] > reach + tol:
+            blobs.append([ln])
+        else:
+            blobs[-1].append(ln)
+        reach = max(reach, ln["y1"])
+    out = []
+    for b in blobs:
+        x0 = min(d["x0"] for d in b)
+        y0 = min(d["y0"] for d in b)
+        x1 = max(d["x1"] for d in b)
+        y1 = max(d["y1"] for d in b)
+        out.append({"x0": x0, "y0": y0, "x1": x1, "y1": y1,
+                    "area": (x1 - x0) * (y1 - y0)})
+    out.sort(key=lambda d: (-d["area"], d["y0"], d["x0"]))
+    del out[top_k:]
+    for i, d in enumerate(out, 1):
+        d["rank"] = i
+    return out
+
+
+def format_contour(d: dict) -> str:
+    """Stable wire format (mirrored by the DuckDB oracle printf)."""
+    return (f"{d['rank']}|{d['x0']:.1f},{d['y0']:.1f},{d['x1']:.1f},"
+            f"{d['y1']:.1f}|{d['area']:.1f}")

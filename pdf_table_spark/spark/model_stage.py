@@ -495,3 +495,67 @@ def score_text_detection(docs_spans: DataFrame,
     return pages.mapInArrow(
         _make_det_stage(weights_bc, version, _mat_counter),
         schema=DET_SCHEMA)
+
+
+DETC_SCHEMA = "doc_id string, offset int, kind string, text string"
+
+
+def _make_detc_stage(weights_bc, version: str, mat_counter=None):
+    def stage(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..core.dethead import (contour_blobs, detect_lines,
+                                    format_contour, format_det)
+        w = _get_model(version, weights_bc, mat_counter)
+        for batch in batches:
+            doc_ids = batch.column(0).to_pylist()
+            offsets = batch.column(1).to_pylist()
+            payloads = batch.column(2).to_pylist()
+            out = {k: [] for k in ("doc_id", "offset", "kind", "text")}
+            for did, off, p in zip(doc_ids, offsets, payloads):
+                try:
+                    lines = detect_lines(json.loads(p), w.tolist())
+                except Exception:  # noqa: BLE001 — quarantine bad pages
+                    continue
+                for d in lines:
+                    out["doc_id"].append(did)
+                    out["offset"].append(off)
+                    out["kind"].append("det_cell")
+                    out["text"].append(format_det(d))
+                for b in contour_blobs(lines):
+                    out["doc_id"].append(did)
+                    out["offset"].append(off)
+                    out["kind"].append("contour")
+                    out["text"].append(format_contour(b))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out["doc_id"], pa.string()),
+                 pa.array(out["offset"], pa.int32()),
+                 pa.array(out["kind"], pa.string()),
+                 pa.array(out["text"], pa.string())],
+                names=["doc_id", "offset", "kind", "text"])
+    return stage
+
+
+def score_det_contours(docs_spans: DataFrame,
+                       weights_path: str | None = None,
+                       _mat_counter=None) -> DataFrame:
+    """Combined det/rec + O4 contour-proposal arm for the from-model
+    query: one scan, ONE Python boundary emitting both the detected
+    text lines (``det_cell`` rows, ``core.dethead.detect_lines``) and
+    the page's top-10 ink-blob region proposals (``contour`` rows,
+    ``core.dethead.contour_blobs``) in the driver wire format."""
+    from ..core.dethead import DET_VERSION, DET_WEIGHTS
+    spark = docs_spans.sparkSession
+    if weights_path is not None:
+        weights, version = load_weights(weights_path)
+        weights_bc = spark.sparkContext.broadcast(weights.tolist())
+    else:
+        version = DET_VERSION
+        weights_bc = spark.sparkContext.broadcast(DET_WEIGHTS)
+    pages = (
+        docs_spans.select("doc_id", F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "ocr_page")
+        .select("doc_id", F.col("s.offset").alias("offset"),
+                F.col("s.text").alias("text"))
+    )
+    return pages.mapInArrow(
+        _make_detc_stage(weights_bc, version, _mat_counter),
+        schema=DETC_SCHEMA)

@@ -152,3 +152,57 @@ def test_stage_npz_artifact_and_quarantine(spark, tmp_path):
     assert plan.count("MapInArrow") + plan.count("ArrowEvalPython") == 1
     # narrow: no exchange anywhere in the stage's plan
     assert "Exchange" not in plan
+
+
+def test_contour_blobs_grouping_and_rank():
+    from pdf_table_spark.core.dethead import contour_blobs
+    mk = lambda x0, y0, x1, y1: {"x0": x0, "y0": y0, "x1": x1,
+                                 "y1": y1, "text": ""}
+    # table rows 8 apart chain into one blob; prose 80 below is its
+    # own; median line height 18 -> tol 27
+    lines = [mk(50, 60, 530, 78), mk(50, 86, 530, 104),
+             mk(50, 112, 530, 130),
+             mk(50, 210, 350, 228)]
+    out = contour_blobs(lines)
+    assert [(b["rank"], b["x0"], b["y0"], b["x1"], b["y1"])
+            for b in out] == [
+        (1, 50, 60, 530, 130), (2, 50, 210, 350, 228)]
+    assert out[0]["area"] == 480 * 70
+
+
+def test_contour_blobs_top_k_and_running_reach():
+    from pdf_table_spark.core.dethead import contour_blobs
+    mk = lambda y0, y1: {"x0": 10.0, "y0": y0, "x1": 110.0,
+                         "y1": y1, "text": ""}
+    # 12 isolated lines 200 apart -> 12 blobs, only 10 kept
+    out = contour_blobs([mk(200.0 * i, 200.0 * i + 18) for i in
+                         range(12)])
+    assert len(out) == 10
+    assert [b["rank"] for b in out] == list(range(1, 11))
+    # a TALL line followed by a short one overlapping its extent:
+    # the running reach (max y1 so far), not the previous line's y1,
+    # must decide the chain
+    tall = {"x0": 10.0, "y0": 0.0, "x1": 110.0, "y1": 100.0,
+            "text": ""}
+    short = {"x0": 10.0, "y0": 5.0, "x1": 60.0, "y1": 20.0,
+             "text": ""}
+    trailing = {"x0": 10.0, "y0": 110.0, "x1": 60.0, "y1": 125.0,
+                "text": ""}
+    assert len(contour_blobs([tall, short, trailing])) == 1
+    assert contour_blobs([]) == []
+
+
+def test_score_det_contours_shares_one_boundary(spark):
+    from pdf_table_spark.spark.model_stage import score_det_contours
+    payload = json.dumps({
+        "det_cells": [],
+        "glyphs": _glyphs("kilo lima", 50.0, 100.0, 118.0)})
+    df = spark.createDataFrame(
+        [("d0", [("ocr_page", payload, None, 0)])], PAGE_SCHEMA)
+    rows = {(r.kind, r.text) for r in score_det_contours(df).collect()}
+    assert rows == {
+        ("det_cell", "50.0,100.0,113.0,118.0|kilo lima"),
+        ("contour", "1|50.0,100.0,113.0,118.0|1134.0")}
+    plan = (score_det_contours(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("MapInArrow") + plan.count("ArrowEvalPython") == 1
