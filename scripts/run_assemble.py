@@ -107,10 +107,17 @@ def main() -> None:
               (spark.read.parquet(prov_path)
                .groupBy("stage").agg(F.count("*").alias("n"))
                .collect())}
-    splits = {r["split"]: r["n"] for r in
-              (spark.read.parquet(f"{args.output}/assembled")
-               .groupBy("split").agg(F.count("*").alias("n"))
-               .collect())}
+    try:
+        splits = {r["split"]: r["n"] for r in
+                  (spark.read.parquet(f"{args.output}/assembled")
+                   .groupBy("split").agg(F.count("*").alias("n"))
+                   .collect())}
+    except Exception:
+        # every doc was gated out: partitionBy('split') wrote no files,
+        # so the verify-read cannot infer a schema. Report the empty
+        # result (with the stage histogram, which shows WHICH gate ate
+        # the corpus) instead of dying after the full run.
+        splits = {}
     dedup.release_caches()
     print(json.dumps({
         "metric": "assemble_wall", "value": round(wall, 3),
