@@ -241,15 +241,24 @@ def minhash_signatures_from_hashes(sh: DataFrame) -> DataFrame:
 
 
 def _lsh_pairs_from_signatures(sig: DataFrame,
-                               max_bucket: int | None) -> DataFrame:
+                               max_bucket: int | None,
+                               band_hash: str = "md5") -> DataFrame:
     """Band-join candidate pairs from a signature table (the
-    minhash_lsh_pairs core, reusable against a persisted sig)."""
+    minhash_lsh_pairs core, reusable against a persisted sig).
+
+    ``band_hash``: the bucket key is internal (any injective-enough
+    hash of the band's signature slice yields the same buckets), so
+    production uses 8-byte xxhash64 keys — the band table is
+    n_docs x BANDS rows, and 32-char md5 strings sextuple its shuffle
+    width. 'md5' is kept as the DuckDB-replicable oracle contract."""
     band_cols = []
     for bidx in range(BANDS):
         cols = [f"s{bidx * ROWS_PER_BAND + j}" for j in range(ROWS_PER_BAND)]
+        key = (F.xxhash64(F.concat_ws(",", *cols))
+               if band_hash == "xxhash64"
+               else F.md5(F.concat_ws(",", *cols)))
         band_cols.append(F.struct(
-            F.lit(bidx).alias("band"),
-            F.md5(F.concat_ws(",", *cols)).alias("bh")))
+            F.lit(bidx).alias("band"), key.alias("bh")))
     bands = sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("b")
     ).select("doc_id", F.col("b.band").alias("band"),
@@ -307,11 +316,24 @@ def dedup_corpus(docs: DataFrame, threshold: float = 0.8,
 
     sig = minhash_signatures_from_hashes(sh).persist()
     _PERSISTED.append(sig)
-    cand = _lsh_pairs_from_signatures(sig, max_bucket)
+    cand = _lsh_pairs_from_signatures(sig, max_bucket,
+                                      band_hash=hash_fn).persist()
+    _PERSISTED.append(cand)
 
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    # the exact-Jaccard verify only ever needs the CANDIDATE docs'
+    # shingles. Restricting sh up front (semi-join on the candidate id
+    # set — AQE broadcasts it once the band join reveals it is small)
+    # keeps the n_inter join and the sizes aggregate proportional to
+    # |candidates|, not to the corpus: at 50M docs the unrestricted
+    # variant shuffled the full 10^8-row shingle table twice.
+    cand_docs = (cand.select(F.col("doc_a").alias("doc_id"))
+                 .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+                 .distinct())
+    sh_c = sh.join(cand_docs, "doc_id", "semi")
+
+    sizes = sh_c.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh_c.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh_c.select(F.col("doc_id").alias("doc_b"), "sh")
     inter = (
         cand.join(a, "doc_a").join(b, ["doc_b", "sh"])
         .groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_inter"))

@@ -175,7 +175,11 @@ def assemble_training_set(docs: DataFrame,
 
     after_nd = survivors.join(nd_dropped, "doc_id", "left_anti")
     if benchmark is not None:
-        cont = (decontaminate(after_nd, benchmark, n=ngram_n)
+        # gram hashes follow the pipeline's hash_fn: xxhash64 keeps
+        # the bench gram set broadcastable ~6x longer (bigint vs
+        # 32-char md5 keys); 'md5' remains the oracle contract
+        cont = (decontaminate(after_nd, benchmark, n=ngram_n,
+                              hash_fn=hash_fn)
                 ["contaminated"].select("doc_id"))
     else:
         # schema-matched empty frame whatever the doc_id type is

@@ -616,23 +616,41 @@ def c4_span_dedup(docs: DataFrame, window: int = 3) -> DataFrame:
 # Benchmark decontamination (GPT-3 style n-gram overlap)
 # ---------------------------------------------------------------------------
 
-def _ngram_hash_rows(docs: DataFrame, n: int) -> DataFrame:
-    """Distinct md5 hashes of every lowercase whitespace-token n-gram
-    per doc (one row per (doc_id, gram); docs shorter than n tokens
-    contribute none — explicit guard, sequence(1, 0) runs DESCENDING)."""
+def _ngram_hash_rows(docs: DataFrame, n: int,
+                     hash_fn: str = "md5") -> DataFrame:
+    """Distinct hashes of every lowercase whitespace-token n-gram per
+    doc (one row per (doc_id, gram); docs shorter than n tokens
+    contribute none — explicit guard, sequence(1, 0) runs DESCENDING).
+
+    ``hash_fn``: 'md5' (32-char string, DuckDB-replicable — the oracle
+    contract) or 'xxhash64' (8-byte bigint — the production path: the
+    corpus gram side is n_docs x n_grams rows, and the narrow key
+    shrinks both the shuffle and the broadcast set ~6x). Contamination
+    is an equality test on grams, so any injective-enough hash yields
+    the same flagged set."""
+    if hash_fn == "xxhash64":
+        h = "xxhash64(array_join(slice(tk, i, {n}), ' '))".format(n=n)
+        empty = "cast(array() as array<bigint>)"
+    elif hash_fn == "md5":
+        h = "md5(array_join(slice(tk, i, {n}), ' '))".format(n=n)
+        empty = "cast(array() as array<string>)"
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}; "
+                         "one of 'xxhash64', 'md5'")
     toks = "filter(split(lower(text), '\\\\s+'), t -> t <> '')"
     return (docs
             .select("doc_id", F.expr(toks).alias("tk"))
             .select("doc_id", F.explode(F.expr(
-                f"if(size(tk) < {n}, cast(array() as array<string>), "
+                f"if(size(tk) < {n}, {empty}, "
                 f"array_distinct(transform(sequence(1, size(tk) - {n - 1}), "
-                f"i -> md5(array_join(slice(tk, i, {n}), ' ')))))"
+                f"i -> {h})))"
             )).alias("g")))
 
 
 def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                   n: int = 13, broadcast_bench: bool | None = None,
-                  broadcast_limit: int = 5_000_000) -> dict:
+                  broadcast_limit: int | None = None,
+                  hash_fn: str = "md5") -> dict:
     """Benchmark decontamination a la GPT-3 (Brown et al. 2020,
     App. C): flag every training document that shares at least one
     token ``n``-gram (default 13) with the benchmark/eval set, so eval
@@ -647,17 +665,27 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
     executor memory. The default (None) decides automatically: one
     count over the (small) bench gram side, broadcast iff it holds at
     most ``broadcast_limit`` distinct grams — the corpus side is never
-    scanned to decide.
+    scanned to decide. ``broadcast_limit`` defaults by key width
+    (None -> 5M md5-string grams / 30M bigint grams, ~250 MB of
+    broadcast either way): the flip guards executor memory, so the
+    limit is a byte budget, not a row count.
+
+    ``hash_fn``: 'md5' grams (DuckDB-replicable, the oracle contract)
+    or 'xxhash64' (production: 8-byte keys instead of 32-char strings;
+    same flagged set — contamination is a gram-equality test).
 
     Returns {"contaminated": (doc_id, n_hits) — distinct shared grams
     per flagged doc, "keep": doc_ids of clean corpus docs}.
     """
-    bench = _ngram_hash_rows(benchmark, n).select("g").distinct()
+    if broadcast_limit is None:
+        broadcast_limit = 30_000_000 if hash_fn == "xxhash64" else 5_000_000
+    bench = (_ngram_hash_rows(benchmark, n, hash_fn=hash_fn)
+             .select("g").distinct())
     if broadcast_bench is None:
         broadcast_bench = bench.count() <= broadcast_limit
     if broadcast_bench:
         bench = F.broadcast(bench)
-    hits = (_ngram_hash_rows(corpus, n)
+    hits = (_ngram_hash_rows(corpus, n, hash_fn=hash_fn)
             .join(bench, "g")
             .groupBy("doc_id").agg(F.count("*").alias("n_hits")))
     keep = (corpus.join(hits.select("doc_id"), "doc_id", "left_anti")

@@ -71,3 +71,25 @@ def test_broadcast_threshold_flip(spark):
     # both shapes produce the same answer
     assert [tuple(r) for r in small.collect()] == \
         [tuple(r) for r in big.collect()]
+
+
+def test_xxhash64_grams_match_md5(spark):
+    """Production (xxhash64 bigint grams) and oracle (md5 string
+    grams) paths flag the identical doc set with identical hit
+    counts — contamination is a gram-equality test, so the key hash
+    is interchangeable."""
+    leak = " ".join(f"q{j}" for j in range(16))
+    bench = _docs(spark, [(900, f"question: {leak} end")])
+    corpus = _docs(spark, [
+        (1, "clean " + " ".join(f"a{j}" for j in range(30))),
+        (2, f"prefix text {leak} suffix text"),
+        (3, f"{leak} tail {leak}"),
+        (4, leak.replace("q5", "Z")),
+    ])
+    md5 = decontaminate(corpus, bench, hash_fn="md5")
+    xx = decontaminate(corpus, bench, hash_fn="xxhash64")
+    as_set = lambda out: {(r.doc_id, r.n_hits)
+                          for r in out["contaminated"].collect()}
+    assert as_set(md5) == as_set(xx)
+    assert {r.doc_id for r in md5["keep"].collect()} == \
+        {r.doc_id for r in xx["keep"].collect()}

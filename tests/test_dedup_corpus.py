@@ -56,3 +56,22 @@ def test_dedup_corpus_finds_planted_dups_once(boiler_docs):
         assert all(i in keep_ids for i in range(200))
     finally:
         assert release_caches() >= 2  # shingles + signatures were cached
+
+
+def test_hash_fn_paths_agree(boiler_docs):
+    """hash_fn='xxhash64' (8-byte shingle AND band keys — production)
+    and hash_fn='md5' (oracle contract) verify the same pairs at the
+    same jaccard: band keys are internal bucket labels, and the
+    candidate-doc shingle restriction never drops a verified pair."""
+    from pdf_table_spark.ops import dedup
+
+    a = dedup.dedup_corpus(boiler_docs, threshold=0.5, max_df=20,
+                           max_bucket=50, hash_fn="md5")
+    b = dedup.dedup_corpus(boiler_docs, threshold=0.5, max_df=20,
+                           max_bucket=50, hash_fn="xxhash64")
+    pa = {(r.doc_a, r.doc_b, r.jaccard) for r in a["pairs"].collect()}
+    pb = {(r.doc_a, r.doc_b, r.jaccard) for r in b["pairs"].collect()}
+    assert pa == pb and len(pa) > 0
+    assert {r.doc_id for r in a["keep"].collect()} == \
+        {r.doc_id for r in b["keep"].collect()}
+    dedup.release_caches()
