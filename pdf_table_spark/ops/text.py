@@ -84,16 +84,34 @@ def lang_id(docs: DataFrame) -> DataFrame:
     column per language — the schema is profile-count-independent.
     Narrow map."""
     toks = "filter(split(lower(text), '\\\\s+'), t -> t <> '')"
-    scores = [
-        F.expr(
-            "size(filter({toks}, t -> array_contains(array({words}), t)))"
-            .format(toks=toks,
-                    words=", ".join(f"'{w}'" for w in words))
-        ).alias(f"score_{lang}")
-        for lang, words in sorted(LANG_STOPWORDS.items())
-    ]
-    scored = docs.select("doc_id", *scores)
     langs = sorted(LANG_STOPWORDS)
+    # ONE interpreted pass per doc, not one per language: a constant
+    # token -> per-language 0/1 indicator map (stopword lists overlap
+    # across languages), folded once by Catalyst. Non-stopword tokens
+    # cost a single hash probe; a per-language filter() lambda costs
+    # |langs| x |list| string compares per token (24 profiles made the
+    # old shape ~10x the whole-query wall at sf0.1). Hit counts are
+    # bit-identical: every token occurrence still scores every list
+    # it appears in.
+    vocab: dict[str, list[int]] = {}
+    for li, lang in enumerate(langs):
+        for w in LANG_STOPWORDS[lang]:
+            vocab.setdefault(w, [0] * len(langs))[li] = 1
+    entries = ", ".join(
+        f"'{w}', array({', '.join(map(str, v))})"
+        for w, v in sorted(vocab.items()))
+    hits = (
+        f"aggregate({toks}, array_repeat(0, {len(langs)}), "
+        f"(acc, t) -> if(try_element_at(_m, t) is null, acc, "
+        f"zip_with(acc, try_element_at(_m, t), (a, b) -> a + b)))")
+    scored = (
+        docs.select("doc_id", F.expr(f"map({entries})").alias("_m"),
+                    F.col("text"))
+        .select("doc_id", F.expr(hits).alias("_hits"))
+        .select("doc_id",
+                *[F.expr(f"element_at(_hits, {i + 1})")
+                  .alias(f"score_{lang}")
+                  for i, lang in enumerate(langs)]))
     # ascending sort of (-score, lang) structs: [0] = winner,
     # [1] = runner-up under the same (score desc, lang asc) rule
     pairs = ", ".join(
@@ -234,21 +252,38 @@ def lang_id_ngram(docs: DataFrame, top_n: int = 20) -> DataFrame:
         .select("doc_id", F.expr(top).alias("top"))
     )
     langs = sorted(LANG_TRIGRAM_PROFILES)
-
-    def score(lang: str) -> str:
-        prof = ", ".join(f"'{g}'" for g in LANG_TRIGRAM_PROFILES[lang])
-        return (
-            f"if(size(top) = 0, {OOP_MAX * top_n}L, "
-            f"aggregate(sequence(1, size(top)), 0L, (acc, i) -> acc + "
-            f"if(array_position(array({prof}), element_at(top, i).g)"
-            f" = 0, {OOP_MAX}L, "
-            f"abs(i - array_position(array({prof}),"
-            f" element_at(top, i).g)))))"
-        )
-
-    scored = staged.select(
-        "doc_id", F.size("top").alias("n_grams"),
-        *[F.expr(score(la)).alias(f"score_{la}") for la in langs])
+    # ONE displacement pass per doc over a constant
+    # gram -> per-language rank map (0 = absent from that profile),
+    # instead of one aggregate+array_position scan per language: the
+    # old shape cost |langs| x top_n x profile-length interpreted ops
+    # per doc (~9600 at 24 profiles); this one costs top_n map probes
+    # + top_n x |langs| integer ops (~480). Scores are bit-identical:
+    # rank displacement per gram, OOP_MAX when absent.
+    ranks: dict[str, list[int]] = {}
+    for li, lang in enumerate(langs):
+        for pos, g in enumerate(LANG_TRIGRAM_PROFILES[lang], start=1):
+            ranks.setdefault(g, [0] * len(langs))[li] = pos
+    entries = ", ".join(
+        f"'{g}', array({', '.join(map(str, v))})"
+        for g, v in sorted(ranks.items()))
+    absent = f"array_repeat(0, {len(langs)})"
+    scores_arr = (
+        f"if(size(top) = 0, "
+        f"array_repeat({OOP_MAX * top_n}L, {len(langs)}), "
+        f"aggregate(sequence(1, size(top)), "
+        f"array_repeat(0L, {len(langs)}), (acc, i) -> "
+        f"zip_with(acc, coalesce("
+        f"try_element_at(_r, element_at(top, i).g), {absent}), "
+        f"(a, r) -> a + if(r = 0, {OOP_MAX}L, "
+        f"cast(abs(i - r) as bigint)))))")
+    scored = (
+        staged.select("doc_id", "top",
+                      F.expr(f"map({entries})").alias("_r"))
+        .select("doc_id", F.size("top").alias("n_grams"),
+                F.expr(scores_arr).alias("_s"))
+        .select("doc_id", "n_grams",
+                *[F.expr(f"element_at(_s, {i + 1})").alias(f"score_{la}")
+                  for i, la in enumerate(langs)]))
     # ascending (penalty, lang) structs: [0] = winner, [1] = runner-up;
     # margin = runner-up − winner penalty (the confidence gap)
     pairs = ", ".join(
