@@ -24,6 +24,9 @@ when the driver moves to another corpus.
 
 from __future__ import annotations
 
+import os
+import time
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -202,3 +205,114 @@ def assemble_training_set(docs: DataFrame,
         F.expr(split_expr(split_weights, seed=f"{seed}-split"))
         .alias("split"))
     return {"provenance": provenance, "assembled": assembled}
+
+
+def assemble_training_set_staged(docs: DataFrame,
+                                 workdir: str,
+                                 benchmark: DataFrame | None = None,
+                                 mixture: dict[str, float] | None = None,
+                                 source_col: str = "source",
+                                 split_weights: dict[str, float] | None = None,
+                                 min_words: int = 50,
+                                 min_stopword_hits: int = 2,
+                                 min_sentences: int = 3,
+                                 neardup_threshold: float = 0.8,
+                                 max_df: int = 10_000,
+                                 max_bucket: int = 10_000,
+                                 hash_fn: str = "xxhash64",
+                                 ngram_n: int = 13,
+                                 seed: str = "assemble-v1") -> dict:
+    """``assemble_training_set`` with MATERIALIZED stage boundaries —
+    the shape a corpus-scale run actually needs.
+
+    Same stages, same seeds, same rows: every assignment downstream of
+    the gates is a pure function of (doc_id, seed), so this variant is
+    output-identical to the single-lineage one (pinned by test). The
+    difference is operational:
+
+      * each stage writes its COMPACT result (ids / labels, never
+        text) to ``workdir/<stage>`` and the next stage reads it back,
+        restarting lineage — Spark can then GC the previous stage's
+        shuffle files and cached tables instead of pinning every
+        intermediate for the whole program. The monolithic lineage
+        held ~70 GB of live shuffle + persisted blocks at 50M docs on
+        one node and exhausted the disk; staged, the peak is ONE
+        stage's working set (the near-dedup stage dominates).
+      * a stage whose ``_SUCCESS`` marker exists is skipped entirely —
+        a pre-empted assembly resumes at the failed stage, the same
+        boundary a 10^12-doc run would checkpoint at the lake.
+
+    Returns {"provenance", "assembled" (both read back from workdir),
+    "stage_walls": {stage: seconds for stages run this call}}.
+    """
+    from .sampling import resample_mixture, split_expr
+    from .textfilters import decontaminate
+
+    spark = docs.sparkSession
+    walls: dict[str, float] = {}
+
+    def _release():
+        dedup.release_caches()
+        spark.catalog.clearCache()
+
+    def stage(name: str, build, partition_by: str | None = None):
+        p = os.path.join(workdir, name)
+        schema = None
+        if not os.path.exists(os.path.join(p, "_SUCCESS")):
+            t0 = time.perf_counter()
+            df = build()
+            schema = df.schema
+            w = df.write.mode("overwrite")
+            if partition_by:
+                w = w.partitionBy(partition_by)
+            w.parquet(p)
+            _release()
+            walls[name] = round(time.perf_counter() - t0, 3)
+        try:
+            return spark.read.parquet(p)
+        except Exception:
+            if schema is None:   # resumed AND unreadable: genuine error
+                raise
+            # a fully-gated stage wrote zero files under partitionBy —
+            # the read cannot infer a schema; carry on with the empty
+            # frame so the run reports the histogram instead of dying
+            return spark.createDataFrame([], schema)
+
+    cc = stage("cc", lambda: corpus_clean(
+        docs, min_words=min_words, min_stopword_hits=min_stopword_hits,
+        min_sentences=min_sentences))
+
+    def _survivors():
+        return docs.join(cc.filter("kept").select("doc_id"), "doc_id")
+
+    comp = stage("components", lambda: dedup.dedup_corpus_clusters(
+        _survivors(), threshold=neardup_threshold, max_df=max_df,
+        max_bucket=max_bucket, hash_fn=hash_fn)["components"])
+    nd_dropped = (comp.filter(F.col("doc_id") != F.col("component"))
+                  .select("doc_id"))
+
+    if benchmark is not None:
+        cont = stage("contaminated", lambda: decontaminate(
+            _survivors().join(nd_dropped, "doc_id", "left_anti"),
+            benchmark, n=ngram_n, hash_fn=hash_fn)
+            ["contaminated"].select("doc_id"))
+    else:
+        cont = docs.select("doc_id").limit(0)
+
+    prov = stage("provenance", lambda: _staged_provenance(
+        cc, [("neardup", nd_dropped), ("contaminated", cont)],
+        with_clean_fp=False), partition_by="stage")
+
+    def _assembled():
+        kept_docs = docs.join(
+            prov.filter("kept").select("doc_id"), "doc_id")
+        mixed = resample_mixture(kept_docs, mixture or {},
+                                 source_col=source_col,
+                                 seed=f"{seed}-mix")
+        return mixed.select(
+            "doc_id", source_col, "copy",
+            F.expr(split_expr(split_weights, seed=f"{seed}-split"))
+            .alias("split"))
+
+    asm = stage("assembled", _assembled, partition_by="split")
+    return {"provenance": prov, "assembled": asm, "stage_walls": walls}

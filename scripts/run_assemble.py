@@ -60,23 +60,34 @@ def main() -> None:
     ap.add_argument("--max-bucket", type=int, default=10_000)
     ap.add_argument("--ngram-n", type=int, default=13)
     ap.add_argument("--seed", default="assemble-v1")
+    ap.add_argument("--staged", action="store_true",
+                    help="materialize each stage to <output>/<stage> "
+                         "and restart lineage between stages: bounds "
+                         "peak shuffle/cache disk to one stage's "
+                         "working set and resumes at the first stage "
+                         "without a _SUCCESS marker (incompatible "
+                         "with --shards)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
 
     from pdf_table_spark.ops import dedup
-    from pdf_table_spark.ops.prepare import assemble_training_set
+    from pdf_table_spark.ops.prepare import (assemble_training_set,
+                                             assemble_training_set_staged)
     from pdf_table_spark.ops.sampling import write_shards
     from pdf_table_spark.spark.session import build_session
+
+    if args.staged and args.shards:
+        ap.error("--staged writes the partitioned layout directly; "
+                 "shard the materialized assembled table separately")
 
     spark = build_session("pdf_table_spark.assemble")
     docs = spark.read.parquet(args.input)
     bench = (spark.read.parquet(args.benchmark)
              if args.benchmark else None)
 
-    t0 = time.perf_counter()
-    out = assemble_training_set(
-        docs, benchmark=bench, mixture=_parse_mixture(args.mixture),
+    kw = dict(
+        benchmark=bench, mixture=_parse_mixture(args.mixture),
         min_words=args.min_words,
         min_stopword_hits=args.min_stopword_hits,
         min_sentences=args.min_sentences,
@@ -84,27 +95,39 @@ def main() -> None:
         max_df=args.max_df, max_bucket=args.max_bucket,
         ngram_n=args.ngram_n, seed=args.seed)
 
-    prov_path = f"{args.output}/provenance"
-    (out["provenance"].write.mode("overwrite")
-     .partitionBy("stage").parquet(prov_path))
-
-    asm = out["assembled"]
+    t0 = time.perf_counter()
     shard_counts = None
-    if args.shards > 0:
-        # (doc_id, copy) is the row key; shard on the copy-qualified id
-        keyed = asm.withColumn(
-            "row_key", F.concat_ws("#", F.col("doc_id").cast("string"),
-                                   F.col("copy").cast("string")))
-        shard_counts = write_shards(
-            keyed, f"{args.output}/assembled", args.shards,
-            key="row_key", seed=f"{args.seed}-shard")["counts"]
+    stage_walls = None
+    if args.staged:
+        # writes <output>/provenance (by stage) and <output>/assembled
+        # (by split) itself, stage by stage
+        out = assemble_training_set_staged(docs, args.output, **kw)
+        stage_walls = out["stage_walls"]
+        wall = time.perf_counter() - t0
     else:
-        (asm.write.mode("overwrite")
-         .partitionBy("split").parquet(f"{args.output}/assembled"))
-    wall = time.perf_counter() - t0
+        out = assemble_training_set(docs, **kw)
+
+        (out["provenance"].write.mode("overwrite")
+         .partitionBy("stage").parquet(f"{args.output}/provenance"))
+
+        asm = out["assembled"]
+        if args.shards > 0:
+            # (doc_id, copy) is the row key; shard on the
+            # copy-qualified id
+            keyed = asm.withColumn(
+                "row_key",
+                F.concat_ws("#", F.col("doc_id").cast("string"),
+                            F.col("copy").cast("string")))
+            shard_counts = write_shards(
+                keyed, f"{args.output}/assembled", args.shards,
+                key="row_key", seed=f"{args.seed}-shard")["counts"]
+        else:
+            (asm.write.mode("overwrite")
+             .partitionBy("split").parquet(f"{args.output}/assembled"))
+        wall = time.perf_counter() - t0
 
     stages = {r["stage"]: r["n"] for r in
-              (spark.read.parquet(prov_path)
+              (spark.read.parquet(f"{args.output}/provenance")
                .groupBy("stage").agg(F.count("*").alias("n"))
                .collect())}
     try:
@@ -123,6 +146,7 @@ def main() -> None:
         "metric": "assemble_wall", "value": round(wall, 3),
         "unit": "sec", "stages": stages, "splits": splits,
         "shards": shard_counts and len(shard_counts),
+        "stage_walls": stage_walls,
     }))
     spark.stop()
 

@@ -102,3 +102,34 @@ def test_extraction_feeds_assembly_end_to_end(spark, fixture_root):
     assert a.count() == kept                       # default 1 copy
     assert a.filter("split not in ('train','val','test')").count() == 0
     dedup.release_caches()
+
+
+def test_staged_matches_monolithic(spark, corpus, bench, tmp_path):
+    """The disk-bounded staged variant is output-identical to the
+    single-lineage program (same seeds, same stages), and a re-run
+    resumes: every _SUCCESS-marked stage is skipped."""
+    from pdf_table_spark.ops.prepare import assemble_training_set_staged
+
+    kw = dict(benchmark=bench, mixture={"web": 2.0},
+              min_words=10, min_stopword_hits=1, min_sentences=0,
+              neardup_threshold=0.8, max_df=1000, max_bucket=1000)
+    mono = assemble_training_set(corpus, **kw)
+    mono_prov = {(r.doc_id, r.stage, r.kept)
+                 for r in mono["provenance"].collect()}
+    mono_rows = {(r.doc_id, r.source, r.copy, r.split)
+                 for r in mono["assembled"].collect()}
+    dedup.release_caches()
+
+    wd = str(tmp_path / "staged")
+    staged = assemble_training_set_staged(corpus, wd, **kw)
+    assert {(r.doc_id, r.stage, r.kept)
+            for r in staged["provenance"].collect()} == mono_prov
+    assert {(r.doc_id, r.source, r.copy, r.split)
+            for r in staged["assembled"].collect()} == mono_rows
+    assert set(staged["stage_walls"]) == {
+        "cc", "components", "contaminated", "provenance", "assembled"}
+
+    again = assemble_training_set_staged(corpus, wd, **kw)
+    assert again["stage_walls"] == {}          # everything resumed
+    assert {(r.doc_id, r.source, r.copy, r.split)
+            for r in again["assembled"].collect()} == mono_rows
