@@ -24,6 +24,8 @@ twins hash-match.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -284,7 +286,8 @@ def _lsh_pairs_from_signatures(sig: DataFrame,
 def dedup_corpus(docs: DataFrame, threshold: float = 0.8,
                  max_df: int = 10_000,
                  max_bucket: int = 10_000,
-                 hash_fn: str = "xxhash64") -> dict:
+                 hash_fn: str = "xxhash64",
+                 materialize_dir: str | None = None) -> dict:
     """Corpus-facing near-dedup — the production entry point with every
     scale guard DEFAULTED ON (the oracle-exact ops above keep their
     uncapped semantics for the correctness gate):
@@ -307,18 +310,66 @@ def dedup_corpus(docs: DataFrame, threshold: float = 0.8,
 
     ``hash_fn='md5'`` switches the shingle hash to the DuckDB-
     replicable 60-bit md5 prefix so the whole capped pipeline can be
-    oracle-checked; production keeps the faster xxhash64."""
-    sh = shingle_hash_rows(docs, hash_fn=hash_fn)
-    keep_sh = (sh.groupBy("sh").agg(F.count("*").alias("df"))
-               .filter(F.col("df") <= max_df).select("sh"))
-    sh = sh.join(keep_sh, "sh").persist()
-    _PERSISTED.append(sh)
+    oracle-checked; production keeps the faster xxhash64.
 
-    sig = minhash_signatures_from_hashes(sh).persist()
-    _PERSISTED.append(sig)
-    cand = _lsh_pairs_from_signatures(sig, max_bucket,
-                                      band_hash=hash_fn).persist()
-    _PERSISTED.append(cand)
+    ``materialize_dir`` switches the big intermediates from
+    ``.persist()`` to parquet-in-a-workdir (signatures, candidates,
+    verified pairs; each skipped on rerun if its _SUCCESS marker
+    exists): lineage restarts at each file, so Spark can GC the
+    upstream shuffles instead of pinning the whole pipeline's working
+    set on local disk — the shape the shingle-table docstring above
+    prescribes for a 10^12-doc corpus, and what the 50M single-node
+    run needs (the cached shingle table alone is ~1.4B rows there).
+    Outputs are identical; callers may delete the dir afterwards
+    (keeping it makes reruns resume)."""
+    spark = docs.sparkSession
+
+    def _mat(df: DataFrame, name: str) -> DataFrame:
+        p = os.path.join(materialize_dir, name)
+        if not os.path.exists(os.path.join(p, "_SUCCESS")):
+            df.write.mode("overwrite").parquet(p)
+        return spark.read.parquet(p)
+
+    raw_sh = shingle_hash_rows(docs, hash_fn=hash_fn)
+    # df cap, inverted: ubiquitous shingles (df > max_df) are FEW by
+    # nature — boilerplate, not content — so broadcast-anti-join the
+    # dropped set instead of inner-joining the (corpus-sized) keep
+    # list: at 50M docs the keep join shuffled two ~1.3B-row sides.
+    # An adversarial corpus where the dropped set itself is huge falls
+    # back to the keyed join (correct at any size, just slower).
+    dropped_sh = (raw_sh.groupBy("sh").agg(F.count("*").alias("df"))
+                  .filter(F.col("df") > max_df).select("sh"))
+    if materialize_dir is not None:
+        dropped_sh = _mat(dropped_sh, "dropped_sh")
+    else:
+        dropped_sh = dropped_sh.persist()
+        _PERSISTED.append(dropped_sh)
+    bcast_limit = 5_000_000 if hash_fn == "xxhash64" else 1_000_000
+    n_dropped = dropped_sh.count()
+    if n_dropped == 0:
+        sh = raw_sh
+    elif n_dropped <= bcast_limit:
+        sh = raw_sh.join(F.broadcast(dropped_sh), "sh", "left_anti")
+    else:
+        sh = raw_sh.join(dropped_sh, "sh", "left_anti")
+
+    if materialize_dir is None:
+        sh = sh.persist()
+        _PERSISTED.append(sh)
+        sig = minhash_signatures_from_hashes(sh).persist()
+        _PERSISTED.append(sig)
+        cand = _lsh_pairs_from_signatures(sig, max_bucket,
+                                          band_hash=hash_fn).persist()
+        _PERSISTED.append(cand)
+    else:
+        # sh stays UNPERSISTED: its two consumers (signatures, the
+        # candidate-restricted verify below) each recompute it as one
+        # narrow scan — trading a second pass over the corpus for not
+        # caching ~28 rows/doc of shingles
+        sig = _mat(minhash_signatures_from_hashes(sh), "sig")
+        cand = _mat(_lsh_pairs_from_signatures(sig, max_bucket,
+                                               band_hash=hash_fn),
+                    "cand")
 
     # the exact-Jaccard verify only ever needs the CANDIDATE docs'
     # shingles. Restricting sh up front (semi-join on the candidate id
@@ -330,6 +381,10 @@ def dedup_corpus(docs: DataFrame, threshold: float = 0.8,
                  .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
                  .distinct())
     sh_c = sh.join(cand_docs, "doc_id", "semi")
+    if materialize_dir is not None:
+        # small (candidate docs only) and consumed three times below
+        sh_c = sh_c.persist()
+        _PERSISTED.append(sh_c)
 
     sizes = sh_c.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh_c.select(F.col("doc_id").alias("doc_a"), "sh")
@@ -350,6 +405,8 @@ def dedup_corpus(docs: DataFrame, threshold: float = 0.8,
                 .alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+    if materialize_dir is not None:
+        verified = _mat(verified, "pairs")
     dropped = verified.select(F.col("doc_b").alias("doc_id")).distinct()
     keep = docs.join(dropped, "doc_id", "left_anti").select("doc_id")
     return {"pairs": verified, "keep": keep}
@@ -547,15 +604,18 @@ def connected_components(pairs: DataFrame, a: str = "doc_a",
 
 def dedup_corpus_clusters(docs: DataFrame, threshold: float = 0.8,
                           max_df: int = 10_000, max_bucket: int = 10_000,
-                          hash_fn: str = "xxhash64") -> dict:
+                          hash_fn: str = "xxhash64",
+                          materialize_dir: str | None = None) -> dict:
     """dedup_corpus + transitive closure: the cluster-aware keep rule.
 
-    Runs the capped near-dedup pipeline (see ``dedup_corpus``), then
+    Runs the capped near-dedup pipeline (see ``dedup_corpus``,
+    including its ``materialize_dir`` disk-bounding mode), then
     connected components over the VERIFIED pairs, keeping exactly one
     doc (the minimum doc_id) per duplicate cluster. Docs in no cluster
     keep themselves. Returns {"pairs", "components", "keep"}.
     """
-    out = dedup_corpus(docs, threshold, max_df, max_bucket, hash_fn)
+    out = dedup_corpus(docs, threshold, max_df, max_bucket, hash_fn,
+                       materialize_dir=materialize_dir)
     comp = connected_components(out["pairs"])
     dropped = (comp.filter(F.col("doc_id") != F.col("component"))
                .select("doc_id"))

@@ -287,7 +287,9 @@ def assemble_training_set_staged(docs: DataFrame,
 
     comp = stage("components", lambda: dedup.dedup_corpus_clusters(
         _survivors(), threshold=neardup_threshold, max_df=max_df,
-        max_bucket=max_bucket, hash_fn=hash_fn)["components"])
+        max_bucket=max_bucket, hash_fn=hash_fn,
+        materialize_dir=os.path.join(workdir, "neardup_tmp"))
+        ["components"])
     nd_dropped = (comp.filter(F.col("doc_id") != F.col("component"))
                   .select("doc_id"))
 

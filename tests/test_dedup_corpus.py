@@ -75,3 +75,31 @@ def test_hash_fn_paths_agree(boiler_docs):
     assert {r.doc_id for r in a["keep"].collect()} == \
         {r.doc_id for r in b["keep"].collect()}
     dedup.release_caches()
+
+
+def test_materialize_dir_matches_persisted(boiler_docs, tmp_path):
+    """materialize_dir (parquet stage boundaries, no persisted shingle
+    table) returns the identical pairs/keep sets as the cached
+    pipeline, and a rerun resumes from the _SUCCESS markers."""
+    from pdf_table_spark.ops import dedup
+
+    kw = dict(threshold=0.5, max_df=20, max_bucket=50,
+              hash_fn="xxhash64")
+    a = dedup.dedup_corpus(boiler_docs, **kw)
+    pa = {(r.doc_a, r.doc_b, r.jaccard) for r in a["pairs"].collect()}
+    ka = {r.doc_id for r in a["keep"].collect()}
+    dedup.release_caches()
+
+    wd = str(tmp_path / "nd")
+    b = dedup.dedup_corpus(boiler_docs, materialize_dir=wd, **kw)
+    assert {(r.doc_a, r.doc_b, r.jaccard)
+            for r in b["pairs"].collect()} == pa
+    assert {r.doc_id for r in b["keep"].collect()} == ka
+    import os
+    for name in ("dropped_sh", "sig", "cand", "pairs"):
+        assert os.path.exists(os.path.join(wd, name, "_SUCCESS"))
+    dedup.release_caches()
+
+    c = dedup.dedup_corpus(boiler_docs, materialize_dir=wd, **kw)
+    assert {r.doc_id for r in c["keep"].collect()} == ka
+    dedup.release_caches()
