@@ -1621,35 +1621,40 @@ def _dk_orient_sql(spans_rel: str) -> str:
         return (f"round(f0 * {w[0][j]} + f1 * {w[1][j]} + "
                 f"f2v * {w[2][j]} + {w[3][j]}, 6)")
 
-    coord = ("case when json_valid(text) then "
-             "try_cast(json_extract(text, '$.text_lines[0].{c}') "
-             "as double) end")
-    dim = ("coalesce(nullif(try_cast(json_extract(text, '$.{c}') "
+    # Sanitize ONCE: DuckDB may reorder/vectorize CASE/AND conjuncts, so
+    # a `case when json_valid(text) then json_extract(text, ...)` guard
+    # can still evaluate json_extract on a poisoned (truncated) page
+    # payload and abort the whole query. Substitute '{}' for invalid
+    # JSON up front and run every extract on the sanitized column; the
+    # jok flag preserves the poison contract downstream.
+    coord = ("try_cast(json_extract(jtext, '$.text_lines[0].{c}') "
+             "as double)")
+    dim = ("coalesce(nullif(try_cast(json_extract(jtext, '$.{c}') "
            "as double), 0.0), 1.0)")
     return f"""
         with pages as (
-          select doc_id, s."offset" as "offset", s.text as text
+          select doc_id, s."offset" as "offset",
+                 json_valid(s.text) as jok,
+                 case when json_valid(s.text) then s.text
+                      else '{{}}' end as jtext
           from (select doc_id, unnest(spans) as s from {spans_rel})
           where s.kind = 'pdf_page'
         ), feats as (
-          select doc_id, "offset", json_valid(text) as jok,
-                 case when json_valid(text) then coalesce(
-                   json_array_length(text, '$.text_lines'), 0)
-                   else 0 end as n_lines,
+          select doc_id, "offset", jok,
+                 coalesce(json_array_length(jtext, '$.text_lines'), 0)
+                   as n_lines,
                  {coord.format(c='x0')} as x0,
                  {coord.format(c='x1')} as x1,
                  {coord.format(c='y0')} as y0,
                  {coord.format(c='y1')} as y1,
-                 case when json_valid(text)
-                   then {dim.format(c='width')} else 1.0 end as w,
-                 case when json_valid(text)
-                   then {dim.format(c='height')} else 1.0 end as h,
-                 case when json_valid(text) and json_extract_string(
-                   text, '$.text_lines[0].dir') = 'v'
+                 {dim.format(c='width')} as w,
+                 {dim.format(c='height')} as h,
+                 case when json_extract_string(
+                   jtext, '$.text_lines[0].dir') = 'v'
                    then 1.0 else 0.0 end as isv,
-                 case when json_valid(text) then coalesce(try_cast(
-                   json_extract(text, '$.rotation') as int), 0)
-                   else 0 end as decl
+                 coalesce(try_cast(
+                   json_extract(jtext, '$.rotation') as int), 0)
+                   as decl
           from pages
         ), f2 as (
           select doc_id, "offset",
