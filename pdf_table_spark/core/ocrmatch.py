@@ -546,6 +546,10 @@ def extract_ocr_page(payload: str):
 
     frags = []
     used_all: set[int] = set()
+    # cell bboxes + page-space extent per table, computed up front so
+    # the band fallback below can see its NEIGHBORS (a table's band
+    # must never reach into another table's rows)
+    boxed = []
     for table in tables:
         is_lgpma = bool(table.get("lgpma"))
         is_logi = (not is_lgpma and bool(table.get("polygons"))
@@ -554,19 +558,23 @@ def extract_ocr_page(payload: str):
             # M9: aligned-cell boxes (per class, scored); the band uses
             # the raw boxes — NMS happens inside the route
             bx = [b[:4] for cls in table["lgpma"] for b in cls]
-            if not bx:
-                continue
         elif is_logi:
-            from .logicell import _poly_rect, extract_logi_table
+            from .logicell import _poly_rect
             bx = [_poly_rect(p) for p in table["polygons"]]
         else:
             bx = table.get("cell_bboxes")
-            if not bx:
-                continue
-        tx0 = min(b[0] for b in bx)
-        ty0 = min(b[1] for b in bx)
-        tx1 = max(b[2] for b in bx)
-        ty1 = max(b[3] for b in bx)
+        if not bx:
+            boxed.append(None)
+            continue
+        ext = (min(b[0] for b in bx), min(b[1] for b in bx),
+               max(b[2] for b in bx), max(b[3] for b in bx))
+        boxed.append((table, is_lgpma, is_logi, bx, ext))
+    extents = [e[4] for e in boxed if e is not None]
+    for entry in boxed:
+        if entry is None:
+            continue
+        table, is_lgpma, is_logi, bx, ext = entry
+        tx0, ty0, tx1, ty1 = ext
         if table.get("region"):
             # the layout stage's table crop (the reference hands the
             # matcher exactly the dets of this cropped region,
@@ -586,14 +594,27 @@ def extract_ocr_page(payload: str):
             # lower band (tier-3 distance matches), and extra rows just
             # below a truncated prediction (extra_match) all belong to
             # this table's matching region. HEURISTIC stand-in for the
-            # crop: pages stacking two tables closer than one cell
-            # height should carry explicit regions.
+            # crop; against a vertically-adjacent x-overlapping
+            # neighbor the pad is clipped at the midpoint of the gap,
+            # so stacked tables closer than one cell height never
+            # steal each other's rows.
             heights = sorted(b[3] - b[1] for b in bx)
             pad = max(heights[len(heights) // 2], 2.0 * ROW_GROUP_TOL)
+            pad_top = pad_bot = pad
+            for ox0, oy0, ox1, oy1 in extents:
+                if (ox0, oy0, ox1, oy1) == ext:
+                    continue
+                if max(tx0, ox0) >= min(tx1, ox1):
+                    continue  # no x-overlap: side-by-side, no clip
+                if oy1 <= ty0:          # neighbor strictly above
+                    pad_top = min(pad_top, (ty0 - oy1) / 2.0)
+                elif oy0 >= ty1:        # neighbor strictly below
+                    pad_bot = min(pad_bot, (oy0 - ty1) / 2.0)
             mine = [i for i, c in enumerate(det_cells)
                     if i not in used_all
                     and tx0 <= (c["x0"] + c["x1"]) / 2.0 <= tx1
-                    and ty0 - pad <= (c["y0"] + c["y1"]) / 2.0 <= ty1 + pad]
+                    and ty0 - pad_top <= (c["y0"] + c["y1"]) / 2.0
+                    <= ty1 + pad_bot]
         mine_cells = [det_cells[i] for i in mine]
         if is_lgpma:
             from .lgpma import extract_lgpma_table
@@ -601,6 +622,7 @@ def extract_ocr_page(payload: str):
             if html is None:
                 continue
         elif is_logi:
+            from .logicell import extract_logi_table
             html, used_local = extract_logi_table(table, mine_cells)
             if html is None:
                 continue

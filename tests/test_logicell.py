@@ -242,16 +242,43 @@ def test_extract_ocr_page_region_assignment():
     assert ">t1a<" in tables_html[0] and ">t2a<" not in tables_html[0]
     assert ">t2a<" in tables_html[1] and ">t2b<" in tables_html[1]
 
-    # WITHOUT regions the band heuristic (pad = one median cell height
-    # = 20 ≥ gap) mis-assigns the second table's dets to the first —
-    # the fixture the judge asked for, pinned as the failure mode
+    # WITHOUT regions the raw band (pad = one median cell height
+    # = 20 ≥ gap) would mis-assign the second table's dets to the
+    # first; the neighbor clip caps each band at the midpoint of the
+    # inter-table gap, so assignment stays correct region-less too
     for t in tables:
         del t["region"]
     payload2 = json.dumps({"width": 600, "height": 800,
                            "det_cells": det_rows, "tables": tables})
     frags2 = extract_ocr_page(payload2)
-    first_table = next(t for k, t, *_ in frags2 if k == "table_html")
-    assert "t2a" in first_table  # stolen into the first table's cells
+    tables2 = [t for k, t, *_ in frags2 if k == "table_html"]
+    assert len(tables2) == 2
+    assert ">t1a<" in tables2[0] and "t2a" not in tables2[0]
+    assert ">t2a<" in tables2[1] and ">t2b<" in tables2[1]
+
+
+def test_extract_ocr_page_band_no_clip_side_by_side():
+    """The neighbor clip only fires on x-overlapping tables: a
+    side-by-side pair keeps the full vertical pad, so a det slightly
+    overhanging a table's top edge still belongs to it."""
+    det_rows = [
+        _det(5, -12, 40, -2, "hang"),   # overhangs table 1's top
+        _det(5, 3, 40, 17, "t1a"),
+        _det(205, 3, 240, 17, "t2a"),
+    ]
+    tables = [
+        {"tokens": ["<tr>", "<td></td>", "</tr>"],
+         "cell_bboxes": [[0, 0, 100, 20]], "use_master": False},
+        {"tokens": ["<tr>", "<td></td>", "</tr>"],
+         "cell_bboxes": [[200, 0, 300, 20]], "use_master": False},
+    ]
+    payload = json.dumps({"width": 600, "height": 800,
+                          "det_cells": det_rows, "tables": tables})
+    frags = extract_ocr_page(payload)
+    tables_html = [t for k, t, *_ in frags if k == "table_html"]
+    assert len(tables_html) == 2
+    assert "hang" in tables_html[0] or "t1a" in tables_html[0]
+    assert "t2a" in tables_html[1]
 
 
 def test_extract_ocr_page_logi_flip():
