@@ -121,6 +121,15 @@ def shingle_hash_rows(docs: DataFrame,
     or 'md5' (the 60-bit md5-prefix hash DuckDB can reproduce
     bit-for-bit — the oracle-comparability contract, same pattern as
     ``ops.text.winnow_fingerprint_rows``)."""
+    return (shingle_hash_arrays(docs, hash_fn)
+            .select("doc_id", F.explode("shs").alias("sh")))
+
+
+def shingle_hash_arrays(docs: DataFrame,
+                        hash_fn: str = "xxhash64") -> DataFrame:
+    """(doc_id, shs: array<bigint>) — the pre-explode form of
+    ``shingle_hash_rows`` (distinct shingle hashes per doc), for
+    operators that want per-doc array math before any shuffle."""
     if hash_fn == "xxhash64":
         h = f"xxhash64(array_join(slice(toks, i, {SHINGLE_K}), ' '))"
     elif hash_fn == "md5":
@@ -137,7 +146,6 @@ def shingle_hash_rows(docs: DataFrame,
             f"  sequence(1, greatest(size(toks) - {SHINGLE_K - 1}, 1)),"
             f"  i -> {h}"
             f"))").alias("shs"))
-        .select("doc_id", F.explode("shs").alias("sh"))
     )
 
 
@@ -146,46 +154,126 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
                         max_df: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard-similar pairs (doc_a < doc_b, jaccard >= t).
 
-    Plan: shingle hashes → self-join on hash → pair intersection counts
-    → join per-doc shingle counts → |A∩B| / (|A|+|B|-|A∩B|).
+    EXACT — but no longer the all-pairs quadratic plan. Candidates
+    come from PREFIX FILTERING (Chaudhuri et al. SSJoin ICDE'06 /
+    Xiao et al. PPJoin WWW'08): under one global shingle order
+    (ascending document frequency, rarest first), a doc's prefix is
+    its first ``n - ceil(t*n) + 1`` shingles, and any pair with
+    J >= t MUST collide inside both prefixes — if |y| >= t*|x| then
+    |A∩B| >= ceil(t*|x|), and a pair missing x's prefix shares at
+    most ceil(t*|x|) - 1 shingles (pairs with |y| < t*|x| can't reach
+    t at all). So the self-join runs on the short rare-shingle
+    prefixes instead of every shared shingle — a shingle shared by k
+    docs no longer contributes k² join rows unless it lands in k
+    prefixes, which df-ascending ordering makes rare. The exact
+    |A∩B| verify then touches only candidate docs' shingles (linear
+    in candidates), the same restriction the near-dup verify uses.
 
-    ``cache`` persists the shingle table, which feeds three plan
-    branches (both self-join sides + the size agg) — measured ~35%
-    faster than recompute at sf0.1. At 100 TB persist to a temp table
-    on disk instead (the shingle table is ~10x corpus row count).
+    ``cache`` persists the shingle table, which feeds the df agg, the
+    prefix ranking, the verify, and the size agg. At 100 TB persist
+    to a temp table on disk instead (~10x corpus row count).
 
-    ``max_df`` is the scale knob that bounds the quadratic term: drop
-    shingles appearing in more than max_df documents before the
-    self-join (a shingle in k docs contributes k² join rows; ubiquitous
-    boilerplate shingles dominate the blowup while carrying no dedup
-    signal). None = exact semantics (the oracle-checked default);
-    with a cap, jaccard is computed over the surviving shingles on
-    both the intersection AND size sides, the standard approximation.
+    ``max_df`` pre-drops shingles appearing in more than max_df docs
+    BEFORE everything (None = exact, the oracle-checked default;
+    with a cap, jaccard is computed over surviving shingles on both
+    the intersection AND size sides, the standard approximation).
     """
-    sh = shingle_hash_rows(docs)
+    arrs = shingle_hash_arrays(docs)
     if max_df is not None:
-        keep = (sh.groupBy("sh").agg(F.count("*").alias("df"))
+        sh0 = arrs.select("doc_id", F.explode("shs").alias("sh"))
+        keep = (sh0.groupBy("sh").agg(F.count("*").alias("df"))
                 .filter(F.col("df") <= max_df).select("sh"))
-        sh = sh.join(keep, "sh")
+        arrs = (sh0.join(keep, "sh")
+                .groupBy("doc_id").agg(F.collect_list("sh").alias("shs")))
     if cache:
-        sh = sh.persist()
-        _PERSISTED.append(sh)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"),
-                 F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"),
-                      F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"),
-                      F.col("n_sh").alias("n_b"))
+        arrs = arrs.persist()
+        _PERSISTED.append(arrs)
+    sh = arrs.select("doc_id", F.explode("shs").alias("sh"))
+
+    # global total order: (unique-first, sh asc). Full df-ascending
+    # ordering is the textbook choice, but only REPEATED shingles can
+    # ever collide in a prefix — a df=1 shingle produces no candidate
+    # — so a two-level order (unique before repeated, hash asc within)
+    # keeps the entire win: prefixes fill with never-colliding unique
+    # shingles first. The per-doc repeated set is joined back SMALL
+    # (only df>=2 shingles) and the rank/slice happens INSIDE the
+    # per-doc array in one JVM pass — no full-shingle-table shuffle.
+    reps = (sh.groupBy("sh").agg(F.count("*").alias("c"))
+            .filter(F.col("c") >= 2).select("sh"))
+    rep_doc = (sh.join(reps, "sh")
+               .groupBy("doc_id").agg(F.collect_set("sh").alias("reps")))
+    # ceil over a float product may round UP on noise, which would
+    # SHORTEN the prefix and lose exactness — the epsilon can only
+    # lengthen it (extra candidates are harmless). The rep flag is
+    # attached ONCE per element (a struct transform), then the sort
+    # runs on the struct's natural order — a comparator lambda here
+    # is interpreted per COMPARISON and measured 3x slower.
+    prefix_expr = f"""
+        transform(
+          slice(
+            array_sort(transform(shs, x -> struct(
+              coalesce(array_contains(reps, x), false) as rep,
+              x as sh))),
+            1,
+            greatest(cast(size(shs)
+                          - ceil({threshold} * size(shs) - 1e-9)
+                          + 1 as int), 0)),
+          p -> p.sh)
+    """
+    pref = (
+        arrs.join(rep_doc, "doc_id", "left")
+        .select("doc_id", F.size("shs").alias("n_sh"),
+                F.expr(prefix_expr).alias("prefix"))
+        .select("doc_id", "n_sh",
+                F.posexplode("prefix").alias("pos", "sh")))
+    if cache:
+        # both sides of the candidate self-join read pref — without a
+        # persist the rep-flag sort runs twice
+        pref = pref.persist()
+        _PERSISTED.append(pref)
+
+    # two more EXACT cuts on the collision join (PPJoin §3):
+    #  - length filter: J >= t forces t*|x| <= |y| <= |x|/t;
+    #  - positional filter: all common shingles sort at-or-after this
+    #    collision (true for the pair's FIRST common shingle, which
+    #    the prefix lemma guarantees lands in both prefixes), so the
+    #    overlap is capped by 1 + min(remaining suffix lengths) and
+    #    must still reach ceil(t/(1+t)*(|x|+|y|)).
+    t_req = threshold / (1.0 + threshold)
+    cand = (
+        pref.alias("a").join(
+            pref.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.n_sh") >= threshold * F.col("a.n_sh") - 1e-9)
+            & (F.col("a.n_sh") >= threshold * F.col("b.n_sh") - 1e-9)
+            & (1 + F.least(F.col("a.n_sh") - F.col("a.pos") - 1,
+                           F.col("b.n_sh") - F.col("b.pos") - 1)
+               >= F.ceil(F.lit(t_req)
+                         * (F.col("a.n_sh") + F.col("b.n_sh"))
+                         - F.lit(1e-9))))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct())
+
+    # exact verify: per-candidate-pair array_intersect over the
+    # compact per-doc arrays (linear in candidates, no shingle-row
+    # shuffle); arrs joins in twice, restricted to candidate docs
+    cd = (cand.select(F.col("doc_a").alias("doc_id"))
+          .union(cand.select("doc_b")).distinct())
+    arrc = arrs.join(cd, "doc_id")
     return (
-        inter.join(sa, "doc_a").join(sb, "doc_b")
+        cand
+        .join(arrc.select(F.col("doc_id").alias("doc_a"),
+                          F.col("shs").alias("shs_a")), "doc_a")
+        .join(arrc.select(F.col("doc_id").alias("doc_b"),
+                          F.col("shs").alias("shs_b")), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.expr("size(array_intersect(shs_a, shs_b))")
+            .alias("n_inter"),
+            F.size("shs_a").alias("n_a"),
+            F.size("shs_b").alias("n_b"))
         .select(
             "doc_a", "doc_b",
             F.round(

@@ -426,3 +426,46 @@ def test_salted_join_rejects_bad_salt_and_outer_joins(spark):
         salted_join(big, small, "domain", salt=0)
     with pytest.raises(ValueError, match="inner/left"):
         salted_join(big, small, "domain", salt=2, how="full_outer")
+
+
+def test_ngram_jaccard_prefix_filter_is_exact(spark):
+    """Prefix-filtered candidates (SSJoin/PPJoin lemma) must reproduce
+    the brute-force all-pairs result exactly — every threshold, every
+    doc-length mix, including docs shorter than one shingle window."""
+    import itertools
+    import random
+
+    from pdf_table_spark.ops.dedup import ngram_jaccard_pairs
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(40):
+        n = rng.randint(2, 60)
+        rows.append((f"d{i:02d}", " ".join(rng.choice(vocab)
+                                           for _ in range(n))))
+    # planted near-pairs: shared long body, distinct suffix
+    body = " ".join(rng.choice(vocab) for _ in range(50))
+    rows += [(f"p{i}", body + f" tail{i}") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+
+    # brute-force oracle on the driver (k=3 shingles, like SHINGLE_K)
+    def shingles(t):
+        toks = t.lower().split()
+        if len(toks) <= 3:
+            return {" ".join(toks[:3])}
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {d: shingles(t) for d, t in rows}
+    for t in (0.2, 0.5, 0.8):
+        want = set()
+        for (da, sa), (db, sb) in itertools.combinations(
+                sorted(sets.items()), 2):
+            inter = len(sa & sb)
+            if inter and round(
+                    inter / (len(sa) + len(sb) - inter), 6) >= t:
+                want.add((da, db))
+        got = {(r.doc_a, r.doc_b)
+               for r in ngram_jaccard_pairs(docs, t, cache=False)
+               .collect()}
+        assert got == want, (t, got ^ want)
