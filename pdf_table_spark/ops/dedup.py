@@ -169,9 +169,10 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     |A∩B| verify then touches only candidate docs' shingles (linear
     in candidates), the same restriction the near-dup verify uses.
 
-    ``cache`` persists the shingle table, which feeds the df agg, the
-    prefix ranking, the verify, and the size agg. At 100 TB persist
-    to a temp table on disk instead (~10x corpus row count).
+    ``cache`` persists the per-doc array table (feeds the df agg, the
+    prefix build, and the verify) and the prefix rows (both sides of
+    the candidate self-join). At 100 TB persist both to temp tables
+    on disk instead (the array table is ~corpus row count).
 
     ``max_df`` pre-drops shingles appearing in more than max_df docs
     BEFORE everything (None = exact, the oracle-checked default;
