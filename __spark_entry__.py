@@ -314,10 +314,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             hash_fn="md5")
 
     def q_span_dedup(spark, sf_dir):
-        # C4's cross-document three-sentence-span dedup over the lined
-        # corpus, with the 20 injected full-copy docs as the planted
-        # duplicates (their spans all resolve to the originals)
-        return textfilters.c4_span_dedup(_lined_with_dups(spark, sf_dir))
+        # cross-document span dedup, both granularities union-tagged:
+        # C4's three-sentence spans AND Lee-et-al. ExactSubstr 20-token
+        # spans, over the lined corpus with the 20 injected full-copy
+        # docs as the planted duplicates (every span resolves to its
+        # original as the canonical occurrence)
+        docs = _lined_with_dups(spark, sf_dir)
+        c4 = (textfilters.c4_span_dedup(docs)
+              .select("doc_id", F.lit("c4_sent3").alias("method"),
+                      F.col("n_sentences").alias("n_units"),
+                      "n_dropped", "clean_text"))
+        ex = (dedup.exact_substring_dedup(docs, n=20)
+              .select("doc_id", F.lit("exact_substr20").alias("method"),
+                      F.col("n_tokens").alias("n_units"),
+                      F.col("n_removed").alias("n_dropped"),
+                      "clean_text"))
+        return c4.unionByName(ex)
 
     def q_ngram_jaccard(spark, sf_dir):
         return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), 0.5)
@@ -1966,15 +1978,56 @@ def _dk_filter_sqls() -> dict[str, str]:
         ), totals as (
           select doc_id, count(*) as n_sentences
           from sents group by doc_id
+        ), tk0 as (
+          select doc_id, list_filter(string_split_regex(
+            lower(text), '\\s+'), t -> t <> '') as tk
+          from alldocs
+        ), tks as (
+          select doc_id, u.i - 1 as idx, tk[u.i] as t
+          from tk0 cross join
+               unnest(generate_series(1, len(tk))) as u(i)
+        ), tspans as (
+          select doc_id, u.i - 1 as start,
+                 md5(array_to_string(
+                   list_slice(tk, u.i, u.i + 19), ' ')) as h
+          from tk0 cross join
+               unnest(generate_series(1, len(tk) - 19)) as u(i)
+          where len(tk) >= 20
+        ), tdup as (
+          select h, min({{'d': doc_id, 'st': start}}) as canon
+          from tspans group by h having count(*) > 1
+        ), tnoncanon as (
+          select s.doc_id, s.start from tspans s join tdup d using (h)
+          where s.doc_id <> d.canon.d or s.start <> d.canon.st
+        ), tdropped as (
+          select distinct doc_id, start + u.i as idx
+          from tnoncanon cross join
+               unnest(generate_series(0, 19)) as u(i)
+        ), tkept as (
+          select s.doc_id, s.idx, s.t from tks s
+          left join tdropped dr
+            on s.doc_id = dr.doc_id and s.idx = dr.idx
+          where dr.idx is null
+        ), tperdoc as (
+          select doc_id, count(*) as n_kept,
+                 string_agg(t, ' ' order by idx) as clean_text
+          from tkept group by doc_id
         )
-        select a.doc_id,
-               coalesce(t.n_sentences, 0) as n_sentences,
+        select a.doc_id, 'c4_sent3' as method,
+               coalesce(t.n_sentences, 0) as n_units,
                coalesce(t.n_sentences, 0) - coalesce(p.n_kept, 0)
                  as n_dropped,
                coalesce(p.clean_text, '') as clean_text
         from alldocs a
         left join totals t using (doc_id)
         left join perdoc p using (doc_id)
+        union all
+        select k.doc_id, 'exact_substr20' as method,
+               len(k.tk) as n_units,
+               len(k.tk) - coalesce(tp.n_kept, 0) as n_dropped,
+               coalesce(tp.clean_text, '') as clean_text
+        from tk0 k
+        left join tperdoc tp using (doc_id)
     """
 
     gopher = f"""

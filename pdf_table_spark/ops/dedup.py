@@ -598,6 +598,89 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
         simhash(docs, n_bits), max_hamming, n_bits, max_bucket)
 
 
+def exact_substring_dedup(docs: DataFrame, n: int = 50,
+                          hash_fn: str = "md5") -> DataFrame:
+    """ExactSubstr dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better" §4.1): any ``n``-token span
+    occurring more than once in the corpus keeps its canonical
+    occurrence (smallest (doc_id, start)) and is CUT from every other
+    — token-granular, cross- and intra-document.
+
+    The paper builds a corpus suffix array; the Spark-native shape is
+    the ``c4_span_dedup`` pattern at token granularity: every sliding
+    n-token window hashed → one groupBy picks duplicated hashes + the
+    canonical occurrence → non-canonical occurrences explode to their
+    covered token indexes (the distinct absorbs overlapping-window
+    interval merging) → anti-join tokens. Three keyed shuffles on
+    uniform hash/doc keys, never all-pairs — linear at any corpus
+    size.
+
+    Operates on the normalized token stream (lowercased, whitespace-
+    split) like every other gram op here; ``clean_text`` is the kept
+    tokens re-joined single-spaced. Returns
+    (doc_id, n_tokens, n_removed, clean_text).
+
+    ``hash_fn``: 'md5' (DuckDB-replicable — the oracle contract) or
+    'xxhash64' (bigint keys, the production default elsewhere).
+    """
+    if hash_fn == "md5":
+        h = f"md5(array_join(slice(tk, i + 1, {n}), ' '))"
+        empty = "cast(array() as array<struct<start: int, h: string>>)"
+    elif hash_fn == "xxhash64":
+        h = f"xxhash64(array_join(slice(tk, i + 1, {n}), ' '))"
+        empty = "cast(array() as array<struct<start: int, h: bigint>>)"
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}; "
+                         "one of 'md5', 'xxhash64'")
+    tk = docs.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), '\\\\s+'), t -> t <> '')")
+        .alias("tk"))
+    toks = (
+        tk.select("doc_id", F.expr(
+            "transform(tk, (t, i) -> struct(i as idx, t as t))")
+            .alias("ts"))
+        .select("doc_id", F.explode("ts").alias("e"))
+        .select("doc_id", F.col("e.idx").alias("idx"),
+                F.col("e.t").alias("t")))
+    spans = (
+        tk.select("doc_id", F.expr(
+            # sequence(0, m) runs DESCENDING when m < 0 (docs shorter
+            # than n tokens), hence the explicit empty guard
+            f"if(size(tk) < {n}, {empty}, "
+            f"transform(sequence(0, size(tk) - {n}), "
+            f"i -> struct(i as start, {h} as h)))").alias("ws"))
+        .select("doc_id", F.explode("ws").alias("w"))
+        .select("doc_id", F.col("w.start").alias("start"),
+                F.col("w.h").alias("h")))
+    noncanon = (
+        spans.groupBy("h").agg(
+            F.count("*").alias("cnt"),
+            F.min(F.struct("doc_id", "start")).alias("canon"))
+        .filter(F.col("cnt") > 1)
+        .join(spans, "h")
+        .filter((F.col("doc_id") != F.col("canon.doc_id"))
+                | (F.col("start") != F.col("canon.start"))))
+    dropped = (
+        noncanon.select(
+            "doc_id", F.explode(F.expr(
+                f"sequence(start, start + {n - 1})")).alias("idx"))
+        .distinct())
+    kept = toks.join(dropped, ["doc_id", "idx"], "left_anti")
+    per_doc = kept.groupBy("doc_id").agg(
+        F.expr("array_join(transform(array_sort(collect_list("
+               "struct(idx, t))), x -> x.t), ' ')").alias("clean_text"),
+        F.count("*").alias("n_kept"))
+    totals = tk.select("doc_id", F.size("tk").alias("n_tokens"))
+    return (
+        totals.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens",
+            (F.col("n_tokens")
+             - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text")))
+
+
 # ---------------------------------------------------------------------------
 # Transitive closure: connected components over the near-dup pair graph
 # ---------------------------------------------------------------------------

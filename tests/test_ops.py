@@ -469,3 +469,45 @@ def test_ngram_jaccard_prefix_filter_is_exact(spark):
                for r in ngram_jaccard_pairs(docs, t, cache=False)
                .collect()}
         assert got == want, (t, got ^ want)
+
+
+def test_exact_substring_dedup(spark):
+    """Lee et al. ExactSubstr: non-canonical occurrences of any
+    duplicated n-token span are cut; the canonical (smallest
+    (doc_id, start)) survives; overlapping cut windows merge."""
+    from pdf_table_spark.ops.dedup import exact_substring_dedup
+
+    boiler = " ".join(f"b{i}" for i in range(6))        # 6 tokens
+    rows = [
+        ("d1", f"{boiler} unique one text here"),
+        ("d2", f"other words first {boiler} trailing"),
+        ("d3", "completely different text with no repeats at all"),
+        ("d4", "tiny"),                                  # < n tokens
+        ("d5", f"{boiler} {boiler} double"),             # intra-doc dup
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r.doc_id: r for r in
+           exact_substring_dedup(docs, n=6).collect()}
+
+    # d1 holds the canonical (smallest doc_id) occurrence: kept whole
+    assert out["d1"].n_removed == 0
+    assert out["d1"].clean_text.startswith("b0 b1")
+    # d2's copy is cut, surrounding text survives
+    assert out["d2"].n_removed == 6
+    assert "b0" not in out["d2"].clean_text
+    assert out["d2"].clean_text == "other words first trailing"
+    # untouched docs
+    assert out["d3"].n_removed == 0
+    assert out["d4"].n_removed == 0 and out["d4"].clean_text == "tiny"
+    # d5: every 6-gram window covering the repeated boiler region is
+    # non-canonical; overlapping windows merge via the distinct index
+    # set and the whole 12-token run is cut
+    assert out["d5"].n_removed == 12
+    assert out["d5"].clean_text == "double"
+
+    # md5 and xxhash64 paths agree
+    out2 = {r.doc_id: (r.n_removed, r.clean_text) for r in
+            exact_substring_dedup(docs, n=6, hash_fn="xxhash64")
+            .collect()}
+    assert out2 == {k: (v.n_removed, v.clean_text)
+                    for k, v in out.items()}
