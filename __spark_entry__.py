@@ -318,13 +318,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # C4's three-sentence spans AND Lee-et-al. ExactSubstr 20-token
         # spans, over the lined corpus with the 20 injected full-copy
         # docs as the planted duplicates (every span resolves to its
-        # original as the canonical occurrence)
-        docs = _lined_with_dups(spark, sf_dir)
+        # original as the canonical occurrence). Persisted: the union's
+        # arms reference this frame five times, and its orderBy+limit
+        # dup-injection subtree would re-execute per reference
+        docs = _lined_with_dups(spark, sf_dir).persist()
+        dedup._PERSISTED.append(docs)
         c4 = (textfilters.c4_span_dedup(docs)
               .select("doc_id", F.lit("c4_sent3").alias("method"),
                       F.col("n_sentences").alias("n_units"),
                       "n_dropped", "clean_text"))
-        ex = (dedup.exact_substring_dedup(docs, n=20)
+        # xxhash64 internally: the oracle compares OUTPUT rows, and the
+        # hash only decides the duplicate set (md5==xxhash64 pinned by
+        # the parity test), so the narrow production key is safe here
+        ex = (dedup.exact_substring_dedup(docs, n=20,
+                                          hash_fn="xxhash64")
               .select("doc_id", F.lit("exact_substr20").alias("method"),
                       F.col("n_tokens").alias("n_units"),
                       F.col("n_removed").alias("n_dropped"),

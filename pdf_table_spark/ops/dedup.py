@@ -636,13 +636,6 @@ def exact_substring_dedup(docs: DataFrame, n: int = 50,
         "doc_id",
         F.expr("filter(split(lower(text), '\\\\s+'), t -> t <> '')")
         .alias("tk"))
-    toks = (
-        tk.select("doc_id", F.expr(
-            "transform(tk, (t, i) -> struct(i as idx, t as t))")
-            .alias("ts"))
-        .select("doc_id", F.explode("ts").alias("e"))
-        .select("doc_id", F.col("e.idx").alias("idx"),
-                F.col("e.t").alias("t")))
     spans = (
         tk.select("doc_id", F.expr(
             # sequence(0, m) runs DESCENDING when m < 0 (docs shorter
@@ -661,24 +654,25 @@ def exact_substring_dedup(docs: DataFrame, n: int = 50,
         .join(spans, "h")
         .filter((F.col("doc_id") != F.col("canon.doc_id"))
                 | (F.col("start") != F.col("canon.start"))))
-    dropped = (
+    # per-doc cut-index set (small: only docs holding a non-canonical
+    # copy), then one JVM pass filters each doc's token array in place
+    # — no corpus-sized token explode / anti-join / re-sort
+    cuts = (
         noncanon.select(
             "doc_id", F.explode(F.expr(
                 f"sequence(start, start + {n - 1})")).alias("idx"))
-        .distinct())
-    kept = toks.join(dropped, ["doc_id", "idx"], "left_anti")
-    per_doc = kept.groupBy("doc_id").agg(
-        F.expr("array_join(transform(array_sort(collect_list("
-               "struct(idx, t))), x -> x.t), ' ')").alias("clean_text"),
-        F.count("*").alias("n_kept"))
-    totals = tk.select("doc_id", F.size("tk").alias("n_tokens"))
+        .distinct()
+        .groupBy("doc_id").agg(F.collect_set("idx").alias("cut")))
     return (
-        totals.join(per_doc, "doc_id", "left")
+        tk.join(cuts, "doc_id", "left")
         .select(
-            "doc_id", "n_tokens",
-            (F.col("n_tokens")
-             - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
-            F.coalesce("clean_text", F.lit("")).alias("clean_text")))
+            "doc_id",
+            F.size("tk").alias("n_tokens"),
+            F.coalesce(F.size("cut"), F.lit(0)).alias("n_removed"),
+            F.expr("case when cut is null then array_join(tk, ' ') "
+                   "else array_join(filter(tk, (t, i) -> "
+                   "not array_contains(cut, i)), ' ') end")
+            .alias("clean_text")))
 
 
 # ---------------------------------------------------------------------------
