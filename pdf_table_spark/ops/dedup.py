@@ -622,6 +622,15 @@ def exact_substring_dedup(docs: DataFrame, n: int = 50,
 
     ``hash_fn``: 'md5' (DuckDB-replicable — the oracle contract) or
     'xxhash64' (bigint keys, the production default elsewhere).
+
+    Scale bound: the final cut application is an indexed array filter,
+    O(n_tokens x |cut|) per doc (SQL ``array_contains`` is a linear
+    scan; Spark has no JVM-side O(1) set probe). |cut| <= n_tokens, so
+    a heavily-duplicated 100k-token doc costs ~1e10 comparisons inside
+    ONE task — pre-chunk pathological long docs (the packing ops'
+    chunk granularity works) before running this at web scale; the
+    distributed spans/groupBy stages themselves are corpus-linear and
+    proved at 50M docs / 895M tokens (BASELINE.md).
     """
     if hash_fn == "md5":
         h = f"md5(array_join(slice(tk, i + 1, {n}), ' '))"
