@@ -266,3 +266,51 @@ def test_html_page_extraction_never_raises(page):
         assert isinstance(text, str) and isinstance(ref, str)
         if kind == "table_html":
             assert text.startswith('<table border="1">')
+
+
+# ---- ExactSubstr dedup: brute-force parity on adversarial corpora ----
+
+_es_token = st.sampled_from(["a", "b", "c"])
+_es_doc = st.lists(_es_token, max_size=12)
+
+
+@settings(max_examples=5, deadline=None)
+@given(docs=st.lists(_es_doc, min_size=1, max_size=10))
+def test_exact_substring_dedup_matches_brute_force(spark, docs):
+    """Lee et al. ExactSubstr vs a driver-side brute-force oracle on
+    tiny-vocab corpora (3 tokens, n=3) chosen to maximize duplicated
+    windows — intra-doc repeats, cross-doc chains, overlapping cut
+    regions, sub-window docs. Pins: the canonical occurrence is the
+    min (doc_id, start) over EACH duplicated window independently,
+    overlapping cuts merge via the index-set distinct, and token
+    accounting is conserved (n_tokens - n_removed == kept tokens)."""
+    from pdf_table_spark.ops.dedup import exact_substring_dedup
+
+    n = 3
+    ids = [f"d{i:02d}" for i in range(len(docs))]
+    rows = [(d, " ".join(toks)) for d, toks in zip(ids, docs)]
+
+    # brute-force oracle: window key = the joined token string
+    occ = {}
+    for d, toks in zip(ids, docs):
+        for s in range(len(toks) - n + 1):
+            occ.setdefault(tuple(toks[s:s + n]), []).append((d, s))
+    cut = {d: set() for d in ids}
+    for places in occ.values():
+        if len(places) > 1:
+            canon = min(places)
+            for d, s in places:
+                if (d, s) != canon:
+                    cut[d].update(range(s, s + n))
+    want = {}
+    for d, toks in zip(ids, docs):
+        kept = [t for i, t in enumerate(toks) if i not in cut[d]]
+        want[d] = (len(toks), len(cut[d]), " ".join(kept))
+
+    got = {r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+           for r in exact_substring_dedup(
+               spark.createDataFrame(rows, "doc_id string, text string"),
+               n=n).collect()}
+    assert got == want
+    for n_tok, n_rm, clean in got.values():
+        assert n_tok - n_rm == (len(clean.split()) if clean else 0)
