@@ -320,3 +320,42 @@ def test_frozen_html_page_main_content():
          "</tbody></table>", ""),
         ("paragraph", "kilo lima mike november oscar papa.", ""),
     ]
+
+
+def test_frozen_lgpma_adjacency_reduction():
+    # M9 LGPMA contract end-to-end (frozen round 4, derived by hand
+    # from post_lgpma.py semantics — NOT from running this code):
+    # cross-class NMS (nms_inter_classes:57-89, max-IoU >= 0.3)
+    # suppresses class 1's lower-scored duplicate of A; midline
+    # adjacency (bbox2adj:146-181) gives rows {A,B},{C} and cols
+    # {A,C},{B}; the (1,1) slot is uncovered, so the row-major
+    # empty-cell fill (post_processing:478-489) appends a 1x1 blank;
+    # OCR match (ocr_result_matching:350-396, max-IoU >= 0.75) puts
+    # "a"/"b" in A/B and joins C's two stacked dets WITHOUT a space
+    # because the upper text ends in '-' ("x-" + "y" -> "x-y").
+    # Widths: table x-extent 100..300 = 200, every real cell 100 wide
+    # -> 50%; the filled empty cell has no box, so no width attr.
+    lgpma = [
+        [  # class 0: A, B, C (D deliberately missing)
+            [100, 50, 200, 80, 0.9], [200, 50, 300, 80, 0.9],
+            [100, 80, 200, 110, 0.9],
+        ],
+        [  # class 1: shrunken duplicate of A, lower score -> NMS'd
+            [105, 52, 195, 78, 0.8],
+        ],
+    ]
+    dets = [
+        {"x0": 110, "y0": 55, "x1": 190, "y1": 75, "text": "a"},
+        {"x0": 210, "y0": 55, "x1": 290, "y1": 75, "text": "b"},
+        {"x0": 110, "y0": 83, "x1": 150, "y1": 93, "text": "x-"},
+        {"x0": 110, "y0": 96, "x1": 150, "y1": 106, "text": "y"},
+    ]
+    ocr = json.dumps({"width": W, "height": H, "det_cells": dets,
+                      "tables": [{"lgpma": lgpma}]}, sort_keys=True)
+    out = _extract("ocr_page", ocr)
+    assert [(o["kind"], o["text"]) for o in out] == [(
+        "table_html",
+        '<table border="1"><tbody>'
+        '<tr><td width="50%">a</td><td width="50%">b</td></tr>'
+        '<tr><td width="50%">x-y</td><td></td></tr>'
+        "</tbody></table>")]
