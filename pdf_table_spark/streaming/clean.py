@@ -127,6 +127,7 @@ def clean_stream(spark: SparkSession, input_dir: str, output_dir: str,
                  checkpoint_dir: str,
                  dedup_horizon: str = "1 hour",
                  min_words: int = 50,
+                 min_sentences: int = 3,
                  min_stopword_hits: int = 2,
                  benchmark: DataFrame | None = None) -> None:
     """File-source runner: discover new corpus parquet files, push them
@@ -139,6 +140,7 @@ def clean_stream(spark: SparkSession, input_dir: str, output_dir: str,
     stream = spark.readStream.schema(DOCS_SCHEMA).parquet(input_dir)
     cleaned = clean_docs_stream(
         stream, dedup_horizon=dedup_horizon, min_words=min_words,
+        min_sentences=min_sentences,
         min_stopword_hits=min_stopword_hits, benchmark=benchmark)
     q = (cleaned.writeStream.outputMode("append")
          .format("parquet").option("path", output_dir)

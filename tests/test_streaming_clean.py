@@ -146,3 +146,17 @@ def test_streaming_decontamination_gate(spark, dirs):
                  min_words=10, min_stopword_hits=1, benchmark=bench)
     out = _read_out(dirs["out"])
     assert out["d3"]["stage"] == "contaminated"
+
+
+def test_clean_stream_min_sentences_off_switch(spark, dirs):
+    """min_sentences=0 disables the sentence-count C4 sub-gate in the
+    streaming runner (mirrors the batch off-switch): a doc with zero
+    terminal-punctuation sentences is kept instead of staged 'c4'."""
+    from pdf_table_spark.streaming.clean import clean_stream
+    _write_docs(dirs["in"], "b1.parquet", [
+        ("d1", C4_FAIL_TEXT, _ts(9, 0)),
+    ])
+    clean_stream(spark, dirs["in"], dirs["out"], dirs["ckpt"],
+                 min_words=10, min_sentences=0, min_stopword_hits=1)
+    out = _read_out(dirs["out"])
+    assert out["d1"]["stage"] == "kept" and out["d1"]["kept"]
