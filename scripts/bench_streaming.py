@@ -32,7 +32,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-REPL = 10  # replication factor for the small sf0.1 side tables
+# replication factor for the small sf0.1 side tables; raise via env
+# for decade-up runs (e.g. 100 → 10M events / 500k docs)
+REPL = int(os.environ.get("SPARK_GRAFT_STREAM_REPL", "10"))
 
 
 def _session():
