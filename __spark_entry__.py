@@ -728,7 +728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return t.join(q, "doc_id").join(n, "doc_id")
 
     def q_lang_id_both(spark, sf_dir):
-        # stopword-hit and char-trigram language ID over the 24
+        # stopword-hit and char-trigram language ID over the 40
         # data-file profiles, tagged by method; each row carries the
         # winner's score and the confidence margin vs the runner-up
         d = _t(spark, sf_dir, "documents")
@@ -1374,7 +1374,7 @@ def _dk_assemble_sql(select: str) -> str:
 
 
 def _dk_lang_ngram_sql(top_n: int = 20) -> str:
-    """DuckDB twin of ``ops.text.lang_id_ngram`` over the 24 data-file
+    """DuckDB twin of ``ops.text.lang_id_ngram`` over the 40 data-file
     trigram profiles: Cavnar-Trenkle out-of-place scores per language,
     ascending (penalty, lang) rank, winner + confidence margin."""
     import sys

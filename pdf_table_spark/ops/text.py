@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 # language-ID profiles as DATA: per-language stopword lists and
 # ranked ASCII letter-trigram profiles live in lang_profiles.json
-# (24 languages) — swapping in corpus-derived profiles is a data
+# (40 Latin-script languages) — swapping in corpus-derived profiles is a data
 # change, not a code change
 import json as _json
 import os as _os
@@ -77,7 +77,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
 
 
 def lang_id(docs: DataFrame) -> DataFrame:
-    """Stopword-hit language ID over the 24 data-file profiles:
+    """Stopword-hit language ID over the 40 data-file profiles:
     score = hits per language's stopword list; winner by (score desc,
     language asc); 'und' when all zero. Emits the winner's score and
     the confidence margin (winner − runner-up hits) instead of one
@@ -89,7 +89,7 @@ def lang_id(docs: DataFrame) -> DataFrame:
     # token -> per-language 0/1 indicator map (stopword lists overlap
     # across languages), folded once by Catalyst. Non-stopword tokens
     # cost a single hash probe; a per-language filter() lambda costs
-    # |langs| x |list| string compares per token (24 profiles made the
+    # |langs| x |list| string compares per token (the profile count made the
     # old shape ~10x the whole-query wall at sf0.1). Hit counts are
     # bit-identical: every token occurrence still scores every list
     # it appears in.
@@ -256,7 +256,7 @@ def lang_id_ngram(docs: DataFrame, top_n: int = 20) -> DataFrame:
     # gram -> per-language rank map (0 = absent from that profile),
     # instead of one aggregate+array_position scan per language: the
     # old shape cost |langs| x top_n x profile-length interpreted ops
-    # per doc (~9600 at 24 profiles); this one costs top_n map probes
+    # per doc (~16k at 40 profiles); this one costs top_n map probes
     # + top_n x |langs| integer ops (~480). Scores are bit-identical:
     # rank displacement per gram, OOP_MAX when absent.
     ranks: dict[str, list[int]] = {}

@@ -212,23 +212,33 @@ def test_lang_id_ngram_picks_profile_language(spark):
 
 
 def test_lang_id_broad_profiles_and_margin(spark):
-    """24-language data-file profiles: new-language fixtures rank
+    """40-language data-file profiles: new-language fixtures rank
     their own language first on BOTH paths, and the margin behaves as
     a confidence gap (saturated doc > ambiguous doc)."""
     from pdf_table_spark.ops.text import (LANG_STOPWORDS,
                                           LANG_TRIGRAM_PROFILES,
                                           lang_id, lang_id_ngram)
-    assert len(LANG_STOPWORDS) >= 20
+    assert len(LANG_STOPWORDS) >= 40
     assert set(LANG_STOPWORDS) == set(LANG_TRIGRAM_PROFILES)
     df = _docs(spark, [
         ("pl", "nie to sie jest na co jak czy ale tak nie jest"),
         ("tr", "ve bir bu da de ile icin ama gibi daha bir bu"),
         ("sw", "na ya wa kwa ni za katika hii kuwa lakini na ya"),
         ("vi", "va cua la co khong trong mot nguoi nay cho va cua"),
+        # round-4 broadening: diacritic stopwords must survive the
+        # whitespace tokenizer untouched (is/sk), and the close pairs
+        # must separate (sk vs cs, sl vs hr, gl vs pt, az/uz vs tr)
+        ("af", "die en van het nie wat vir met om ook die wat"),
+        ("is", "og að er ekki það sem við til hann var að ekki"),
+        ("sk", "som ako aj sme ich po za vo keď ešte som ako"),
+        ("sl", "je in se da za ki pa ne bi so in ki pa"),
+        ("gl", "unha non polo pola coa cos nas nos como pero unha"),
+        ("uz", "va bu bir uchun bilan ham lekin emas edi keyin ham"),
         ("ambig", "the der"),
     ])
     sw_out = {r.doc_id: r for r in lang_id(df).collect()}
-    for la in ("pl", "tr", "sw", "vi"):
+    for la in ("pl", "tr", "sw", "vi", "af", "is", "sk", "sl",
+               "gl", "uz"):
         assert sw_out[la].pred_lang == la, (la, sw_out[la])
         assert sw_out[la].margin >= 0
     # one hit each for en and de: tie -> margin 0, alphabetical winner
@@ -240,9 +250,15 @@ def test_lang_id_broad_profiles_and_margin(spark):
                " sie czy dzien nie przez"),
         ("fi", "kaikista olemassa asuinalueilla sanottavansa"
                " istuntosali elamaansa"),
+        ("cy", "gwneuthpwyd ysgrifennydd cyhoeddwyd gweithgaredd"
+               " ieithyddol mae bod gan"),
+        ("lt", "taisykles vartotojais instituciniais kuriausi"
+               " antikiniais masinimas"),
     ])).collect()}
     assert ng["pl"].pred_lang == "pl"
     assert ng["fi"].pred_lang == "fi"
+    assert ng["cy"].pred_lang == "cy"
+    assert ng["lt"].pred_lang == "lt"
 
 
 def test_c4_span_dedup_cross_document(spark):
