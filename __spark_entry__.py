@@ -2138,7 +2138,7 @@ def _dk_filter_sqls() -> dict[str, str]:
 def oracle_sql() -> dict[str, str]:
     import sys
     sys.path.insert(0, REPO)
-    from pdf_table_spark.ops.text import LANG_STOPWORDS
+    from pdf_table_spark.ops.text import LANG_STOPWORDS, cjk_count_exprs
 
     golden = f"read_parquet('{GOLDEN_001}')"
     spans = f"read_parquet('{SPANS_001}/*.parquet')"
@@ -2154,20 +2154,34 @@ def oracle_sql() -> dict[str, str]:
     pairs = ", ".join(
         f"{{'neg': -score_{la}, 'lang': '{la}'}}" for la in langs)
     gs = ", ".join(f"score_{la}" for la in langs)
+    # CJK script tier mirrored exactly: same literal-codepoint
+    # character classes as ops.text (duckdb regexp_replace needs the
+    # explicit 'g' flag; spark's is global already)
+    cjk = cjk_count_exprs(global_flag=", 'g'")
+    cjk_cols = ", ".join(f"{e} as {n}" for n, e in cjk.items())
     lang_sql = f"""
         with scored as (
-          select doc_id, {lang_scores}
-          from (select doc_id, {DK_TOKENS} as toks from documents)
+          select doc_id, {cjk_cols}, {lang_scores}
+          from (select doc_id, text, {DK_TOKENS} as toks
+                from documents)
         ), ranked as (
           select doc_id, greatest({gs}) as g,
+                 n_kana + n_hangul + n_han as cjk_total,
+                 case when n_kana > 0 then 'japan'
+                      when n_hangul > 0 then 'korean'
+                      when n_trad > n_simp then 'chinese_cht'
+                      else 'ch' end as cjk_lang,
                  list_sort([{pairs}]) as r
           from scored
         )
         select doc_id,
-               case when g = 0 then 'und' else r[1].lang end
-                 as pred_lang,
-               cast(-r[1].neg as bigint) as top_score,
-               cast(r[2].neg - r[1].neg as bigint) as margin
+               case when cjk_total > g then cjk_lang
+                    when g = 0 then 'und'
+                    else r[1].lang end as pred_lang,
+               cast(case when cjk_total > g then cjk_total
+                    else -r[1].neg end as bigint) as top_score,
+               cast(case when cjk_total > g then cjk_total - g
+                    else r[2].neg - r[1].neg end as bigint) as margin
         from ranked
     """
 

@@ -16,10 +16,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# language-ID profiles as DATA: per-language stopword lists and
-# ranked ASCII letter-trigram profiles live in lang_profiles.json
-# (40 Latin-script languages) — swapping in corpus-derived profiles is a data
-# change, not a code change
+# language-ID profiles as DATA: per-language stopword lists (78
+# whitespace-tokenized languages) and ranked ASCII letter-trigram
+# profiles (40 Latin-script languages) live in lang_profiles.json —
+# swapping in corpus-derived profiles is a data change, not a code
+# change. CJK (ch/chinese_cht/japan/korean) is resolved by the
+# script-range tier below, not by profile data.
 import json as _json
 import os as _os
 
@@ -30,6 +32,37 @@ LANG_STOPWORDS = _PROFILES["stopwords"]
 LANG_TRIGRAM_PROFILES = _PROFILES["trigrams"]
 
 _TOKENS = "filter(split(text, '\\\\s+'), t -> t <> '')"
+
+# CJK script ranges for the lang_id script tier (ch / chinese_cht /
+# japan / korean are not whitespace-tokenized, so stopword lists can't
+# see them; character-class counts can). Literal-codepoint ranges so
+# the same pattern string works verbatim in Java regex (Spark) and RE2
+# (the DuckDB oracle). Kana includes the half-width forms (common in
+# OCR output); Han includes Extension A.
+KANA_RANGE = "぀-ヿｦ-ﾝ"
+HANGUL_RANGE = "ᄀ-ᇿ㄰-㆏가-힣"
+HAN_RANGE = "㐀-䶿一-鿿"
+# 23 unambiguous simplified/traditional codepoint pairs: the probe
+# that splits 'ch' from 'chinese_cht' once Han is the winning script.
+SIMP_ONLY_CHARS = "国学说对时实发经会这来为样点现业动电头难马风龙"
+TRAD_ONLY_CHARS = "國學說對時實發經會這來為樣點現業動電頭難馬風龍"
+
+
+def cjk_count_exprs(global_flag: str = "") -> dict[str, str]:
+    """SQL count-of-chars-in-class expressions shared by the Spark
+    query and the DuckDB oracle (identical literal-codepoint character
+    classes; DuckDB needs the ``'g'`` regexp_replace flag, Spark's is
+    global already — pass ``global_flag=", 'g'"`` for DuckDB)."""
+    def cnt(cls: str) -> str:
+        return (f"length(regexp_replace(text, '[^{cls}]', ''"
+                f"{global_flag}))")
+    return {
+        "n_kana": cnt(KANA_RANGE),
+        "n_hangul": cnt(HANGUL_RANGE),
+        "n_han": cnt(HAN_RANGE),
+        "n_trad": cnt(TRAD_ONLY_CHARS),
+        "n_simp": cnt(SIMP_ONLY_CHARS),
+    }
 
 
 def token_stats(docs: DataFrame) -> DataFrame:
@@ -77,12 +110,28 @@ def quality_score(docs: DataFrame) -> DataFrame:
 
 
 def lang_id(docs: DataFrame) -> DataFrame:
-    """Stopword-hit language ID over the 40 data-file profiles:
-    score = hits per language's stopword list; winner by (score desc,
-    language asc); 'und' when all zero. Emits the winner's score and
-    the confidence margin (winner − runner-up hits) instead of one
-    column per language — the schema is profile-count-independent.
-    Narrow map."""
+    """Two-tier language ID covering the reference's full
+    docs/language.md surface (82 languages; reference
+    ``/root/reference/docs/language.md:3-40``):
+
+    * stopword tier — hit counts over the 78 data-file profiles
+      (whitespace-tokenized scripts: Latin, Cyrillic, Arabic,
+      Devanagari, Tamil, Telugu); winner by (score desc, lang asc).
+    * CJK script tier — ch / chinese_cht / japan / korean have no
+      whitespace tokens, so they're resolved by character-class
+      counts: the tier wins when the doc's CJK char count exceeds the
+      best stopword score, then kana ⇒ japan (kana is unique to
+      Japanese; Han-majority Japanese text still carries it), else
+      hangul ⇒ korean, else the 23-pair traditional/simplified probe
+      splits chinese_cht from ch.
+
+    'und' when both tiers score zero. Emits (pred_lang, top_score,
+    margin): on the stopword tier score = hits and margin = winner −
+    runner-up; on the CJK tier score = total CJK chars and margin =
+    that total minus the best stopword score (how decisively the
+    script tier won). Schema is profile-count-independent. Narrow
+    map — five character-class counts plus one constant-map token
+    pass per doc."""
     toks = "filter(split(lower(text), '\\\\s+'), t -> t <> '')"
     langs = sorted(LANG_STOPWORDS)
     # ONE interpreted pass per doc, not one per language: a constant
@@ -104,11 +153,14 @@ def lang_id(docs: DataFrame) -> DataFrame:
         f"aggregate({toks}, array_repeat(0, {len(langs)}), "
         f"(acc, t) -> if(try_element_at(_m, t) is null, acc, "
         f"zip_with(acc, try_element_at(_m, t), (a, b) -> a + b)))")
+    cjk = cjk_count_exprs()
     scored = (
         docs.select("doc_id", F.expr(f"map({entries})").alias("_m"),
                     F.col("text"))
-        .select("doc_id", F.expr(hits).alias("_hits"))
-        .select("doc_id",
+        .select("doc_id", F.expr(hits).alias("_hits"),
+                *[F.expr(e).alias(n) for n, e in cjk.items()])
+        .select("doc_id", "n_kana", "n_hangul", "n_han", "n_trad",
+                "n_simp",
                 *[F.expr(f"element_at(_hits, {i + 1})")
                   .alias(f"score_{lang}")
                   for i, lang in enumerate(langs)]))
@@ -117,16 +169,26 @@ def lang_id(docs: DataFrame) -> DataFrame:
     pairs = ", ".join(
         f"struct(-score_{lang} as neg, '{lang}' as lang)" for lang in langs)
     ranked = f"array_sort(array({pairs}))"
+    g = f"greatest({', '.join('score_' + la for la in langs)})"
+    cjk_total = "(n_kana + n_hangul + n_han)"
+    cjk_lang = ("case when n_kana > 0 then 'japan' "
+                "when n_hangul > 0 then 'korean' "
+                "when n_trad > n_simp then 'chinese_cht' "
+                "else 'ch' end")
     return scored.select(
         "doc_id",
         F.expr(
-            f"if(greatest({', '.join('score_' + la for la in langs)}) = 0, "
-            f"'und', element_at({ranked}, 1).lang)"
+            f"case when {cjk_total} > {g} then {cjk_lang} "
+            f"when {g} = 0 then 'und' "
+            f"else element_at({ranked}, 1).lang end"
         ).alias("pred_lang"),
-        F.expr(f"cast(-element_at({ranked}, 1).neg as bigint)")
+        F.expr(f"cast(case when {cjk_total} > {g} then {cjk_total} "
+               f"else -element_at({ranked}, 1).neg end as bigint)")
         .alias("top_score"),
-        F.expr(f"cast(element_at({ranked}, 2).neg "
-               f"- element_at({ranked}, 1).neg as bigint)")
+        F.expr(f"cast(case when {cjk_total} > {g} "
+               f"then {cjk_total} - {g} "
+               f"else element_at({ranked}, 2).neg "
+               f"- element_at({ranked}, 1).neg end as bigint)")
         .alias("margin"),
     )
 

@@ -212,14 +212,17 @@ def test_lang_id_ngram_picks_profile_language(spark):
 
 
 def test_lang_id_broad_profiles_and_margin(spark):
-    """40-language data-file profiles: new-language fixtures rank
-    their own language first on BOTH paths, and the margin behaves as
-    a confidence gap (saturated doc > ambiguous doc)."""
+    """Data-file profiles: new-language fixtures rank their own
+    language first on BOTH paths, and the margin behaves as a
+    confidence gap (saturated doc > ambiguous doc). Stopword tier
+    covers 78 whitespace-tokenized languages; the trigram tier is the
+    40-language Latin-script subset by design (its tokenizer keeps
+    only ASCII letter grams)."""
     from pdf_table_spark.ops.text import (LANG_STOPWORDS,
                                           LANG_TRIGRAM_PROFILES,
                                           lang_id, lang_id_ngram)
-    assert len(LANG_STOPWORDS) >= 40
-    assert set(LANG_STOPWORDS) == set(LANG_TRIGRAM_PROFILES)
+    assert len(LANG_STOPWORDS) >= 78
+    assert set(LANG_TRIGRAM_PROFILES) <= set(LANG_STOPWORDS)
     df = _docs(spark, [
         ("pl", "nie to sie jest na co jak czy ale tak nie jest"),
         ("tr", "ve bir bu da de ile icin ama gibi daha bir bu"),
@@ -259,6 +262,46 @@ def test_lang_id_broad_profiles_and_margin(spark):
     assert ng["fi"].pred_lang == "fi"
     assert ng["cy"].pred_lang == "cy"
     assert ng["lt"].pred_lang == "lt"
+
+
+def test_lang_id_nonlatin_and_cjk_tiers(spark):
+    """Round-4 broadening to the reference's full docs/language.md
+    surface: non-Latin whitespace-tokenized scripts resolve on the
+    stopword tier (Cyrillic, Arabic, Devanagari, Tamil, Telugu), and
+    the four CJK languages resolve on the script-range tier — kana ⇒
+    japan, hangul ⇒ korean, the 23-pair traditional/simplified probe
+    splits chinese_cht from ch. The tier only wins when the doc's CJK
+    char count beats the best stopword score."""
+    from pdf_table_spark.ops.text import lang_id
+    df = _docs(spark, [
+        ("ru", "и в не на что я с он как это и в не"),
+        ("ar", "في من على أن إلى عن مع هذا هذه التي في من"),
+        ("hi", "और के की का है में से को पर यह और के"),
+        ("ta", "மற்றும் இது அது நான் அவர் என்று உள்ளது ஒரு"),
+        ("te", "మరియు ఇది అది నేను అతను అని ఉంది ఒక"),
+        # kana present ⇒ japan even though Han chars dominate
+        ("japan", "これは日本語の文書です。漢字と仮名が混在する。"),
+        ("korean", "이것은 한국어 문서입니다 감사합니다 안녕하세요"),
+        # simplified-only probe chars (国发经实现这…) ⇒ ch
+        ("ch", "这是一个中文文档 国家发展经济实现现代化 时间点"),
+        # traditional-only probe chars (國發經實現這…) ⇒ chinese_cht
+        ("cht", "這是一個中文文檔 國家發展經濟實現現代化 時間點"),
+        # five English stopword hits vs one CJK char: stopword tier
+        # must keep winning (cjk_total=1 ≤ g=5)
+        ("mixed", "the of and to in 中"),
+    ])
+    out = {r.doc_id: r for r in lang_id(df).collect()}
+    for la in ("ru", "ar", "hi", "ta", "te", "japan", "korean"):
+        got = out[la].pred_lang
+        assert got == la, (la, out[la])
+        assert out[la].margin >= 0
+    assert out["ch"].pred_lang == "ch"
+    assert out["cht"].pred_lang == "chinese_cht"
+    assert out["mixed"].pred_lang == "en", out["mixed"]
+    # CJK-tier score = CJK char count; margin = lead over the best
+    # stopword score (zero stopword hits in the pure-CJK docs)
+    assert out["korean"].top_score > 0
+    assert out["korean"].top_score == out["korean"].margin
 
 
 def test_c4_span_dedup_cross_document(spark):
