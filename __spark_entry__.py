@@ -2138,7 +2138,8 @@ def _dk_filter_sqls() -> dict[str, str]:
 def oracle_sql() -> dict[str, str]:
     import sys
     sys.path.insert(0, REPO)
-    from pdf_table_spark.ops.text import LANG_STOPWORDS, cjk_count_exprs
+    from pdf_table_spark.ops.text import (LANG_STOPWORDS, cjk_count_exprs,
+                                          cjk_gate_expr)
 
     golden = f"read_parquet('{GOLDEN_001}')"
     spans = f"read_parquet('{SPANS_001}/*.parquet')"
@@ -2159,10 +2160,12 @@ def oracle_sql() -> dict[str, str]:
     # explicit 'g' flag; spark's is global already)
     cjk = cjk_count_exprs(global_flag=", 'g'")
     cjk_cols = ", ".join(f"{e} as {n}" for n, e in cjk.items())
+    cjk_gate = cjk_gate_expr(matcher="regexp_matches(text, '[{cls}]')")
     lang_sql = f"""
         with scored as (
           select doc_id, {cjk_cols}, {lang_scores}
-          from (select doc_id, text, {DK_TOKENS} as toks
+          from (select doc_id, text, {cjk_gate} as _cjk,
+                       {DK_TOKENS} as toks
                 from documents)
         ), ranked as (
           select doc_id, greatest({gs}) as g,

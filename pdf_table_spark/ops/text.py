@@ -48,14 +48,28 @@ SIMP_ONLY_CHARS = "å›½å­¦è¯´å¯¹æ—¶å®žå‘ç»ä¼šè¿™æ¥ä¸ºæ ·ç‚¹çŽ°ä¸šåŠ¨ç”µå¤´éš¾é
 TRAD_ONLY_CHARS = "åœ‹å­¸èªªå°æ™‚å¯¦ç™¼ç¶“æœƒé€™ä¾†ç‚ºæ¨£é»žç¾æ¥­å‹•é›»é ­é›£é¦¬é¢¨é¾"
 
 
-def cjk_count_exprs(global_flag: str = "") -> dict[str, str]:
+def cjk_gate_expr(matcher: str = "text rlike '[{cls}]'") -> str:
+    """ONE cheap existence scan over the union CJK class â€” the gate
+    for the five counting scans. Stage it as its own column so it's
+    evaluated once per doc, not once per count (no cross-column CSE in
+    either engine); a pure-Latin doc (the overwhelming web-scale
+    common case) then pays a single automaton pass and never
+    materializes the five stripped copies. A no-CJK doc's real counts
+    are all zero anyway, so the gate is exactly equivalent."""
+    return matcher.format(cls=KANA_RANGE + HANGUL_RANGE + HAN_RANGE)
+
+
+def cjk_count_exprs(global_flag: str = "",
+                    gate: str = "_cjk") -> dict[str, str]:
     """SQL count-of-chars-in-class expressions shared by the Spark
     query and the DuckDB oracle (identical literal-codepoint character
     classes; DuckDB needs the ``'g'`` regexp_replace flag, Spark's is
-    global already â€” pass ``global_flag=", 'g'"`` for DuckDB)."""
+    global already â€” pass ``global_flag=", 'g'"`` for DuckDB). ``gate``
+    names a staged boolean column from :func:`cjk_gate_expr`."""
     def cnt(cls: str) -> str:
-        return (f"length(regexp_replace(text, '[^{cls}]', ''"
-                f"{global_flag}))")
+        return (f"case when {gate} then "
+                f"length(regexp_replace(text, '[^{cls}]', ''"
+                f"{global_flag})) else 0 end")
     return {
         "n_kana": cnt(KANA_RANGE),
         "n_hangul": cnt(HANGUL_RANGE),
@@ -135,41 +149,59 @@ def lang_id(docs: DataFrame) -> DataFrame:
     toks = "filter(split(lower(text), '\\\\s+'), t -> t <> '')"
     langs = sorted(LANG_STOPWORDS)
     # ONE interpreted pass per doc, not one per language: a constant
-    # token -> per-language 0/1 indicator map (stopword lists overlap
-    # across languages), folded once by Catalyst. Non-stopword tokens
-    # cost a single hash probe; a per-language filter() lambda costs
-    # |langs| x |list| string compares per token (the profile count made the
-    # old shape ~10x the whole-query wall at sf0.1). Hit counts are
-    # bit-identical: every token occurrence still scores every list
-    # it appears in.
+    # token -> matched-language-index array map (compact â€” stopword
+    # lists overlap only a little, so values average ~1 index), folded
+    # once by Catalyst. Non-stopword tokens cost a single hash probe.
+    # Scoring then touches only the PRESENT languages: flatten the
+    # matched indices, sort, run-length encode â€” O(hits log hits) per
+    # doc, independent of the 78-profile width. (The earlier shape â€” a
+    # 78-slot indicator array per vocab entry + a 78-wide zip_with per
+    # hit â€” built a ~62k-literal expression tree / 1.3 MiB task binary
+    # and cost +0.6 s at sf0.1.) Hit counts are bit-identical: every
+    # token occurrence still scores every list it appears in, and
+    # absent languages score 0 exactly as before.
     vocab: dict[str, list[int]] = {}
-    for li, lang in enumerate(langs):
+    for li, lang in enumerate(langs, start=1):
         for w in LANG_STOPWORDS[lang]:
-            vocab.setdefault(w, [0] * len(langs))[li] = 1
+            vocab.setdefault(w, []).append(li)
     entries = ", ".join(
-        f"'{w}', array({', '.join(map(str, v))})"
+        f"'{w}', array({', '.join(map(str, sorted(v)))})"
         for w, v in sorted(vocab.items()))
-    hits = (
-        f"aggregate({toks}, array_repeat(0, {len(langs)}), "
-        f"(acc, t) -> if(try_element_at(_m, t) is null, acc, "
-        f"zip_with(acc, try_element_at(_m, t), (a, b) -> a + b)))")
+    names = ", ".join(f"'{la}'" for la in langs)
+    matched = (f"flatten(transform({toks}, "
+               f"t -> coalesce(try_element_at(_m, t), "
+               f"cast(array() as array<int>))))")
+    # run starts in the sorted index array; run length = gap to the
+    # next start. runs = (âˆ’count, lang) structs sorted ascending ==
+    # (count desc, lang asc): [1] = winner, [2] = runner-up (absent â‡’
+    # score 0, same as the old all-languages ranking).
+    starts = ("if(size(st) = 0, array(), "
+              "filter(sequence(1, size(st)), i -> i = 1 or "
+              "element_at(st, i) != element_at(st, i - 1)))")
+    runs = (
+        f"if(size(st) = 0, "
+        f"cast(array() as array<struct<neg: bigint, lang: string>>), "
+        f"array_sort(transform(sequence(1, size(starts)), j -> "
+        f"struct(cast(-(if(j = size(starts), size(st) + 1, "
+        f"element_at(starts, j + 1)) - element_at(starts, j)) "
+        f"as bigint) as neg, "
+        f"element_at(_names, element_at(st, element_at(starts, j))) "
+        f"as lang))))")
     cjk = cjk_count_exprs()
     scored = (
         docs.select("doc_id", F.expr(f"map({entries})").alias("_m"),
                     F.col("text"))
-        .select("doc_id", F.expr(hits).alias("_hits"),
+        .select("doc_id", "text", F.expr(f"array_sort({matched})").alias("st"),
+                F.expr(cjk_gate_expr()).alias("_cjk"))
+        .select("doc_id", "st",
                 *[F.expr(e).alias(n) for n, e in cjk.items()])
         .select("doc_id", "n_kana", "n_hangul", "n_han", "n_trad",
-                "n_simp",
-                *[F.expr(f"element_at(_hits, {i + 1})")
-                  .alias(f"score_{lang}")
-                  for i, lang in enumerate(langs)]))
-    # ascending sort of (-score, lang) structs: [0] = winner,
-    # [1] = runner-up under the same (score desc, lang asc) rule
-    pairs = ", ".join(
-        f"struct(-score_{lang} as neg, '{lang}' as lang)" for lang in langs)
-    ranked = f"array_sort(array({pairs}))"
-    g = f"greatest({', '.join('score_' + la for la in langs)})"
+                "n_simp", "st", F.expr(starts).alias("starts"),
+                F.expr(f"array({names})").alias("_names"))
+        .select("doc_id", "n_kana", "n_hangul", "n_han", "n_trad",
+                "n_simp", F.expr(runs).alias("runs")))
+    g = "coalesce(-try_element_at(runs, 1).neg, 0L)"
+    runner = "coalesce(-try_element_at(runs, 2).neg, 0L)"
     cjk_total = "(n_kana + n_hangul + n_han)"
     cjk_lang = ("case when n_kana > 0 then 'japan' "
                 "when n_hangul > 0 then 'korean' "
@@ -180,15 +212,14 @@ def lang_id(docs: DataFrame) -> DataFrame:
         F.expr(
             f"case when {cjk_total} > {g} then {cjk_lang} "
             f"when {g} = 0 then 'und' "
-            f"else element_at({ranked}, 1).lang end"
+            f"else element_at(runs, 1).lang end"
         ).alias("pred_lang"),
         F.expr(f"cast(case when {cjk_total} > {g} then {cjk_total} "
-               f"else -element_at({ranked}, 1).neg end as bigint)")
+               f"else {g} end as bigint)")
         .alias("top_score"),
         F.expr(f"cast(case when {cjk_total} > {g} "
                f"then {cjk_total} - {g} "
-               f"else element_at({ranked}, 2).neg "
-               f"- element_at({ranked}, 1).neg end as bigint)")
+               f"else {g} - {runner} end as bigint)")
         .alias("margin"),
     )
 
