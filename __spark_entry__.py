@@ -45,8 +45,29 @@ def _spans_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(_fixture_dir(sf_dir), "documents_spans.parquet"))
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+def _t(spark: SparkSession, sf_dir: str, name: str,
+       fan: bool = True) -> DataFrame:
+    # small single-row-group corpus tables scan as ONE task; fan them
+    # to the session parallelism so interpreted per-row map work
+    # (lang ID, quality gates, fingerprinting) uses every core — a
+    # no-op at web scale (sources.corpus.fan_small_scan). Queries pass
+    # fan=False when the A/B measured the exchange as a net loss:
+    # shuffle-bound plans whose first stage is a cheap hash/projection
+    # straight into a keyed shuffle (fanning splinters the map-side
+    # combine), and trivial projections where 32 tasks of scheduler
+    # overhead exceed the map work. Relational tables are never
+    # fanned: vectorized JVM scan+agg is already cheap single-task,
+    # and their un-rounded double sums (pricing_summary) are
+    # float-association-sensitive to row order, so reordering would
+    # shift the last ulps vs the oracle.
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    if fan and name in ("documents", "embeddings"):
+        import sys
+        sys.path.insert(0, REPO)
+        from pdf_table_spark.sources.corpus import fan_small_scan
+        df = fan_small_scan(spark, df, path)
+    return df
 
 
 def _extract_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -229,7 +250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_corpus_stats(spark, sf_dir):
         # one-row dataset-card rollup (totals + exact token-count
         # percentiles)
-        return text.corpus_stats(_t(spark, sf_dir, "documents"))
+        return text.corpus_stats(_t(spark, sf_dir, "documents", fan=False))
 
     def q_quality_score(spark, sf_dir):
         return text.quality_score(_t(spark, sf_dir, "documents"))
@@ -250,7 +271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return text.winnow_fingerprints(_t(spark, sf_dir, "documents"))
 
     def q_exact_dedup(spark, sf_dir):
-        return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+        return dedup.exact_dedup(_t(spark, sf_dir, "documents", fan=False))
 
     # ---- corpus filter gates (Gopher / C4 / PII / composed) ----
     # the corpus text is single-line word salad, so the line-based
@@ -258,8 +279,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # a sentence) mirrored verbatim in the oracle SQL
     _LINED = "replace(text, 'table ', 'table.' || chr(10))"
 
-    def _lined_docs(spark, sf_dir):
-        return _t(spark, sf_dir, "documents").select(
+    def _lined_docs(spark, sf_dir, fan=True):
+        return _t(spark, sf_dir, "documents", fan=fan).select(
             "doc_id", F.expr(_LINED).alias("text"))
 
     def q_repetition_signals(spark, sf_dir):
@@ -285,10 +306,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "tel +44 20 7946 0958 at 192.168.1.77.'").alias("text"))
         return textfilters.pii_redact(docs)
 
-    def _lined_with_dups(spark, sf_dir):
+    def _lined_with_dups(spark, sf_dir, fan=True):
         # 20 injected exact duplicates so the 'dup' stage is
         # oracle-visible (the synthetic corpus has no exact dups)
-        base = _lined_docs(spark, sf_dir)
+        base = _lined_docs(spark, sf_dir, fan=fan)
         dups = (base.orderBy("doc_id").limit(20)
                 .select(F.concat(F.lit("dup_"),
                                  F.col("doc_id").cast("string"))
@@ -298,7 +319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_corpus_clean(spark, sf_dir):
         return textfilters.corpus_clean(
-            _lined_with_dups(spark, sf_dir),
+            _lined_with_dups(spark, sf_dir, fan=False),
             min_words=10, min_stopword_hits=1)
 
     def q_prepare_corpus(spark, sf_dir):
@@ -308,7 +329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pdf_table_spark.ops.prepare import prepare_corpus
         dedup.release_caches()   # bound cache growth across reruns
         return prepare_corpus(
-            _lined_with_dups(spark, sf_dir),
+            _lined_with_dups(spark, sf_dir, fan=False),
             min_words=10, min_stopword_hits=1,
             neardup_threshold=0.5, max_df=20, max_bucket=10,
             hash_fn="md5")
@@ -339,14 +360,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return c4.unionByName(ex)
 
     def q_ngram_jaccard(spark, sf_dir):
-        return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), 0.5)
+        return dedup.ngram_jaccard_pairs(
+            _t(spark, sf_dir, "documents", fan=False), 0.5)
 
     def _assemble(spark, sf_dir):
         # the full assembly program on the raw (non-benchmark) corpus
         # with 20 injected exact dups; src0 plays the eval suite.
         # C4 off (min_sentences=0): the word-salad corpus has no
         # sentence structure, and the C4 gate is oracled elsewhere.
-        d = _t(spark, sf_dir, "documents")
+        # fan=False: the assembly program references this frame many
+        # times and each reference would re-plan the fan exchange;
+        # composed programs materialize stage boundaries instead
+        d = _t(spark, sf_dir, "documents", fan=False)
         base = d.filter("source <> 'src0'").select(
             "doc_id", "text", "source")
         dups = (base.orderBy("doc_id").limit(20)
@@ -372,7 +397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # epoch-weighted mixture: 2.4 copies of src1, a quarter of
         # src2, src3 dropped, everything else 1 epoch
         return sampling.resample_mixture(
-            _t(spark, sf_dir, "documents"),
+            _t(spark, sf_dir, "documents", fan=False),
             {"src1": 2.4, "src2": 0.25, "src3": 0.0}
         ).select("doc_id", "source", "copy")
 
@@ -393,12 +418,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_token_budget(spark, sf_dir):
         # best docs (by n_chars) until a 10k-token budget
         return sampling.select_token_budget(
-            _t(spark, sf_dir, "documents"), 10_000,
+            _t(spark, sf_dir, "documents", fan=False), 10_000,
             score_col="n_chars")
 
     def q_corpus_diff(spark, sf_dir):
         # old = the corpus; new = drop doc_id%50==0, perturb %50==1
-        d = _t(spark, sf_dir, "documents")
+        d = _t(spark, sf_dir, "documents", fan=False)
         new = (d.filter("doc_id % 50 != 0")
                .selectExpr("doc_id",
                            "if(doc_id % 50 = 1, concat(text, ' v2'), "
@@ -409,20 +434,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return text.top_ngrams(_t(spark, sf_dir, "documents"), 2, 20)
 
     def q_corpus_split(spark, sf_dir):
-        return sampling.split_corpus(_t(spark, sf_dir, "documents"))
+        return sampling.split_corpus(
+            _t(spark, sf_dir, "documents", fan=False))
 
     def q_stratified_sample(spark, sf_dir):
         return sampling.sample_stratified(
-            _t(spark, sf_dir, "documents"),
+            _t(spark, sf_dir, "documents", fan=False),
             {"en": 0.5, "de": 1.0}, default=0.1).select("doc_id", "lang")
 
     def q_pack_chunks(spark, sf_dir):
-        return sampling.pack_chunks(_t(spark, sf_dir, "documents"), 512)
+        return sampling.pack_chunks(
+            _t(spark, sf_dir, "documents", fan=False), 512)
 
     def q_decontaminate(spark, sf_dir):
         # src0 plays the benchmark/eval suite; every other source is
         # the training corpus. Flag train docs sharing any 13-gram.
-        docs = _t(spark, sf_dir, "documents")
+        docs = _t(spark, sf_dir, "documents", fan=False)
         return textfilters.decontaminate(
             docs.filter("source <> 'src0'"),
             docs.filter("source = 'src0'"))["contaminated"]
@@ -461,13 +488,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
 
     def q_simhash(spark, sf_dir):
-        return dedup.simhash(_t(spark, sf_dir, "documents"))
+        return dedup.simhash(_t(spark, sf_dir, "documents", fan=False))
 
     def q_simhash_pairs(spark, sf_dir):
         # banded hamming pair join (pigeonhole: d+1 bands find every
         # pair within hamming d) + exact bit_count verify
-        return dedup.simhash_pairs(_t(spark, sf_dir, "documents"),
-                                   max_hamming=3)
+        return dedup.simhash_pairs(
+            _t(spark, sf_dir, "documents", fan=False), max_hamming=3)
 
     def q_audio_chunks(spark, sf_dir):
         # audio modality: windowed 30s chunk enumeration (JVM-side
@@ -834,7 +861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_simhash_merged(spark, sf_dir):
         # 60-bit fingerprints + banded-hamming verified pairs, tagged
-        d = _t(spark, sf_dir, "documents")
+        d = _t(spark, sf_dir, "documents", fan=False)
         sig = dedup.simhash(d).select(
             F.lit("sig").alias("part"), F.col("doc_id").alias("a"),
             F.lit(None).cast("bigint").alias("b"),

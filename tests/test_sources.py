@@ -41,3 +41,48 @@ def test_sniff_remote_uri_by_extension():
     assert _sniff("hdfs://nn/corpus/part-0.parquet") == "parquet"
     with pytest.raises(ValueError, match="cannot sniff"):
         _sniff("s3://bucket/corpus/")
+
+
+def test_fan_small_scan_policy(spark, tmp_path):
+    """Small local single-file scans fan to the session parallelism
+    (one round-robin exchange); big inputs, many-file inputs, and
+    remote paths the filesystem can't stat pass through untouched —
+    the web-scale case never pays the exchange."""
+    from pdf_table_spark.sources.corpus import (FAN_SMALL_BYTES,
+                                                fan_small_scan)
+    p = str(tmp_path / "docs.parquet")
+    spark.range(100).selectExpr("cast(id as string) as doc_id") \
+        .repartition(1).write.parquet(p)
+    df = spark.read.parquet(p)
+    par = spark.sparkContext.defaultParallelism
+
+    fanned = fan_small_scan(spark, df, p)
+    assert fanned.rdd.getNumPartitions() == par
+    assert "Repartition" in fanned._jdf.queryExecution().toString()
+    assert sorted(r.doc_id for r in fanned.collect()) == \
+        sorted(r.doc_id for r in df.collect())
+
+    # remote / un-stat-able path: untouched
+    assert fan_small_scan(spark, df, "s3://bucket/corpus") is df
+
+    # many files (>= parallelism): the scan already parallelizes
+    import os
+    many = tmp_path / "many"
+    many.mkdir()
+    for i in range(par):
+        (many / f"part-{i}.parquet").write_bytes(b"x")
+    assert fan_small_scan(spark, df, str(many)) is df
+
+    # big input: above the ceiling, untouched (fake one big file)
+    big = tmp_path / "big"
+    big.mkdir()
+    with open(big / "part-0.parquet", "wb") as fh:
+        fh.truncate(FAN_SMALL_BYTES)
+    assert fan_small_scan(spark, df, str(big)) is df
+
+    # kill switch for A/B runs
+    os.environ["SPARK_GRAFT_NO_FAN"] = "1"
+    try:
+        assert fan_small_scan(spark, df, p) is df
+    finally:
+        del os.environ["SPARK_GRAFT_NO_FAN"]
