@@ -331,17 +331,17 @@ def minhash_signatures_from_hashes(sh: DataFrame) -> DataFrame:
     return h.groupBy("doc_id").agg(*aggs)
 
 
-def _lsh_pairs_from_signatures(sig: DataFrame,
-                               max_bucket: int | None,
-                               band_hash: str = "md5") -> DataFrame:
-    """Band-join candidate pairs from a signature table (the
-    minhash_lsh_pairs core, reusable against a persisted sig).
+def band_table(sig: DataFrame, band_hash: str = "md5") -> DataFrame:
+    """(doc_id, band, bh) rows from a signature table — one row per
+    (doc, band), bucket key = hash of the band's 4-signature slice.
 
     ``band_hash``: the bucket key is internal (any injective-enough
     hash of the band's signature slice yields the same buckets), so
     production uses 8-byte xxhash64 keys — the band table is
     n_docs x BANDS rows, and 32-char md5 strings sextuple its shuffle
-    width. 'md5' is kept as the DuckDB-replicable oracle contract."""
+    width. 'md5' is kept as the DuckDB-replicable oracle contract.
+    Shared by the batch pair join below and the streaming incremental
+    index (``streaming.neardup``)."""
     band_cols = []
     for bidx in range(BANDS):
         cols = [f"s{bidx * ROWS_PER_BAND + j}" for j in range(ROWS_PER_BAND)]
@@ -350,10 +350,18 @@ def _lsh_pairs_from_signatures(sig: DataFrame,
                else F.md5(F.concat_ws(",", *cols)))
         band_cols.append(F.struct(
             F.lit(bidx).alias("band"), key.alias("bh")))
-    bands = sig.select(
+    return sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("b")
     ).select("doc_id", F.col("b.band").alias("band"),
              F.col("b.bh").alias("bh"))
+
+
+def _lsh_pairs_from_signatures(sig: DataFrame,
+                               max_bucket: int | None,
+                               band_hash: str = "md5") -> DataFrame:
+    """Band-join candidate pairs from a signature table (the
+    minhash_lsh_pairs core, reusable against a persisted sig)."""
+    bands = band_table(sig, band_hash)
     if max_bucket is not None:
         ok = (bands.groupBy("band", "bh")
               .agg(F.count("*").alias("n"))
