@@ -198,6 +198,67 @@ def bench_sessionize(spark, work):
             "open_at_eos": total - closed}
 
 
+def bench_neardup_gate(spark, work):
+    """Incremental MinHash-LSH gate: wave 1 ingests the corpus and
+    builds the index; wave 2 throws REPL× traffic at it — half exact
+    copies of INDEXED docs (signature agreement 1.0, must all drop),
+    half synthetic docs with per-id random vocab (zero shingle overlap
+    with anything, must all survive). The throughput number is gated
+    by both set assertions, so it can't be bought with a broken gate."""
+    from pyspark.sql import functions as F
+    from pdf_table_spark.streaming.neardup import run_neardup_stream
+
+    d_in = os.path.join(work, "nd_in")
+    d_out = os.path.join(work, "nd_out")
+    d_index = os.path.join(work, "nd_index")
+    d_ckpt = os.path.join(work, "nd_ckpt")
+
+    docs = (spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+            .select(F.col("doc_id").cast("string").alias("doc_id"),
+                    "text"))
+    docs.repartition(4).write.parquet(d_in)
+    t0 = time.monotonic()
+    run_neardup_stream(spark, d_in, d_out, d_index, d_ckpt)
+    wave1_s = time.monotonic() - t0
+    indexed = spark.read.parquet(d_out).select("doc_id", "text")
+    n_indexed = indexed.count()
+
+    # wave 2: copies of indexed docs only (their canonical is in the
+    # index by construction) + synthetic all-distinct-vocab docs
+    reps = spark.range(REPL).select(F.col("id").alias("rep"))
+    dups = (indexed.crossJoin(reps)
+            .filter(F.xxhash64("doc_id") % 2 == 0)
+            .select(F.concat_ws("#", F.lit("dup"), "rep", "doc_id")
+                    .alias("doc_id"), "text"))
+    n_dup = dups.count()
+    fresh = (spark.range(n_dup)
+             .select(F.concat(F.lit("fresh#"), F.col("id").cast("string"))
+                     .alias("doc_id"),
+                     F.expr("array_join(transform(sequence(1, 40), "
+                            "i -> concat('t', xxhash64(id, i))), ' ')")
+                     .alias("text")))
+    (dups.unionByName(fresh).repartition(16)
+     .write.mode("append").parquet(d_in))
+    n_wave2 = n_dup * 2
+
+    t0 = time.monotonic()
+    run_neardup_stream(spark, d_in, d_out, d_index, d_ckpt,
+                       max_files_per_trigger=8)
+    wave2_s = time.monotonic() - t0
+
+    kept = {r.doc_id for r in spark.read.parquet(d_out)
+            .select("doc_id").collect()}
+    dup_kept = sum(1 for d in kept if d.startswith("dup#"))
+    fresh_kept = sum(1 for d in kept if d.startswith("fresh#"))
+    assert dup_kept == 0, f"{dup_kept} copies of indexed docs survived"
+    assert fresh_kept == n_dup, (fresh_kept, n_dup)
+    assert len(kept) == n_indexed + n_dup
+    return {"wave1_docs": n_indexed, "wave1_sec": round(wave1_s, 2),
+            "wave2_docs": n_wave2, "wave2_sec": round(wave2_s, 2),
+            "wave2_docs_per_sec": round(n_wave2 / wave2_s, 1),
+            "dups_dropped": n_dup, "fresh_kept": fresh_kept}
+
+
 def main():
     spark = _session()
     spark.sparkContext.setLogLevel("ERROR")
@@ -210,6 +271,7 @@ def main():
             "extract_ingest": bench_extract_ingest(spark, work),
             "clean_gate": bench_clean_gate(spark, work),
             "sessionize": bench_sessionize(spark, work),
+            "neardup_gate": bench_neardup_gate(spark, work),
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
