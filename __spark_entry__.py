@@ -107,7 +107,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     import sys
     sys.path.insert(0, REPO)
-    from pdf_table_spark.ops import (dedup, multimodal, sampling,
+    from pdf_table_spark.ops import (dedup, dsir, multimodal, sampling,
                                      similarity, text, textfilters)
 
     def q_extract_spans(spark, sf_dir):
@@ -415,11 +415,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_semdedup_keep(spark, sf_dir):
         return _semdedup(spark, sf_dir)["keep"]
 
-    def q_token_budget(spark, sf_dir):
-        # best docs (by n_chars) until a 10k-token budget
-        return sampling.select_token_budget(
+    def q_data_selection(spark, sf_dir):
+        # merged selection family, union-with-tag (arm, doc_id,
+        # score, aux, aux2):
+        #   budget      — best docs (by n_chars) until a 10k-token
+        #                 budget (aux = n_tok, aux2 = cum_before)
+        #   dsir        — DSIR top-50 by hashed-ngram importance
+        #                 weight, target = src1 (aux = score_e6,
+        #                 aux2 = ranking key)
+        #   dsir_gumbel — DSIR Gumbel-resampled top-50 (the paper's
+        #                 softmax draw, hash-deterministic noise)
+        budget = (sampling.select_token_budget(
             _t(spark, sf_dir, "documents", fan=False), 10_000,
             score_col="n_chars")
+            .select(F.lit("budget").alias("arm"), "doc_id", "score",
+                    F.col("n_tok").alias("aux"),
+                    F.col("cum_before").alias("aux2")))
+        d = _t(spark, sf_dir, "documents")
+        lr = dsir.fit_logratio_e6(d.filter("source = 'src1'"),
+                                  d.filter("source <> 'src1'"))
+
+        def dsir_arm(mode, name):
+            return (dsir.dsir_select(d.filter("source <> 'src1'"),
+                                     lr, 50, mode=mode)
+                    .select(F.lit(name).alias("arm"), "doc_id",
+                            (F.col("score_e6").cast("double")
+                             / F.lit(1e6)).alias("score"),
+                            F.col("score_e6").alias("aux"),
+                            F.col("key_e6").alias("aux2")))
+        return (budget
+                .unionByName(dsir_arm("topk", "dsir"))
+                .unionByName(dsir_arm("gumbel", "dsir_gumbel")))
 
     def q_corpus_diff(spark, sf_dir):
         # old = the corpus; new = drop doc_id%50==0, perturb %50==1
@@ -1028,7 +1054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assemble": q_assemble,
         "resample_mixture": q_resample_mixture,
         "semdedup": q_semdedup_merged,
-        "token_budget": q_token_budget,
+        "data_selection": q_data_selection,
         "corpus_diff": q_corpus_diff,
         "top_ngrams": q_top_ngrams,
         "corpus_split": q_corpus_split,
@@ -2476,7 +2502,7 @@ def oracle_sql() -> dict[str, str]:
                    unnest(generate_series(0, nc - 1)) as copy
             from n where nc >= 1
         """,
-        "token_budget": r"""
+        "data_selection": r"""
             with t as (
               select doc_id, cast(n_chars as double) as score,
                      cast(len(list_filter(string_split_regex(
@@ -2490,9 +2516,73 @@ def oracle_sql() -> dict[str, str]:
                        rows between unbounded preceding and 1
                        preceding), 0) as bigint) as cum_before
               from t
-            )
-            select doc_id, score, n_tok, cum_before
+            ),
+            -- DSIR arms (Xie et al. 2023): hashed unigram+bigram
+            -- buckets (md5 60-bit % 512), add-1-smoothed log ratio
+            -- quantized to integer micro-nats, per-doc BIGINT sum
+            tok as (
+              select doc_id, source,
+                     list_filter(string_split_regex(lower(text),
+                       '\s+'), x -> x <> '') as tk
+              from documents
+            ), g as (
+              select doc_id, source,
+                     list_concat(tk, case when len(tk) < 2 then []
+                       else list_transform(range(1, len(tk)),
+                         i -> tk[i] || ' ' || tk[i+1]) end) as grams
+              from tok
+            ), bk as (
+              select doc_id, source,
+                     cast('0x' || substr(md5(gr), 1, 15) as bigint)
+                       % 512 as bk
+              from (select doc_id, source, unnest(grams) as gr from g)
+            ), tc as (select bk, count(*) as c from bk
+                      where source = 'src1' group by bk),
+               rc as (select bk, count(*) as c from bk
+                      where source <> 'src1' group by bk),
+               tot as (select
+                 (select count(*) from bk where source = 'src1')
+                   as tt,
+                 (select count(*) from bk where source <> 'src1')
+                   as rr),
+               lr as (
+                 select u.bk,
+                        cast(floor((ln((coalesce(tc.c, 0) + 1.0)
+                             / (tot.tt + 512.0))
+                          - ln((coalesce(rc.c, 0) + 1.0)
+                             / (tot.rr + 512.0))) * 1e6 + 0.5)
+                          as bigint) as lre6
+                 from (select distinct bk from bk) u
+                 cross join tot
+                 left join tc using (bk) left join rc using (bk)),
+               sc as (
+                 select bk.doc_id,
+                        cast(sum(lr.lre6) as bigint) as score_e6
+                 from bk join lr using (bk)
+                 where bk.source <> 'src1'
+                 group by bk.doc_id)
+            select 'budget' as arm, doc_id, score,
+                   n_tok as aux, cum_before as aux2
             from o where cum_before + n_tok <= 10000
+            union all
+            select 'dsir' as arm, doc_id,
+                   cast(score_e6 as double) / 1e6 as score,
+                   score_e6 as aux, score_e6 as aux2
+            from (select * from sc
+                  order by score_e6 desc, doc_id asc limit 50)
+            union all
+            select 'dsir_gumbel' as arm, doc_id,
+                   cast(score_e6 as double) / 1e6 as score,
+                   score_e6 as aux, key_e6 as aux2
+            from (select doc_id, score_e6,
+                         score_e6 + cast(floor(-ln(-ln(
+                           (cast('0x' || substr(md5(cast(doc_id as
+                              varchar) || 'dsir-v1'), 1, 15)
+                            as bigint) + 0.5)
+                           / 1152921504606846976.0)) * 1e6 + 0.5)
+                           as bigint) as key_e6
+                  from sc
+                  order by key_e6 desc, doc_id asc limit 50)
         """,
         "corpus_diff": """
             with fp as (

@@ -49,7 +49,7 @@ HEADLINE = [
     "decontaminate",         # GPT-3-style 13-gram eval-set overlap
     "top_ngrams",
     "corpus_diff",
-    "token_budget",
+    "data_selection",       # token budget + DSIR topk/gumbel arms
     "corpus_split",
     "resample_mixture",
     "pack_chunks",           # concat-and-chunk sequence packing
