@@ -83,6 +83,30 @@ def test_empty_and_short_docs(spark):
     assert {r.doc_id for r in got} == {3, 4}
 
 
+def test_score_np_equals_hof(spark):
+    # the vectorized Arrow scorer is bit-equal to the codegen HOF
+    # path (integer sums are order-independent)
+    target, raw = _dfs(spark)
+    for hash_fn in ("md5", "xxhash64"):
+        lr = dsir.fit_logratio_e6(target, raw, n_buckets=256,
+                                  hash_fn=hash_fn)
+        hof = {(r.doc_id, r.score_e6) for r in
+               dsir.score_e6(raw, lr, hash_fn=hash_fn)
+               .select("doc_id", "score_e6").collect()}
+        npv = {(r.doc_id, r.score_e6) for r in
+               dsir.score_np(raw, lr, hash_fn=hash_fn).collect()}
+        assert hof == npv
+
+
+def test_score_np_drops_empty_docs(spark):
+    target, _ = _dfs(spark)
+    raw = spark.createDataFrame(
+        [(1, ""), (2, "solar panels"), (3, "  ")],
+        ["doc_id", "text"])
+    lr = dsir.fit_logratio_e6(target, raw, n_buckets=64)
+    assert {r.doc_id for r in dsir.score_np(raw, lr).collect()} == {2}
+
+
 def test_fit_counts_exact(spark):
     df = spark.createDataFrame([(1, "a b a")], ["doc_id", "text"])
     counts, total = dsir.bucket_counts(df, n_buckets=16)
