@@ -135,6 +135,10 @@ def assemble_training_set(docs: DataFrame,
                           max_bucket: int = 10_000,
                           hash_fn: str = "xxhash64",
                           ngram_n: int = 13,
+                          select_target: DataFrame | None = None,
+                          select_k: int | None = None,
+                          select_buckets: int = 65536,
+                          select_mode: str = "gumbel",
                           seed: str = "assemble-v1") -> dict:
     """The training-set ASSEMBLY program — everything between a raw
     corpus and the rows a data loader reads, composed end to end:
@@ -145,16 +149,24 @@ def assemble_training_set(docs: DataFrame,
                             one canonical doc per duplicate cluster;
       3. decontamination  — drop survivors sharing any ``ngram_n``-gram
                             with ``benchmark`` (skipped when None);
-      4. mixture          — per-``source_col`` epoch weights emit
+      4. DSIR selection   — keep the ``select_k`` survivors most like
+                            ``select_target`` by hashed-ngram
+                            importance weight (ops/dsir.py; Gumbel
+                            resampling by default, ``select_mode=
+                            'topk'`` for the deterministic variant;
+                            skipped when ``select_target``/``select_k``
+                            is None — the fit is two bounded
+                            ≤``select_buckets``-row collects);
+      5. mixture          — per-``source_col`` epoch weights emit
                             (doc_id, copy) rows;
-      5. split            — deterministic train/val/test per doc.
+      6. split            — deterministic train/val/test per doc.
 
     Each stage consumes only the previous stage's survivors (the
     expensive gram joins see the thinned corpus). Returns:
 
       {"provenance": (doc_id, stage, kept) — first-failing stage per
                      input doc, stage ∈ dup|gopher|c4|neardup|
-                     contaminated|kept;
+                     contaminated|unselected|kept;
        "assembled":  (doc_id, source, copy, split) — the final rows,
                      repeated per epoch copy, each carrying its split}
 
@@ -188,9 +200,21 @@ def assemble_training_set(docs: DataFrame,
         # schema-matched empty frame whatever the doc_id type is
         cont = docs.select("doc_id").limit(0)
 
-    provenance = _staged_provenance(
-        cc, [("neardup", nd_dropped), ("contaminated", cont)],
-        with_clean_fp=False)
+    drops = [("neardup", nd_dropped), ("contaminated", cont)]
+    if select_target is not None and select_k:
+        from . import dsir
+        after_cont = after_nd.join(cont, "doc_id", "left_anti")
+        lr = dsir.fit_logratio_e6(select_target, after_cont,
+                                  n_buckets=select_buckets,
+                                  hash_fn=hash_fn)
+        selected = dsir.dsir_select(after_cont, lr, select_k,
+                                    hash_fn=hash_fn, mode=select_mode,
+                                    seed=f"{seed}-select")
+        drops.append(("unselected", after_cont.join(
+            selected.select("doc_id"), "doc_id", "left_anti")
+            .select("doc_id")))
+
+    provenance = _staged_provenance(cc, drops, with_clean_fp=False)
 
     kept_docs = docs.join(
         provenance.filter("kept").select("doc_id"), "doc_id")
@@ -221,6 +245,10 @@ def assemble_training_set_staged(docs: DataFrame,
                                  max_bucket: int = 10_000,
                                  hash_fn: str = "xxhash64",
                                  ngram_n: int = 13,
+                                 select_target: DataFrame | None = None,
+                                 select_k: int | None = None,
+                                 select_buckets: int = 65536,
+                                 select_mode: str = "gumbel",
                                  seed: str = "assemble-v1") -> dict:
     """``assemble_training_set`` with MATERIALIZED stage boundaries —
     the shape a corpus-scale run actually needs.
@@ -301,9 +329,29 @@ def assemble_training_set_staged(docs: DataFrame,
     else:
         cont = docs.select("doc_id").limit(0)
 
+    drops = [("neardup", nd_dropped), ("contaminated", cont)]
+    if select_target is not None and select_k:
+        from . import dsir
+
+        def _selected():
+            after_cont = (_survivors()
+                          .join(nd_dropped, "doc_id", "left_anti")
+                          .join(cont, "doc_id", "left_anti"))
+            lr = dsir.fit_logratio_e6(select_target, after_cont,
+                                      n_buckets=select_buckets,
+                                      hash_fn=hash_fn)
+            return dsir.dsir_select(after_cont, lr, select_k,
+                                    hash_fn=hash_fn, mode=select_mode,
+                                    seed=f"{seed}-select")
+        sel = stage("selected", _selected)
+        drops.append(("unselected", (
+            _survivors().join(nd_dropped, "doc_id", "left_anti")
+            .join(cont, "doc_id", "left_anti")
+            .join(sel.select("doc_id"), "doc_id", "left_anti")
+            .select("doc_id"))))
+
     prov = stage("provenance", lambda: _staged_provenance(
-        cc, [("neardup", nd_dropped), ("contaminated", cont)],
-        with_clean_fp=False), partition_by="stage")
+        cc, drops, with_clean_fp=False), partition_by="stage")
 
     def _assembled():
         kept_docs = docs.join(

@@ -59,6 +59,14 @@ def main() -> None:
     ap.add_argument("--max-df", type=int, default=10_000)
     ap.add_argument("--max-bucket", type=int, default=10_000)
     ap.add_argument("--ngram-n", type=int, default=13)
+    ap.add_argument("--select-target", default=None,
+                    help="parquet of target docs(doc_id, text): adds "
+                         "the DSIR selection stage — keep the "
+                         "--select-k survivors most like this corpus")
+    ap.add_argument("--select-k", type=int, default=None)
+    ap.add_argument("--select-buckets", type=int, default=65536)
+    ap.add_argument("--select-mode", default="gumbel",
+                    choices=("gumbel", "topk"))
     ap.add_argument("--seed", default="assemble-v1")
     ap.add_argument("--staged", action="store_true",
                     help="materialize each stage to <output>/<stage> "
@@ -93,7 +101,11 @@ def main() -> None:
         min_sentences=args.min_sentences,
         neardup_threshold=args.neardup_threshold,
         max_df=args.max_df, max_bucket=args.max_bucket,
-        ngram_n=args.ngram_n, seed=args.seed)
+        ngram_n=args.ngram_n, seed=args.seed,
+        select_target=(spark.read.parquet(args.select_target)
+                       if args.select_target else None),
+        select_k=args.select_k, select_buckets=args.select_buckets,
+        select_mode=args.select_mode)
 
     t0 = time.perf_counter()
     shard_counts = None

@@ -133,3 +133,43 @@ def test_staged_matches_monolithic(spark, corpus, bench, tmp_path):
     assert again["stage_walls"] == {}          # everything resumed
     assert {(r.doc_id, r.source, r.copy, r.split)
             for r in again["assembled"].collect()} == mono_rows
+
+
+def test_dsir_selection_stage(spark, corpus, bench, tmp_path):
+    """Optional stage 4: DSIR selection keeps the select_k survivors
+    most like the target; everything else lands in provenance as
+    'unselected'; staged == monolithic including the new stage."""
+    from pdf_table_spark.ops.prepare import assemble_training_set_staged
+
+    # target shares doc 0's vocabulary -> the exact/near family of 0
+    # would be the closest, but it's deduped away; docs with low ids
+    # share nothing (mostly-unique salads), so selection is driven by
+    # the importance weights alone and just has to be deterministic,
+    # k-sized, and a subset of the pre-selection survivors
+    target = spark.createDataFrame(
+        [(500, _body(0)), (501, _body(3))], "doc_id long, text string")
+    kw = dict(benchmark=bench, min_words=10, min_stopword_hits=1,
+              min_sentences=0, neardup_threshold=0.8, max_df=1000,
+              max_bucket=1000, select_target=target, select_k=5,
+              select_buckets=512, select_mode="topk")
+    out = assemble_training_set(corpus, **kw)
+    prov = {r.doc_id: r.stage for r in out["provenance"].collect()}
+    # earlier stages unaffected
+    assert prov[100] == "dup" and prov[102] == "gopher"
+    assert prov[103] == "contaminated" and prov[101] == "neardup"
+    kept = {d for d, s in prov.items() if s == "kept"}
+    unsel = {d for d, s in prov.items() if s == "unselected"}
+    assert len(kept) == 5
+    assert kept | unsel == {i for i in range(30)}  # the clean survivors
+    rows = {r.doc_id for r in out["assembled"].collect()}
+    assert rows == kept
+    dedup.release_caches()
+
+    wd = str(tmp_path / "staged_sel")
+    staged = assemble_training_set_staged(corpus, wd, **kw)
+    assert {r.doc_id: r.stage for r in
+            staged["provenance"].collect()} == prov
+    assert "selected" in staged["stage_walls"]
+    again = assemble_training_set_staged(corpus, wd, **kw)
+    assert again["stage_walls"] == {}
+    dedup.release_caches()

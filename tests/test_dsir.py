@@ -114,6 +114,36 @@ def test_fit_counts_exact(spark):
     assert total == 5 and sum(counts) == 5
 
 
+def test_score_matches_independent_python_recompute(spark):
+    """Pin the whole md5 contract path (tokenize → unigram+bigram →
+    md5-prefix bucket → lr lookup → integer sum) against a from-
+    scratch hashlib implementation over seeded random texts."""
+    import hashlib
+    import random
+
+    rng = random.Random(42)
+    vocab = ["w%d" % i for i in range(50)] + ["é", "x-y", "a.b", "{"]
+    texts = [(i, " ".join(rng.choices(vocab, k=rng.randint(0, 12))))
+             for i in range(200)]
+    docs = spark.createDataFrame(texts, ["doc_id", "text"])
+    b = 128
+    lr = dsir.fit_logratio_e6(docs.filter("doc_id < 20"),
+                              docs.filter("doc_id >= 20"),
+                              n_buckets=b)
+
+    def py_buckets(text):
+        toks = [t for t in text.lower().split() if t]
+        grams = toks + [f"{a} {z}" for a, z in zip(toks, toks[1:])]
+        return [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % b
+                for g in grams]
+
+    expect = {i: sum(lr[k] for k in py_buckets(t))
+              for i, t in texts if py_buckets(t)}
+    got = {r.doc_id: r.score_e6
+           for r in dsir.score_e6(docs, lr).collect()}
+    assert got == expect
+
+
 def test_validation(spark):
     target, raw = _dfs(spark)
     with pytest.raises(ValueError):
