@@ -525,3 +525,91 @@ def ann_topk_ivf_np(emb: DataFrame, centroids: list, query_ids=None,
         F.col("cell").isin(probed))
     partial = searched.mapInPandas(score, TOPK_SCHEMA)
     return _topk_final(partial, k)
+
+
+def semdedup_kmeans(emb: DataFrame, n_clusters: int = 64,
+                    threshold: float = 0.95,
+                    centroids: list | None = None,
+                    train_fraction: float | None = None,
+                    chunk: int = 1024,
+                    seed: int = 42) -> DataFrame:
+    """SemDeDup exactly as published (Abbas et al. 2023,
+    arXiv:2303.09540 §3): k-means the embedding space, compute
+    pairwise cosine WITHIN each cluster, and from every group of
+    semantic duplicates keep the example with the LOWEST cosine to
+    its cluster centroid (the paper keeps the member farthest from
+    the centroid to preserve diversity; ties break on vec_id).
+
+    The OR-of-bands ``semdedup`` above remains the oracle contract
+    (its pair set is SQL-reproducible); this is the production shape:
+    one shuffle keyed by cell, then ONE ``applyInPandas`` per cell
+    does the chunked similarity matmul, a union-find over
+    above-threshold pairs, and the keep rule — duplicate groups never
+    span cells by construction (the paper's approximation), so no
+    iterative global connected components is needed. Memory is
+    bounded by ``chunk`` rows of similarity at a time; cell
+    populations are ~n/n_clusters for k-means-balanced corpora (pick
+    ``n_clusters`` so cells fit executors — the paper uses 11k
+    clusters for 134M points).
+
+    Returns (vec_id, cell, component, cent_cos, keep): every input
+    vector with its cell, its within-cell duplicate-component id
+    (component == min vec_id of the group), its cosine to the cell
+    centroid, and whether SemDeDup keeps it.
+    """
+    if centroids is None:
+        centroids = ivf_centroids_kmeans(
+            emb, n_centroids=n_clusters, seed=seed,
+            train_fraction=train_fraction)
+    cells = ivf_assign(emb, centroids)
+    cids, cmat = _centroid_matrix(centroids)
+    # centroid ids need not be dense row indices — map id -> row
+    bc = emb.sparkSession.sparkContext.broadcast(
+        ({int(c): i for i, c in enumerate(cids)}, cmat))
+
+    def dedup_cell(pdf):
+        import numpy as np
+        import pandas as pd
+        # deterministic order: union-find + tie-breaks keyed on the
+        # sorted vec_id sequence, not partition arrival order
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        n = len(pdf)
+        m = np.array(list(pdf["embedding"]), dtype="float64")
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True),
+                        1e-300)
+        rows_by_cid, cmat_b = bc.value
+        cent = cmat_b[rows_by_cid[int(pdf["cell"].iloc[0])]]
+        cent_cos = m @ cent
+        parent = np.arange(n)
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        for lo in range(0, n, chunk):
+            s = m[lo:lo + chunk] @ m.T          # (chunk, n)
+            for di, dj in zip(*np.nonzero(s >= threshold)):
+                i, j = lo + int(di), int(dj)
+                if i == j:
+                    continue
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+        roots = np.array([find(i) for i in range(n)])
+        vid = pdf["vec_id"].to_numpy()
+        keep = np.zeros(n, dtype=bool)
+        for r in np.unique(roots):
+            members = np.nonzero(roots == r)[0]
+            # farthest from centroid wins; vec_id (== position order,
+            # pdf is sorted) breaks ties
+            keep[members[np.argmin(cent_cos[members])]] = True
+        return pd.DataFrame({
+            "vec_id": vid, "cell": pdf["cell"],
+            "component": vid[roots],
+            "cent_cos": cent_cos, "keep": keep})
+
+    out_schema = ("vec_id long, cell long, component long, "
+                  "cent_cos double, keep boolean")
+    return cells.groupBy("cell").applyInPandas(dedup_cell, out_schema)

@@ -185,3 +185,53 @@ def test_ann_ivf_np_kmeans_recall(spark, planted):
                                     n_probe=6).collect()}
     hits = sum(1 for q in truth if got.get(q) == truth[q])
     assert hits / len(truth) >= 0.9, (hits, len(truth))
+
+
+def test_semdedup_kmeans_paper_variant(spark, planted):
+    """The published SemDeDup shape: within-k-means-cell exact
+    pairwise dedup keeping the member FARTHEST from its centroid.
+    Every planted duplicate pair that lands in the same cell must be
+    collapsed; distinct vectors all survive; exactly one keeper per
+    component, and it is the argmin centroid-cosine member."""
+    from pdf_table_spark.ops.similarity import semdedup_kmeans
+    df, arr, dup_src = planted
+    out = semdedup_kmeans(df, n_clusters=4, threshold=0.98,
+                          chunk=37).collect()
+    by_id = {r.vec_id: r for r in out}
+    assert len(by_id) == len(arr)                 # nothing lost
+    # exact ground truth, honouring the paper's same-cell restriction
+    cell = {r.vec_id: r.cell for r in out}
+    sims = arr @ arr.T
+    for j, src in enumerate(dup_src):
+        a, b = int(src), N_BASE + j
+        if cell[a] == cell[b] and sims[a, b] >= 0.98:
+            assert by_id[a].component == by_id[b].component
+    comps = {}
+    for r in out:
+        comps.setdefault(r.component, []).append(r)
+    for members in comps.values():
+        keepers = [m for m in members if m.keep]
+        assert len(keepers) == 1
+        far = min(members, key=lambda m: (m.cent_cos, m.vec_id))
+        assert keepers[0].vec_id == far.vec_id
+    # singleton components always keep themselves
+    singles = [ms[0] for ms in comps.values() if len(ms) == 1]
+    assert singles and all(m.keep for m in singles)
+
+
+def test_semdedup_kmeans_deterministic(spark, planted):
+    """Given a quantizer (trained once per corpus snapshot in
+    production), the dedup stage is partitioning-invariant: the
+    per-cell sort pins union-find and tie-break order. (MLlib
+    k-means|| itself is partitioning-SENSITIVE even when seeded —
+    train once, persist the centroids.)"""
+    from pdf_table_spark.ops.similarity import (ivf_centroids_kmeans,
+                                                semdedup_kmeans)
+    df, _, _ = planted
+    cents = ivf_centroids_kmeans(df, n_centroids=4)
+    a = sorted(map(tuple, semdedup_kmeans(
+        df, threshold=0.98, centroids=cents).collect()))
+    b = sorted(map(tuple, semdedup_kmeans(
+        df.repartition(7), threshold=0.98, centroids=cents,
+        chunk=11).collect()))
+    assert a == b
