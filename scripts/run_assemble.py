@@ -153,12 +153,24 @@ def main() -> None:
         # result (with the stage histogram, which shows WHICH gate ate
         # the corpus) instead of dying after the full run.
         splits = {}
+    # ship the datasheet with the output (Gebru et al. 2021 practice;
+    # exact counts from the frames just written — no extra corpus pass)
+    try:
+        from pdf_table_spark.ops.report import (dataset_card,
+                                                write_dataset_card)
+        card = dataset_card(
+            spark.read.parquet(f"{args.output}/provenance"),
+            spark.read.parquet(f"{args.output}/assembled"))
+        write_dataset_card(card, f"{args.output}/dataset_card.json")
+    except Exception:
+        card = None        # empty assembled table — histogram printed
     dedup.release_caches()
     print(json.dumps({
         "metric": "assemble_wall", "value": round(wall, 3),
         "unit": "sec", "stages": stages, "splits": splits,
         "shards": shard_counts and len(shard_counts),
         "stage_walls": stage_walls,
+        "dataset_card": card and f"{args.output}/dataset_card.json",
     }))
     spark.stop()
 

@@ -173,3 +173,25 @@ def test_dsir_selection_stage(spark, corpus, bench, tmp_path):
     again = assemble_training_set_staged(corpus, wd, **kw)
     assert again["stage_walls"] == {}
     dedup.release_caches()
+
+
+def test_dataset_card(spark, corpus, bench):
+    from pdf_table_spark.ops.report import dataset_card
+    out = assemble_training_set(
+        corpus, benchmark=bench, mixture={"web": 2.0},
+        min_words=10, min_stopword_hits=1, min_sentences=0,
+        neardup_threshold=0.8, max_df=1000, max_bucket=1000)
+    card = dataset_card(out["provenance"], out["assembled"],
+                        docs=corpus)
+    assert card["total_docs"] == corpus.count()
+    assert card["stages"]["dup"] == 1 and card["stages"]["gopher"] == 1
+    assert card["kept_docs"] == card["stages"]["kept"]
+    assert sum(card["stages"].values()) == card["total_docs"]
+    # mixture weight 2.0 -> every kept doc twice, split rows add up
+    assert card["epoch_rows"] == 2 * card["kept_docs"]
+    assert card["sources"] == {"web": card["epoch_rows"]}
+    assert sum(card["splits"].values()) == card["epoch_rows"]
+    assert card["kept_frac"] == round(
+        card["kept_docs"] / card["total_docs"], 6)
+    assert card["kept_tokens"] > 25 * card["kept_docs"]  # salads
+    dedup.release_caches()
