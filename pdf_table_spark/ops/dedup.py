@@ -54,18 +54,55 @@ def _perm_consts(n: int = N_PERM):
 PERM_CONSTS = _perm_consts()
 
 # intermediates persisted by ops in this module; long-lived drivers
-# calling dedup repeatedly should release them between corpora
+# calling dedup repeatedly should release them between corpora —
+# either explicitly via release_caches() or (preferred) by running
+# each corpus inside ``with cache_scope():``
 _PERSISTED: list = []
 
 
 def release_caches() -> int:
     """Unpersist every intermediate this module cached; returns how
-    many were released."""
+    many were released. Kept for compat — new code should prefer the
+    scoped form, :func:`cache_scope`."""
     n = len(_PERSISTED)
     for df in _PERSISTED:
         df.unpersist()
     _PERSISTED.clear()
     return n
+
+
+class cache_scope:
+    """Context manager that owns every intermediate this module
+    persists while it is active and unpersists them on exit — so a
+    long-lived driver looping over corpora cannot leak executor
+    memory by forgetting ``release_caches()``::
+
+        with dedup.cache_scope():
+            result = dedup.dedup_corpus(docs)
+            result.write.parquet(out)      # materialize INSIDE
+
+    Materialize (write/collect) inside the scope: the cached
+    intermediates back the returned DataFrames' plans, so actions
+    after exit recompute from source. Scopes nest — an inner scope
+    releases only what was persisted inside it; intermediates cached
+    before entry are left alone. Exposes ``released`` (count) after
+    exit for diagnostics."""
+
+    def __init__(self):
+        self.released = 0
+        self._mark = None
+
+    def __enter__(self):
+        self._mark = len(_PERSISTED)
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        tail = _PERSISTED[self._mark:]
+        del _PERSISTED[self._mark:]
+        for df in tail:
+            df.unpersist()
+        self.released = len(tail)
+        return False
 
 # shared 60-bit hash both Spark and DuckDB can compute identically:
 #   spark:  cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)
@@ -631,20 +668,24 @@ def exact_substring_dedup(docs: DataFrame, n: int = 50,
     ``hash_fn``: 'md5' (DuckDB-replicable — the oracle contract) or
     'xxhash64' (bigint keys, the production default elsewhere).
 
-    Scale bound: the final cut application is an indexed array filter,
-    O(n_tokens x |cut|) per doc (SQL ``array_contains`` is a linear
-    scan; Spark has no JVM-side O(1) set probe). |cut| <= n_tokens, so
-    a heavily-duplicated 100k-token doc costs ~1e10 comparisons inside
-    ONE task — pre-chunk pathological long docs (the packing ops'
-    chunk granularity works) before running this at web scale; the
-    distributed spans/groupBy stages themselves are corpus-linear and
-    proved at 50M docs / 895M tokens (BASELINE.md).
+    Scale bound: the final cut application is ONE Arrow stage that
+    scatters each doc's cut-index set into a boolean mask and
+    compresses the token array through it — O(n_tokens + |cut|) per
+    doc. (The previous SQL formulation probed ``array_contains(cut,
+    i)`` per token — a linear scan per probe, O(n_tokens x |cut|): a
+    heavily-duplicated 100k-token doc was ~1e10 comparisons inside
+    ONE task. Measured on exactly that pathological fixture, the mask
+    sweep is bounded — see tests/test_properties.py — while the probe
+    formulation did not finish.) The distributed spans/groupBy stages
+    are corpus-linear and proved at 50M docs / 895M tokens
+    (BASELINE.md).
     """
+    window_cols = ", ".join(f"w.`{k}`" for k in range(n))
     if hash_fn == "md5":
-        h = f"md5(array_join(slice(tk, i + 1, {n}), ' '))"
+        h = f"md5(concat_ws(' ', {window_cols}))"
         empty = "cast(array() as array<struct<start: int, h: string>>)"
     elif hash_fn == "xxhash64":
-        h = f"xxhash64(array_join(slice(tk, i + 1, {n}), ' '))"
+        h = f"xxhash64(concat_ws(' ', {window_cols}))"
         empty = "cast(array() as array<struct<start: int, h: bigint>>)"
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r}; "
@@ -653,13 +694,22 @@ def exact_substring_dedup(docs: DataFrame, n: int = 50,
         "doc_id",
         F.expr("filter(split(lower(text), '\\\\s+'), t -> t <> '')")
         .alias("tk"))
+    # Sliding windows as arrays_zip of n shifted slices, NOT
+    # slice(tk, i+1, n) inside the transform lambda: outer columns
+    # referenced inside a HOF lambda re-evaluate PER ELEMENT once the
+    # optimizer inlines the token-split alias (column pruning leaves
+    # `ws` referenced once, so CollapseProject substitutes the split
+    # into the lambda) — measured O(n_tokens²) per doc, a 20k-token
+    # doc took minutes. In argument position everything is evaluated
+    # once per row, so the window build is O(n · n_tokens) however
+    # the optimizer rewrites it (100k tokens ≈ 7 s, linear).
+    zips = ", ".join(f"slice(tk, {k + 1}, size(tk) - {n - 1})"
+                     for k in range(n))
     spans = (
         tk.select("doc_id", F.expr(
-            # sequence(0, m) runs DESCENDING when m < 0 (docs shorter
-            # than n tokens), hence the explicit empty guard
             f"if(size(tk) < {n}, {empty}, "
-            f"transform(sequence(0, size(tk) - {n}), "
-            f"i -> struct(i as start, {h} as h)))").alias("ws"))
+            f"transform(arrays_zip({zips}), "
+            f"(w, i) -> struct(i as start, {h} as h)))").alias("ws"))
         .select("doc_id", F.explode("ws").alias("w"))
         .select("doc_id", F.col("w.start").alias("start"),
                 F.col("w.h").alias("h")))
@@ -680,16 +730,59 @@ def exact_substring_dedup(docs: DataFrame, n: int = 50,
                 f"sequence(start, start + {n - 1})")).alias("idx"))
         .distinct()
         .groupBy("doc_id").agg(F.collect_set("idx").alias("cut")))
+    id_ty = dict(docs.dtypes)["doc_id"]
     return (
         tk.join(cuts, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.size("tk").alias("n_tokens"),
-            F.coalesce(F.size("cut"), F.lit(0)).alias("n_removed"),
-            F.expr("case when cut is null then array_join(tk, ' ') "
-                   "else array_join(filter(tk, (t, i) -> "
-                   "not array_contains(cut, i)), ' ') end")
-            .alias("clean_text")))
+        .mapInArrow(_apply_cut_masks,
+                    schema=f"doc_id {id_ty}, n_tokens int, "
+                           f"n_removed int, clean_text string"))
+
+
+def _apply_cut_masks(batches):
+    """Arrow stage for :func:`exact_substring_dedup`'s final step:
+    (doc_id, tk: array<string>, cut: array<int>|null) → (doc_id,
+    n_tokens, n_removed, clean_text). One boolean-mask scatter over
+    the batch's flattened token values, then a per-doc compress+join
+    — linear in tokens, no per-token set probe."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    for batch in batches:
+        nrows = batch.num_rows
+        tk_col = batch.column(1)
+        cut_col = batch.column(2)
+        tok_lens = np.nan_to_num(
+            pc.list_value_length(tk_col).to_numpy(
+                zero_copy_only=False).astype(np.float64)).astype(
+            np.int64)
+        cut_lens = np.nan_to_num(
+            pc.list_value_length(cut_col).to_numpy(
+                zero_copy_only=False).astype(np.float64)).astype(
+            np.int64)
+        toks = tk_col.flatten().to_pylist()
+        tok_offs = np.concatenate(([0], np.cumsum(tok_lens)))
+        keep = np.ones(len(toks), dtype=bool)
+        cut_vals = cut_col.flatten().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        # global scatter: each cut index shifted by its row's token
+        # offset (null-cut rows contribute zero entries)
+        row_of_cut = np.repeat(np.arange(nrows), cut_lens)
+        keep[cut_vals + tok_offs[row_of_cut]] = False
+        texts = []
+        for i in range(nrows):
+            lo, hi = tok_offs[i], tok_offs[i + 1]
+            m = keep[lo:hi]
+            if m.all():
+                texts.append(" ".join(toks[lo:hi]))
+            else:
+                texts.append(" ".join(
+                    t for t, k in zip(toks[lo:hi], m) if k))
+        yield pa.RecordBatch.from_arrays(
+            [batch.column(0),
+             pa.array(tok_lens, pa.int32()),
+             pa.array(cut_lens, pa.int32()),
+             pa.array(texts, pa.string())],
+            names=["doc_id", "n_tokens", "n_removed", "clean_text"])
 
 
 # ---------------------------------------------------------------------------

@@ -23,8 +23,14 @@ score is an order-independent BIGINT sum of those — no float
 accumulation anywhere, so aggregation order cannot move an ulp. The
 Gumbel noise is likewise deterministic (the md5 60-bit doc-hash →
 uniform → −ln(−ln(u)), quantized to e6) — retries and reruns select
-the identical set. Both engines share libm, and the quantization
-makes the contract robust to a last-ulp ``ln`` divergence regardless.
+the identical set. Caveat on cross-engine ``ln``: Spark's is JVM
+``Math.log`` while DuckDB/CPython use the platform libm; the e6
+quantization absorbs an ulp divergence EXCEPT when the true value
+lands exactly on a floor boundary, so the lr_e6/gumbel_e6 bit-parity
+is empirical (driver-gate-verified on this box: 0 mismatches in a
+20k-point sweep), not guaranteed on every platform. The log ratios
+(fit_logratio_e6) sidestep this entirely — they are computed
+driver-side in ONE engine (CPython) and shipped as integers to both.
 
 Scale shape (10^12 docs): the fit is one map-side-combinable groupBy
 over ≤ ``n_buckets`` keys (a bounded ≤65k-row collect — the same
@@ -132,8 +138,10 @@ def fit_logratio_e6(target: DataFrame, raw: DataFrame,
                        + 0.5)
 
     computed in driver Python on the EXACT integer counts (the oracle
-    recomputes the same formula in SQL; both engines share libm and
-    the e6 quantization absorbs any last-ulp divergence)."""
+    recomputes the same formula in SQL; the e6 quantization absorbs a
+    last-ulp libm divergence unless the true value straddles a floor
+    boundary — empirically zero mismatches on this box, see module
+    docstring)."""
     t, tt = bucket_counts(target, text_col, n_buckets, hash_fn)
     r, rr = bucket_counts(raw, text_col, n_buckets, hash_fn)
     b = float(n_buckets)
@@ -173,7 +181,7 @@ def score_e6(docs: DataFrame, lr_e6: list[int],
 
 
 def score_np(docs: DataFrame, lr_e6: list[int],
-             text_col: str = "text", hash_fn: str = "xxhash64",
+             text_col: str = "text", hash_fn: str = "md5",
              out_col: str = "score_e6") -> DataFrame:
     """Vectorized Arrow twin of :func:`score_e6` for LARGE bucket
     counts: the per-row lookup-array trick tops out around B≈1k
@@ -183,8 +191,10 @@ def score_np(docs: DataFrame, lr_e6: list[int],
     lookup + segmented integer sum in numpy (cumsum-difference over
     the Arrow list offsets — no per-row Python). Output is the
     compact (doc_id, score_e6) frame; join it back if more columns
-    are needed. Exactly equal to score_e6 (parity-tested) — integer
-    sums are order-independent."""
+    are needed. Exactly equal to score_e6 *under the same hash_fn*
+    (parity-tested; both default to 'md5' so swapping scorers on
+    defaults is score-preserving — pass 'xxhash64' explicitly for the
+    cheaper production hash) — integer sums are order-independent."""
     import pyarrow as pa
 
     lut_vals = lr_e6  # closure-captured; ~0.5 MiB at B=65536
@@ -239,10 +249,22 @@ def dsir_select(docs: DataFrame, lr_e6: list[int], k: int,
     Returns (doc_id, score_e6, key_e6) where key_e6 is the ranking
     key actually used (== score_e6 for topk). orderBy+limit plans as
     TakeOrderedAndProject — per-partition top-k then a k-row merge,
-    no global sort, no single-task window."""
+    no global sort, no single-task window.
+
+    Scorer dispatch: small bucket counts (≤1024) use the pure-SQL
+    :func:`score_e6` (whole-stage codegen, zero Python); larger ones
+    use the Arrow :func:`score_np` twin — the per-row lookup-array
+    trick allocates B int64s PER DOC, which at the assemble default
+    B=65536 is 512 KiB/doc and does not scale (a far smaller inline
+    array already measured 0.9 s → 28 s at sf0.1). Both scorers are
+    bit-equal under the same hash_fn, so the switch is invisible to
+    the selection."""
     if mode not in ("topk", "gumbel"):
         raise ValueError(f"mode must be topk|gumbel, got {mode!r}")
-    scored = score_e6(docs, lr_e6, text_col, hash_fn)
+    if len(lr_e6) <= 1024:
+        scored = score_e6(docs, lr_e6, text_col, hash_fn)
+    else:
+        scored = score_np(docs, lr_e6, text_col, hash_fn)
     key = (F.col("score_e6") if mode == "topk"
            else F.col("score_e6") + F.expr(gumbel_e6_expr(seed)))
     return (scored

@@ -532,7 +532,8 @@ def semdedup_kmeans(emb: DataFrame, n_clusters: int = 64,
                     centroids: list | None = None,
                     train_fraction: float | None = None,
                     chunk: int = 1024,
-                    seed: int = 42) -> DataFrame:
+                    seed: int = 42,
+                    max_cell: int = 1_000_000) -> DataFrame:
     """SemDeDup exactly as published (Abbas et al. 2023,
     arXiv:2303.09540 §3): k-means the embedding space, compute
     pairwise cosine WITHIN each cluster, and from every group of
@@ -550,7 +551,11 @@ def semdedup_kmeans(emb: DataFrame, n_clusters: int = 64,
     bounded by ``chunk`` rows of similarity at a time; cell
     populations are ~n/n_clusters for k-means-balanced corpora (pick
     ``n_clusters`` so cells fit executors — the paper uses 11k
-    clusters for 134M points).
+    clusters for 134M points). A skewed cell would otherwise OOM the
+    executor as one giant pandas group, so ``max_cell`` fails fast
+    with the offending cell id and population instead — raise
+    ``n_clusters`` (or ``max_cell`` if the executors really have the
+    headroom) when it trips.
 
     Returns (vec_id, cell, component, cent_cos, keep): every input
     vector with its cell, its within-cell duplicate-component id
@@ -574,6 +579,13 @@ def semdedup_kmeans(emb: DataFrame, n_clusters: int = 64,
         # sorted vec_id sequence, not partition arrival order
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
         n = len(pdf)
+        if n > max_cell:
+            raise ValueError(
+                f"semdedup_kmeans: cell {int(pdf['cell'].iloc[0])} "
+                f"holds {n} vectors (> max_cell={max_cell}); the "
+                f"whole cell materializes as one pandas group — "
+                f"raise n_clusters to split it (or max_cell if the "
+                f"executors have the memory)")
         m = np.array(list(pdf["embedding"]), dtype="float64")
         m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True),
                         1e-300)

@@ -103,3 +103,36 @@ def test_materialize_dir_matches_persisted(boiler_docs, tmp_path):
     c = dedup.dedup_corpus(boiler_docs, materialize_dir=wd, **kw)
     assert {r.doc_id for r in c["keep"].collect()} == ka
     dedup.release_caches()
+
+
+def test_cache_scope_releases_all_persisted(spark, boiler_docs):
+    """`with cache_scope():` owns every RDD persisted inside it —
+    after exit the JVM block manager holds no cached RDDs, so a
+    long-lived driver looping corpora cannot leak executor memory."""
+    from pdf_table_spark.ops import dedup
+
+    def n_cached():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    # ensure a clean slate (other module-scoped tests may have cached)
+    dedup.release_caches()
+    spark.catalog.clearCache()
+    base = n_cached()
+    with dedup.cache_scope() as scope:
+        out = dedup.dedup_corpus(boiler_docs, threshold=0.5,
+                                 max_df=50, max_bucket=100)
+        assert out["keep"].count() > 0        # materialize inside
+        assert n_cached() > base
+    assert scope.released >= 2
+    assert n_cached() == base
+    # nesting: inner scope releases only its own persists
+    with dedup.cache_scope():
+        d1 = boiler_docs.limit(5).persist()
+        dedup._PERSISTED.append(d1)
+        with dedup.cache_scope() as inner:
+            d2 = boiler_docs.limit(3).persist()
+            dedup._PERSISTED.append(d2)
+            d2.count()
+        assert inner.released == 1
+        assert d1 in dedup._PERSISTED
+    assert n_cached() == base

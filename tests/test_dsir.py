@@ -152,3 +152,17 @@ def test_validation(spark):
         dsir.fit_logratio_e6(target, raw, hash_fn="sha9")
     with pytest.raises(ValueError):
         dsir.dsir_select(raw, [0] * 512, 5, mode="softmax")
+
+
+def test_dsir_select_dispatches_to_arrow_scorer_at_large_b(spark):
+    # B > 1024 routes through score_np (the per-row lookup-array trick
+    # allocates B int64s per doc); the selection must be identical to
+    # the small-B SQL path given the same hash_fn
+    target, raw = _dfs(spark)
+    lr = dsir.fit_logratio_e6(target, raw, n_buckets=2048)
+    got = dsir.dsir_select(raw, lr, 3).collect()
+    assert sorted(r.doc_id for r in got) == [3, 17, 29]
+    # bit-parity with the explicit SQL scorer at the same B
+    sql_scores = {r.doc_id: r.score_e6
+                  for r in dsir.score_e6(raw, lr).collect()}
+    assert all(r.score_e6 == sql_scores[r.doc_id] for r in got)

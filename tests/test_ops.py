@@ -511,3 +511,32 @@ def test_exact_substring_dedup(spark):
             .collect()}
     assert out2 == {k: (v.n_removed, v.clean_text)
                     for k, v in out.items()}
+
+
+def test_exact_substring_dedup_pathological_long_doc(spark):
+    """The scale caveat closed in round 5: a heavily-duplicated
+    100k-token doc. The old per-token ``array_contains`` probe was
+    O(n_tokens x |cut|) ≈ 5e9 comparisons inside one task (did not
+    finish interactively); the mask-scatter Arrow stage is linear and
+    must complete in seconds with every duplicated token cut."""
+    import time
+
+    from pdf_table_spark.ops.dedup import exact_substring_dedup
+
+    block = " ".join(f"w{i}" for i in range(100))       # 100 tokens
+    long_doc = " ".join([block] * 1000)                 # 100k tokens
+    rows = [("a", f"{block} canonical tail"),
+            ("z", long_doc)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    t0 = time.monotonic()
+    out = {r.doc_id: r for r in
+           exact_substring_dedup(docs, n=50).collect()}
+    wall = time.monotonic() - t0
+    # doc a holds the canonical occurrences; z is one giant repeat of
+    # the same 100-token block, so EVERY z window is non-canonical
+    # and the whole 100k tokens are cut
+    assert out["z"].n_tokens == 100_000
+    assert out["z"].n_removed == 100_000
+    assert out["z"].clean_text == ""
+    assert out["a"].n_removed == 0
+    assert wall < 120, f"pathological doc took {wall:.1f}s"

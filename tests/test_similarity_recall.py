@@ -235,3 +235,19 @@ def test_semdedup_kmeans_deterministic(spark, planted):
         df.repartition(7), threshold=0.98, centroids=cents,
         chunk=11).collect()))
     assert a == b
+
+
+def test_semdedup_kmeans_max_cell_guard(spark, planted):
+    """A skewed cell fails fast with the cell id + population in the
+    message instead of silently OOMing the executor."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    from pdf_table_spark.ops.similarity import semdedup_kmeans
+    df, arr, _ = planted
+    with pytest.raises((PythonException, Py4JJavaError)) as ei:
+        semdedup_kmeans(df, n_clusters=2, threshold=0.98,
+                        max_cell=3).collect()
+    assert "max_cell=3" in str(ei.value)
+    assert "raise n_clusters" in str(ei.value)
