@@ -1018,9 +1018,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    never reading the planted det_cells; the oracle is an
         #    independent SQL interval-merge twin over the plants;
         #  * contour arm (O4) — top-10 ink-blob region proposals per
-        #    page from the same detected lines, one shared boundary.
+        #    page from the same detected lines, one shared boundary;
+        #  * neural-postprocess arm (round 5) — DBNet probability-map
+        #    → boxes (core.dbnet: regions, min-area rect, score,
+        #    unclip — NO planted det_cells on this path), CTC greedy
+        #    label decode (core.ctchead), SLANet structure-token
+        #    decode (core.slanethead), one shared boundary; the db
+        #    oracle twin recomputes grow/scale/round_even from the
+        #    planted blob coords in pure SQL.
         from pdf_table_spark.spark.model_stage import (
-            score_det_contours, score_table_structure)
+            score_det_contours, score_neural_decoders,
+            score_table_structure)
         fx = _fixture_dir(sf_dir)
         tsr = score_table_structure(
             _spans_df(spark, sf_dir),
@@ -1028,7 +1036,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         det = score_det_contours(
             _spans_df(spark, sf_dir),
             weights_path=os.path.join(fx, "det_head.npz"))
-        return tsr.unionByName(det)
+        neu = score_neural_decoders(
+            _spans_df(spark, sf_dir),
+            weights_path=os.path.join(fx, "neural_head.npz"))
+        return tsr.unionByName(det).unionByName(neu)
 
     return {
         "extract_spans": q_extract_spans,
@@ -3314,6 +3325,83 @@ def _merge_oracles(o: dict[str, str]) -> dict[str, str]:
                printf('%d|%.1f,%.1f,%.1f,%.1f|%.1f',
                       rk, x0, y0, x1, y1, area)
         from ranked where rk <= 10
+        )
+        union all
+        -- round-5 neural-postprocess arms. db_box: an INDEPENDENT
+        -- arithmetic twin — expected boxes recomputed from the
+        -- planted blob coords (unclip distance d = w*h*ratio/(2(w+h))
+        -- with ratio 2.0; grow by d; map->dest scale; banker's
+        -- round_even mirrors np.round; clip AFTER rounding), applying
+        -- the same gates the postprocess applies: binarize > 0.3,
+        -- first sside >= 3, score (= blob value on the planted maps)
+        -- >= 0.7, grown sside >= 5. rec_text / slanet: the planted
+        -- ground truth the decoders must invert.
+        select * from (
+        with opages as (
+          select doc_id, s."offset" as "offset", s.text as text
+          from (select doc_id, unnest(spans) as s
+                from read_parquet('{SPANS_001}/*.parquet'))
+          where s.kind = 'ocr_page' and json_valid(s.text)
+        ), dblob as (
+          select doc_id, "offset",
+                 cast(json_extract(text, '$.db_prob.w') as double)
+                   as mw,
+                 cast(json_extract(text, '$.db_prob.h') as double)
+                   as mh,
+                 cast(json_extract(text, '$.db_prob.dest_w')
+                   as double) as dw,
+                 cast(json_extract(text, '$.db_prob.dest_h')
+                   as double) as dh,
+                 unnest(json_transform(
+                   json_extract(text, '$.db_prob.blobs'),
+                   '[["DOUBLE"]]')) as b
+          from opages
+          where json_extract(text, '$.db_prob') is not null
+        ), dgeom as (
+          select doc_id, "offset", mw, mh, dw, dh,
+                 b[1] as x0, b[2] as y0, b[3] as x1, b[4] as y1,
+                 b[5] as p, b[3] - b[1] as w, b[4] - b[2] as h,
+                 (b[3] - b[1]) * (b[4] - b[2]) * 2.0
+                   / (2.0 * ((b[3] - b[1]) + (b[4] - b[2]))) as d
+          from dblob
+        ), dbox as (
+          select doc_id, "offset",
+                 least(greatest(round_even((x0 - d) / mw * dw, 0),
+                       0), dw) as gx0,
+                 least(greatest(round_even((y0 - d) / mh * dh, 0),
+                       0), dh) as gy0,
+                 least(greatest(round_even((x1 + d) / mw * dw, 0),
+                       0), dw) as gx1,
+                 least(greatest(round_even((y1 + d) / mh * dh, 0),
+                       0), dh) as gy1,
+                 p
+          from dgeom
+          where p > 0.3 and least(w, h) >= 3 and p >= 0.7
+                and least(w, h) + 2 * d >= 5
+        ), rec as (
+          select doc_id, "offset",
+                 unnest(json_transform(
+                   json_extract(text, '$.rec_lines'),
+                   '[{{"gt": "VARCHAR"}}]')) as r
+          from opages
+          where json_extract(text, '$.rec_lines') is not null
+        )
+        select doc_id, "offset", 'db_box' as kind,
+               printf('%d,%d,%d,%d,%d,%d,%d,%d|%.4f',
+                      cast(gx0 as bigint), cast(gy0 as bigint),
+                      cast(gx1 as bigint), cast(gy0 as bigint),
+                      cast(gx1 as bigint), cast(gy1 as bigint),
+                      cast(gx0 as bigint), cast(gy1 as bigint),
+                      p) as text
+        from dbox
+        union all
+        select doc_id, "offset", 'rec_text', r.gt || '|0.9000'
+        from rec
+        union all
+        select doc_id, "offset", 'slanet',
+               json_extract_string(text, '$.slanet.gt')
+        from opages
+        where json_extract(text, '$.slanet') is not null
         )
         """)
 

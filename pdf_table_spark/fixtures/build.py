@@ -66,6 +66,7 @@ def build_sf(root: str, sf: str, force: bool = False) -> dict:
     exports_path = os.path.join(out_dir, "golden_exports.parquet")
     tsr_model_path = os.path.join(out_dir, "tsr_head.npz")
     det_model_path = os.path.join(out_dir, "det_head.npz")
+    neural_model_path = os.path.join(out_dir, "neural_head.npz")
     tsr_golden_path = os.path.join(out_dir, "golden_model_tsr.parquet")
     flavor_paths = {
         fl: os.path.join(out_dir, f"golden_flat_{fl}.parquet")
@@ -75,6 +76,7 @@ def build_sf(root: str, sf: str, force: bool = False) -> dict:
             and os.path.exists(exports_path)
             and os.path.exists(tsr_model_path)
             and os.path.exists(det_model_path)
+            and os.path.exists(neural_model_path)
             and os.path.exists(tsr_golden_path)
             and all(os.path.exists(p) for p in flavor_paths.values())):
         return {"sf": sf, "skipped": True}
@@ -145,9 +147,11 @@ def build_sf(root: str, sf: str, force: bool = False) -> dict:
     from ..core.dethead import DET_VERSION, DET_WEIGHTS
     from ..core.tsrhead import (TSR_VERSION, TSR_WEIGHTS,
                                 extract_page_from_model)
-    from ..spark.model_stage import save_weights
+    from ..spark.model_stage import (DB_PARAM_VECTOR, NEURAL_VERSION,
+                                     save_weights)
     save_weights(tsr_model_path, TSR_WEIGHTS, TSR_VERSION)
     save_weights(det_model_path, DET_WEIGHTS, DET_VERSION)
+    save_weights(neural_model_path, DB_PARAM_VECTOR, NEURAL_VERSION)
     tg = {"doc_id": [], "offset": [], "kind": [], "text": []}
     for doc_id, spans in zip(doc_ids, span_lists):
         for s in spans:

@@ -359,10 +359,104 @@ def _plant_glyphs(rng, det_cells):
     return glyphs
 
 
+def _plant_db_prob(rng, payload):
+    """Plant a DBNet probability-map contract (M3's model-output
+    half): a sparse blob encoding of the dense per-pixel text map a
+    trained DBNet would emit (``core.dbnet.prob_map_from_payload``
+    re-densifies it executor-side). Map and dest dims are powers of
+    two so the map→dest rescale divides exactly in float64 — the
+    DuckDB oracle twin recomputes the expected boxes from the blob
+    coords alone (d = w·h·ratio / (2(w+h)), grow, scale, round_even)
+    with no shared code."""
+    n_blobs = rng.randint(1, 4)
+    blobs = []
+    for i in range(n_blobs):
+        w = rng.randint(6, 20)
+        h = rng.randint(4, 14)
+        x0 = 6 + (i % 2) * 60 + rng.randint(0, 30)
+        y0 = 6 + (i // 2) * 40 + rng.randint(0, 16)
+        blobs.append([x0, y0, x0 + w, y0 + h, 0.9])
+    # one sub-threshold blob (score 0.5 < box_thresh 0.7) and one
+    # tiny blob (sside < min_size) that the postprocess must reject
+    if rng.random() < 0.5:
+        blobs.append([4, 110, 14, 116, 0.5])
+    if rng.random() < 0.5:
+        blobs.append([120, 116, 122, 118, 0.9])
+    payload["db_prob"] = {"h": 128, "w": 128, "base": 0.05,
+                          "dest_w": 512, "dest_h": 512,
+                          "blobs": blobs}
+
+
+def _plant_rec_lines(rng, payload):
+    """Plant CTC recognition contracts (M5's model-output half): per
+    line the greedy index PATH a CTC recognizer's argmax would emit
+    (``core.ctchead.ctc_encode``), plus the ground-truth string the
+    oracle reads directly — the engine must invert the path."""
+    from ..core.ctchead import ctc_encode
+    lines = []
+    for _ in range(rng.randint(1, 4)):
+        if rng.random() < 0.3:
+            gt = f"{rng.randint(0, 99)}.{rng.randint(0, 9)}%"
+        else:
+            gt = " ".join(rng.sample(VOCAB, rng.randint(1, 3)))
+        if rng.random() < 0.3:
+            gt += f" {rng.choice(VOCAB)[0] * 2}"   # double letter
+        lines.append({"gt": gt, "path": ctc_encode(gt)})
+    payload["rec_lines"] = lines
+
+
+def _plant_slanet(rng, payload):
+    """Plant a SLANet structure contract (M7's model-output half):
+    the per-step argmax id path + normalized bbox rows
+    (``core.slanethead.slanet_encode``) and the ground-truth wire
+    string. Page shape 512x512 (powers of two) so normalize →
+    denormalize round-trips exactly in float64."""
+    from ..core.slanethead import format_slanet, slanet_encode
+    n_rows, n_cols = rng.randint(1, 3), rng.randint(2, 4)
+    tokens = ["<thead>", "<tr>"]
+    cells = []
+
+    def cell_bbox(r, c, span=1):
+        x0, y0 = 32.0 + c * 96.0, 32.0 + r * 64.0
+        return [x0, y0, x0 + 88.0 * span, y0 + 56.0]
+
+    for c in range(n_cols):
+        tokens.append("<td></td>")
+        cells.append(cell_bbox(0, c))
+    tokens += ["</tr>", "</thead>", "<tbody>"]
+    for r in range(1, n_rows + 1):
+        tokens.append("<tr>")
+        c = 0
+        while c < n_cols:
+            if c + 1 < n_cols and rng.random() < 0.25:
+                tokens += ["<td", ' colspan="2"', ">", "</td>"]
+                cells.append(cell_bbox(r, c, span=2))
+                c += 2
+            else:
+                tokens.append("<td></td>")
+                cells.append(cell_bbox(r, c))
+                c += 1
+        tokens.append("</tr>")
+    tokens.append("</tbody>")
+    shape = (512, 512)
+    ids, rows = slanet_encode(tokens, cells, shape)
+    payload["slanet"] = {"ids": ids, "bboxes": rows,
+                         "shape": list(shape),
+                         "gt": format_slanet(tokens, cells)}
+
+
 def _dump_ocr(rng, payload):
     """Finalize an ocr_page payload: plant the glyph evidence for its
-    det_cells, then dump with sorted keys (byte-stable fixtures)."""
+    det_cells plus the three model-output contracts (DBNet prob map,
+    CTC rec paths, SLANet structure path), then dump with sorted keys
+    (byte-stable fixtures)."""
     payload["glyphs"] = _plant_glyphs(rng, payload["det_cells"])
+    if rng.random() < 0.7:
+        _plant_db_prob(rng, payload)
+    if rng.random() < 0.7:
+        _plant_rec_lines(rng, payload)
+    if rng.random() < 0.6:
+        _plant_slanet(rng, payload)
     return json.dumps(payload, sort_keys=True)
 
 

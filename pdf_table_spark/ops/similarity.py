@@ -527,6 +527,43 @@ def ann_topk_ivf_np(emb: DataFrame, centroids: list, query_ids=None,
     return _topk_final(partial, k)
 
 
+def write_ivf_index(cells: DataFrame, path: str,
+                    mode: str = "overwrite") -> None:
+    """Persist an ``ivf_assign`` output AT REST, hive-partitioned by
+    cell — the production index layout. Every probe-time filter
+    ``cell IN (probes)`` then becomes a PARTITION filter at the
+    parquet scan: unprobed cells' files are never opened (proved by
+    scan metrics in tests and BENCH_ann — not just by the plan
+    text). One directory per cell; rewrite per corpus snapshot."""
+    cells.write.mode(mode).partitionBy("cell").parquet(path)
+
+
+def read_ivf_index(spark, path: str) -> DataFrame:
+    """Read a :func:`write_ivf_index` layout back as the ``cells``
+    frame ``ann_topk_ivf_np(cells=...)`` consumes. The partition
+    column comes back as its directory-inferred type; cast to long so
+    the probe filter compares like-for-like."""
+    df = spark.read.parquet(path)
+    return df.select("vec_id", "embedding",
+                     F.col("cell").cast("long").alias("cell"))
+
+
+def scan_file_metrics(df: DataFrame) -> dict:
+    """numFiles / numPartitions / numOutputRows of ``df``'s leaf file
+    scan, read from the EXECUTED plan's SQL metrics — call after an
+    action that ran this exact frame (``df.collect()``). This is the
+    at-rest pruning proof: a probe-filtered index read must show
+    fewer files than the full index holds."""
+    leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+    out = {}
+    for i in range(leaves.size()):
+        m = leaves.apply(i).metrics()
+        for k in ("numFiles", "numPartitions", "numOutputRows"):
+            if m.contains(k):
+                out[k] = out.get(k, 0) + m.apply(k).value()
+    return out
+
+
 def semdedup_kmeans(emb: DataFrame, n_clusters: int = 64,
                     threshold: float = 0.95,
                     centroids: list | None = None,

@@ -534,6 +534,110 @@ def _make_detc_stage(weights_bc, version: str, mat_counter=None):
     return stage
 
 
+NEURAL_SCHEMA = "doc_id string, offset int, kind string, text string"
+
+# DBPostProcess parameter vector shipped as the .npz "weights":
+# (thresh, box_thresh, max_candidates, unclip_ratio, min_size) —
+# the reference's constructor args (processor_ocr_db_pp.py:153-160)
+DB_PARAM_VECTOR = [[0.3], [0.7], [1000.0], [2.0], [3.0]]
+
+NEURAL_VERSION = "neural-postprocess-v1"
+
+
+def _make_neural_stage(weights_bc, version: str, mat_counter=None):
+    def stage(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..core.ctchead import ctc_decode, format_rec
+        from ..core.dbnet import (db_postprocess, format_db_box,
+                                  prob_map_from_payload)
+        from ..core.slanethead import format_slanet, slanet_decode
+        w = _get_model(version, weights_bc, mat_counter)
+        thresh, box_thresh, max_cand, ratio, min_size = w.ravel()
+        db_params = {"thresh": thresh, "box_thresh": box_thresh,
+                     "max_candidates": int(max_cand),
+                     "unclip_ratio": ratio, "min_size": int(min_size)}
+        for batch in batches:
+            doc_ids = batch.column(0).to_pylist()
+            offsets = batch.column(1).to_pylist()
+            payloads = batch.column(2).to_pylist()
+            out = {k: [] for k in ("doc_id", "offset", "kind", "text")}
+
+            def emit(did, off, kind, text):
+                out["doc_id"].append(did)
+                out["offset"].append(off)
+                out["kind"].append(kind)
+                out["text"].append(text)
+
+            for did, off, p in zip(doc_ids, offsets, payloads):
+                try:
+                    page = json.loads(p)
+                except Exception:  # noqa: BLE001 — quarantine bad pages
+                    continue
+                db = page.get("db_prob")
+                if db:
+                    boxes, scores = db_postprocess(
+                        prob_map_from_payload(db),
+                        int(db["dest_w"]), int(db["dest_h"]),
+                        db_params)
+                    for b, s in zip(boxes, scores):
+                        emit(did, off, "db_box", format_db_box(b, s))
+                for line in page.get("rec_lines") or ():
+                    text, conf = ctc_decode(
+                        line["path"], [0.9] * len(line["path"]))
+                    emit(did, off, "rec_text", format_rec(text, conf))
+                sl = page.get("slanet")
+                if sl:
+                    tokens, cells = slanet_decode(
+                        sl["ids"], sl["bboxes"], sl["shape"])
+                    emit(did, off, "slanet",
+                         format_slanet(tokens, cells))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out["doc_id"], pa.string()),
+                 pa.array(out["offset"], pa.int32()),
+                 pa.array(out["kind"], pa.string()),
+                 pa.array(out["text"], pa.string())],
+                names=["doc_id", "offset", "kind", "text"])
+    return stage
+
+
+def score_neural_decoders(docs_spans: DataFrame,
+                          weights_path: str | None = None,
+                          _mat_counter=None) -> DataFrame:
+    """The three round-5 deterministic postprocess decoders over the
+    model seam, one scan and ONE Python boundary: DBNet probability
+    map → text boxes (``core.dbnet``, M3's postprocess half — NO
+    planted det_cells anywhere on this path), CTC greedy label decode
+    (``core.ctchead``, M5), and SLANet structure-token decode
+    (``core.slanethead``, M7). Each ocr_page span emits ``db_box`` /
+    ``rec_text`` / ``slanet`` rows for whichever contracts its
+    payload carries.
+
+    Same seam as every other head: ``weights_path`` loads the
+    DBPostProcess parameter vector from ``.npz`` once on the driver,
+    broadcasts it, executor singleton keyed by the artifact version;
+    omitted → the literal DB_PARAM_VECTOR. The per-step rec
+    probability is the contract constant 0.9 (fixtures plant the
+    argmax path; a real recognizer ships its max-prob row alongside).
+    Narrow plan — runs at scan speed; the oracle twins are
+    independent SQL over the planted contracts (the db twin recomputes
+    grow/scale/round from blob coords, not from this code)."""
+    spark = docs_spans.sparkSession
+    if weights_path is not None:
+        weights, version = load_weights(weights_path)
+        weights_bc = spark.sparkContext.broadcast(weights.tolist())
+    else:
+        version = NEURAL_VERSION
+        weights_bc = spark.sparkContext.broadcast(DB_PARAM_VECTOR)
+    pages = (
+        docs_spans.select("doc_id", F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "ocr_page")
+        .select("doc_id", F.col("s.offset").alias("offset"),
+                F.col("s.text").alias("text"))
+    )
+    return pages.mapInArrow(
+        _make_neural_stage(weights_bc, version, _mat_counter),
+        schema=NEURAL_SCHEMA)
+
+
 def score_det_contours(docs_spans: DataFrame,
                        weights_path: str | None = None,
                        _mat_counter=None) -> DataFrame:

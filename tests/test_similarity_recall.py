@@ -251,3 +251,48 @@ def test_semdedup_kmeans_max_cell_guard(spark, planted):
                         max_cell=3).collect()
     assert "max_cell=3" in str(ei.value)
     assert "raise n_clusters" in str(ei.value)
+
+
+def test_ivf_index_at_rest_prunes_unprobed_cells(spark, planted,
+                                                 tmp_path):
+    """The at-rest pruning proof (round 5): the IVF index persisted
+    partitionBy(cell) must physically SKIP unprobed cells' files —
+    asserted from the executed scan's numFiles/numPartitions metrics,
+    not just the plan text — and the search over the partitioned
+    layout must return exactly what the in-memory cells frame
+    returns."""
+    from pyspark.sql import functions as F
+
+    from pdf_table_spark.ops.similarity import (ann_topk_ivf_np,
+                                                ivf_assign,
+                                                ivf_centroids_kmeans,
+                                                read_ivf_index,
+                                                scan_file_metrics,
+                                                write_ivf_index)
+    df, _, _ = planted
+    cents = ivf_centroids_kmeans(df, n_centroids=8)
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(ivf_assign(df, cents), path)
+
+    full = read_ivf_index(spark, path)
+    full.collect()
+    total = scan_file_metrics(full)
+    assert total["numPartitions"] == 8
+
+    probed = read_ivf_index(spark, path).filter(
+        F.col("cell").isin([0, 1]))
+    probed.collect()
+    got = scan_file_metrics(probed)
+    assert got["numPartitions"] == 2
+    assert 0 < got["numFiles"] < total["numFiles"]
+
+    # end-to-end: few queries + n_probe < n_cells leaves cells
+    # unprobed; results from the partitioned layout == in-memory
+    qids = [3, 11]
+    mem = sorted(map(tuple, ann_topk_ivf_np(
+        df, cents, qids, k=3, n_probe=2,
+        cells=ivf_assign(df, cents)).collect()))
+    disk = sorted(map(tuple, ann_topk_ivf_np(
+        df, cents, qids, k=3, n_probe=2,
+        cells=read_ivf_index(spark, path)).collect()))
+    assert mem == disk

@@ -115,3 +115,25 @@ def test_teds_reference_cost_model():
     no_head = teds("<table><tbody><tr><td>a</td><td>b</td></tr>"
                    "</tbody></table>", A)
     assert no_head == _pytest.approx(1 - 4 / 8)
+
+
+def test_teds_hand_computed_distances():
+    """Exact TED values walked by hand against the reference cost
+    model (table_metric.py:41-51,143-167): unit insert/delete, unit
+    rename on tag/colspan/rowspan change, normalized-Levenshtein
+    rename on td content; similarity = 1 - TED / max node count."""
+    from pdf_table_spark.core.teds import teds
+    A = "<table><tr><td>ab</td></tr></table>"
+    # one inserted td: TED=1, nodes max(2,3)=3
+    B = "<table><tr><td>ab</td><td>cd</td></tr></table>"
+    assert teds(A, B) == round(1 - 1 / 3, 6)
+    # one-char text edit: rename cost lev(ab,az)=1/2, nodes 2
+    C = "<table><tr><td>az</td></tr></table>"
+    assert teds(A, C) == 1 - 0.5 / 2
+    # colspan change: full unit rename
+    D = '<table><tr><td colspan="2">ab</td></tr></table>'
+    assert teds(A, D) == 1 - 1 / 2
+    # tag rename (thead vs tbody), content untouched
+    E = "<table><thead><tr><td>x</td></tr></thead></table>"
+    F = "<table><tbody><tr><td>x</td></tr></tbody></table>"
+    assert teds(E, F) == round(1 - 1 / 3, 6)
