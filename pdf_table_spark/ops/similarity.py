@@ -538,18 +538,23 @@ def write_ivf_index(cells: DataFrame, path: str,
     text). One directory per cell; rewrite per corpus snapshot.
 
     ``files_per_cell`` repartitions by cell (+ a salt when > 1)
-    before the write so each cell directory holds that many files
-    instead of one per upstream task — without it, n_cells x
+    before the write so each cell directory holds AT MOST that many
+    files instead of one per upstream task — without it, n_cells x
     n_partitions tiny files dominate probe-time open cost (measured
-    4.6x slower at 256 cells x 16 partitions). None = keep the
-    input partitioning. At 100 TB pick files_per_cell so each file
+    4.6x slower at 256 cells x 16 partitions). AQE may coalesce
+    below the cap when cells are small (size-driven — desirable);
+    the salt's job is letting one HUGE cell spread over up to
+    files_per_cell writer tasks. None = keep the input
+    partitioning. At 100 TB pick files_per_cell so each file
     is a few hundred MB."""
     if files_per_cell == 1:
         cells = cells.repartition(F.col("cell"))
     elif files_per_cell and files_per_cell > 1:
+        # pmod, not %: xxhash64 is signed and Spark's % keeps the
+        # sign, which would double the salt alphabet to 2f-1
         cells = cells.repartition(
             F.col("cell"),
-            (F.xxhash64("vec_id") % files_per_cell).cast("int"))
+            F.expr(f"pmod(xxhash64(vec_id), {int(files_per_cell)})"))
     cells.write.mode(mode).partitionBy("cell").parquet(path)
 
 

@@ -132,13 +132,14 @@ class TestPlans:
         assert n_nodes(plan, "Scan parquet") == 1
         assert n_nodes(plan, "MapInArrow") == 1
 
-    def test_ocr_from_model_two_narrow_boundaries(self, spark,
-                                                  queries):
+    def test_ocr_from_model_three_narrow_boundaries(self, spark,
+                                                    queries):
         """Artifact-to-output query: exactly one Python boundary per
-        head arm (TSR; det/rec + contours share one), no exchange —
-        the whole thing runs at scan speed."""
+        head arm (TSR; det/rec + contours share one; the round-5
+        DBNet/CTC/SLANet decoders share one), no exchange — the whole
+        thing runs at scan speed."""
         plan = plan_of(queries["ocr_from_model"](spark, SF_DIR))
-        assert n_nodes(plan, "MapInArrow") == 2
+        assert n_nodes(plan, "MapInArrow") == 3
         assert n_nodes(plan, "Exchange") == 0
 
     def test_ann_ivf_narrow_assignment_and_broadcast_probes(
