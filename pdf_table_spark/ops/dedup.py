@@ -643,6 +643,13 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
         simhash(docs, n_bits), max_hamming, n_bits, max_bucket)
 
 
+# Per-row window-build dispatch threshold for exact_substring_dedup:
+# below it the O(n_tokens²)-worst-case lambda build is cheaper in
+# practice (bounded at 512² token touches per doc); at or above it
+# the strictly-linear arrays_zip build takes over.
+_ESD_LONG_DOC = 512
+
+
 def exact_substring_dedup(docs: DataFrame, n: int = 50,
                           hash_fn: str = "md5") -> DataFrame:
     """ExactSubstr dedup (Lee et al. 2022, "Deduplicating Training
@@ -682,10 +689,12 @@ def exact_substring_dedup(docs: DataFrame, n: int = 50,
     """
     window_cols = ", ".join(f"w.`{k}`" for k in range(n))
     if hash_fn == "md5":
-        h = f"md5(concat_ws(' ', {window_cols}))"
+        h_zip = f"md5(concat_ws(' ', {window_cols}))"
+        h_lam = f"md5(array_join(slice(tk, i + 1, {n}), ' '))"
         empty = "cast(array() as array<struct<start: int, h: string>>)"
     elif hash_fn == "xxhash64":
-        h = f"xxhash64(concat_ws(' ', {window_cols}))"
+        h_zip = f"xxhash64(concat_ws(' ', {window_cols}))"
+        h_lam = f"xxhash64(array_join(slice(tk, i + 1, {n}), ' '))"
         empty = "cast(array() as array<struct<start: int, h: bigint>>)"
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r}; "
@@ -694,22 +703,35 @@ def exact_substring_dedup(docs: DataFrame, n: int = 50,
         "doc_id",
         F.expr("filter(split(lower(text), '\\\\s+'), t -> t <> '')")
         .alias("tk"))
-    # Sliding windows as arrays_zip of n shifted slices, NOT
-    # slice(tk, i+1, n) inside the transform lambda: outer columns
-    # referenced inside a HOF lambda re-evaluate PER ELEMENT once the
-    # optimizer inlines the token-split alias (column pruning leaves
-    # `ws` referenced once, so CollapseProject substitutes the split
-    # into the lambda) — measured O(n_tokens²) per doc, a 20k-token
-    # doc took minutes. In argument position everything is evaluated
-    # once per row, so the window build is O(n · n_tokens) however
-    # the optimizer rewrites it (100k tokens ≈ 7 s, linear).
+    # Window build, dispatched PER ROW on doc length (both branches
+    # hash the identical space-joined window, so the groupBy sees one
+    # key space):
+    #   * short docs (< _ESD_LONG_DOC tokens — virtually the whole
+    #     corpus) slice inside the transform lambda. This carries the
+    #     HOF-inlining trap — CollapseProject substitutes the token-
+    #     split alias into the lambda, re-evaluating it per element,
+    #     O(n_tokens²) per doc — but bounded by the threshold it is
+    #     the FASTER formulation: the arrays_zip build below costs
+    #     ~40 % more wall at 50M docs (1,668 s vs 1,201 s measured
+    #     same-box A/B, BASELINE.md round 5) because it materializes
+    #     n shifted slice arrays + a struct per window before
+    #     hashing.
+    #   * long docs take the arrays_zip-of-shifted-slices build:
+    #     every tk reference sits in ARGUMENT position, evaluated
+    #     once per row however the optimizer rewrites it — strictly
+    #     O(n · n_tokens) (a 100k-token doc ≈ 7 s; the lambda
+    #     formulation did not finish on it).
     zips = ", ".join(f"slice(tk, {k + 1}, size(tk) - {n - 1})"
                      for k in range(n))
     spans = (
         tk.select("doc_id", F.expr(
             f"if(size(tk) < {n}, {empty}, "
+            f"if(size(tk) < {_ESD_LONG_DOC}, "
+            f"transform(sequence(0, size(tk) - {n}), "
+            f"i -> struct(i as start, {h_lam} as h)), "
             f"transform(arrays_zip({zips}), "
-            f"(w, i) -> struct(i as start, {h} as h)))").alias("ws"))
+            f"(w, i) -> struct(i as start, {h_zip} as h))))")
+            .alias("ws"))
         .select("doc_id", F.explode("ws").alias("w"))
         .select("doc_id", F.col("w.start").alias("start"),
                 F.col("w.h").alias("h")))
@@ -731,19 +753,37 @@ def exact_substring_dedup(docs: DataFrame, n: int = 50,
         .distinct()
         .groupBy("doc_id").agg(F.collect_set("idx").alias("cut")))
     id_ty = dict(docs.dtypes)["doc_id"]
-    return (
-        tk.join(cuts, "doc_id", "left")
+    # Dispatch: only docs that actually hold a cut cross the Python
+    # boundary. On realistic corpora that is a few percent (1.8 % on
+    # the 50M proof corpus); the other ~98 % take a pure JVM
+    # projection instead of Arrow-serializing every token (with the
+    # window dispatch above: 50M wall 691 s vs 1,201 s for the
+    # round-4 formulation, outputs bit-identical — BASELINE.md round
+    # 5). Both branches filter the SAME join, so the tk shuffle and
+    # the cuts lineage execute once (ReusedExchange — asserted
+    # executed in test_plans).
+    joined = tk.join(cuts, "doc_id", "left")
+    uncut = joined.filter(F.col("cut").isNull()).select(
+        "doc_id",
+        F.size("tk").cast("int").alias("n_tokens"),
+        F.lit(0).cast("int").alias("n_removed"),
+        F.concat_ws(" ", "tk").alias("clean_text"))
+    cut_docs = (
+        joined.filter(F.col("cut").isNotNull())
         .mapInArrow(_apply_cut_masks,
                     schema=f"doc_id {id_ty}, n_tokens int, "
                            f"n_removed int, clean_text string"))
+    return uncut.unionByName(cut_docs)
 
 
 def _apply_cut_masks(batches):
     """Arrow stage for :func:`exact_substring_dedup`'s final step:
     (doc_id, tk: array<string>, cut: array<int>|null) → (doc_id,
     n_tokens, n_removed, clean_text). One boolean-mask scatter over
-    the batch's flattened token values, then a per-doc compress+join
-    — linear in tokens, no per-token set probe."""
+    the batch's flattened token values, one vectorized compress
+    (Arrow filter), one list rebuild, one ``binary_join`` — linear in
+    tokens, no per-token set probe, and no token ever becomes a
+    Python object."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -759,29 +799,26 @@ def _apply_cut_masks(batches):
             pc.list_value_length(cut_col).to_numpy(
                 zero_copy_only=False).astype(np.float64)).astype(
             np.int64)
-        toks = tk_col.flatten().to_pylist()
+        tok_vals = tk_col.flatten()  # offset-adjusted values, Arrow
         tok_offs = np.concatenate(([0], np.cumsum(tok_lens)))
-        keep = np.ones(len(toks), dtype=bool)
+        keep = np.ones(len(tok_vals), dtype=bool)
         cut_vals = cut_col.flatten().to_numpy(
             zero_copy_only=False).astype(np.int64)
         # global scatter: each cut index shifted by its row's token
         # offset (null-cut rows contribute zero entries)
         row_of_cut = np.repeat(np.arange(nrows), cut_lens)
         keep[cut_vals + tok_offs[row_of_cut]] = False
-        texts = []
-        for i in range(nrows):
-            lo, hi = tok_offs[i], tok_offs[i + 1]
-            m = keep[lo:hi]
-            if m.all():
-                texts.append(" ".join(toks[lo:hi]))
-            else:
-                texts.append(" ".join(
-                    t for t, k in zip(toks[lo:hi], m) if k))
+        kept_vals = tok_vals.filter(pa.array(keep))
+        kept_offs = np.concatenate(
+            ([0], np.cumsum(tok_lens - cut_lens))).astype(np.int32)
+        kept_lists = pa.ListArray.from_arrays(
+            pa.array(kept_offs, pa.int32()), kept_vals)
+        texts = pc.binary_join(kept_lists, " ")
         yield pa.RecordBatch.from_arrays(
             [batch.column(0),
              pa.array(tok_lens, pa.int32()),
              pa.array(cut_lens, pa.int32()),
-             pa.array(texts, pa.string())],
+             texts],
             names=["doc_id", "n_tokens", "n_removed", "clean_text"])
 
 

@@ -540,3 +540,28 @@ def test_exact_substring_dedup_pathological_long_doc(spark):
     assert out["z"].clean_text == ""
     assert out["a"].n_removed == 0
     assert wall < 120, f"pathological doc took {wall:.1f}s"
+
+
+def test_exact_substring_dedup_cross_branch_collision(spark):
+    """The round-5 per-row window-build dispatch (_ESD_LONG_DOC):
+    short docs hash windows via the lambda build, long docs via the
+    arrays_zip build. Both must produce the IDENTICAL hash for the
+    same window — a span duplicated between a short and a long doc
+    has to collide across branches or cross-length dedup silently
+    stops working."""
+    from pdf_table_spark.ops.dedup import (_ESD_LONG_DOC,
+                                           exact_substring_dedup)
+
+    span = " ".join(f"tok{i}" for i in range(20))
+    short_doc = " ".join(f"s{i}" for i in range(200)) + " " + span
+    long_doc = " ".join(
+        f"l{i}" for i in range(2 * _ESD_LONG_DOC)) + " " + span
+    docs = spark.createDataFrame(
+        [("a", short_doc), ("b", long_doc)],
+        "doc_id string, text string")
+    for hash_fn in ("md5", "xxhash64"):
+        out = {r.doc_id: (r.n_tokens, r.n_removed) for r in
+               exact_substring_dedup(docs, n=20,
+                                     hash_fn=hash_fn).collect()}
+        assert out["a"] == (220, 0), (hash_fn, out)
+        assert out["b"] == (2 * _ESD_LONG_DOC + 20, 20), (hash_fn, out)
