@@ -932,12 +932,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return au.unionByName(vi)
 
     def q_media_meta(spark, sf_dir):
-        # decode metadata (n_bytes) + aspect-preserving thumbnail fit
+        # decode metadata (n_bytes) + aspect-preserving thumbnail fit.
+        # Two arms: the utf8-ref pseudo-payloads (deterministic stub
+        # decode, md5 oracle twin) AND the planted REAL PNG/BMP/PNM
+        # corpus — genuine codec bytes pixel-decoded distributed
+        # (core.codecs); the oracle twin for that arm is encode-side
+        # truth recorded in golden_media_meta.parquet BEFORE encoding,
+        # so agreement is a real encoder↔decoder inverse check
         from pdf_table_spark.ops.multimodal import (
             decode_media, media_refs_with_payloads, resize_media)
         refs = media_refs_with_payloads(_spans_df(spark, sf_dir))
         feat = decode_media(refs).select("media_ref", "n_bytes")
-        return resize_media(refs).join(feat, "media_ref")
+        fake = resize_media(refs).join(feat, "media_ref")
+        planted = spark.read.parquet(os.path.join(
+            _fixture_dir(sf_dir), "media_payloads.parquet")).filter(
+            F.col("media_ref").startswith("media://img/"))
+        pfeat = decode_media(planted).select("media_ref", "n_bytes")
+        real = resize_media(planted).join(pfeat, "media_ref")
+        return fake.unionByName(real)
 
     def q_model_scores(spark, sf_dir):
         # all three broadcast-weights heads: page layout + doc quality
@@ -3190,11 +3202,25 @@ def _merge_oracles(o: dict[str, str]) -> dict[str, str]:
     """
 
     o.pop("media_features")
+    # second arm: encode-side truth for the planted REAL media corpus
+    # (dims/format/n_bytes recorded before core.codecs encoding; the
+    # thumbnail fit is recomputed here independently in SQL)
+    media_golden = os.path.join(FIXTURE_ROOT, "sf0.01",
+                                "golden_media_meta.parquet")
     merged["media_meta"] = f"""
-        with r as ({o.pop('media_resize')})
+        with r as ({o.pop('media_resize')}),
+             g as (select * from read_parquet('{media_golden}'))
         select media_ref, width, height, src_width, src_height, format,
                cast(length(media_ref) as bigint) as n_bytes
         from r
+        union all
+        select media_ref,
+               cast(floor(src_width * least(256.0 / src_width,
+                    256.0 / src_height, 1.0)) as int) as width,
+               cast(floor(src_height * least(256.0 / src_width,
+                    256.0 / src_height, 1.0)) as int) as height,
+               src_width, src_height, format, n_bytes
+        from g
     """
 
     merged["model_scores"] = f"""

@@ -68,6 +68,9 @@ def build_sf(root: str, sf: str, force: bool = False) -> dict:
     det_model_path = os.path.join(out_dir, "det_head.npz")
     neural_model_path = os.path.join(out_dir, "neural_head.npz")
     tsr_golden_path = os.path.join(out_dir, "golden_model_tsr.parquet")
+    media_path = os.path.join(out_dir, "media_payloads.parquet")
+    media_golden_path = os.path.join(out_dir, "golden_media_meta.parquet")
+    wav_golden_path = os.path.join(out_dir, "golden_wav_meta.parquet")
     flavor_paths = {
         fl: os.path.join(out_dir, f"golden_flat_{fl}.parquet")
         for fl in ("lattice", "stream")}
@@ -78,6 +81,9 @@ def build_sf(root: str, sf: str, force: bool = False) -> dict:
             and os.path.exists(det_model_path)
             and os.path.exists(neural_model_path)
             and os.path.exists(tsr_golden_path)
+            and os.path.exists(media_path)
+            and os.path.exists(media_golden_path)
+            and os.path.exists(wav_golden_path)
             and all(os.path.exists(p) for p in flavor_paths.values())):
         return {"sf": sf, "skipped": True}
     if os.path.isfile(docs_path):  # migrate old single-file layout
@@ -185,6 +191,36 @@ def build_sf(root: str, sf: str, force: bool = False) -> dict:
                 fg["whitespace"].append(o["whitespace"])
         pq.write_table(pa.Table.from_pydict(fg, schema=GOLDEN_SCHEMA),
                        fpath)
+    # planted REAL media corpus (core.codecs encoders) + encode-side
+    # truth: the S4 decode gate — the Spark decode stage must reproduce
+    # dims/format/n_bytes recorded here BEFORE encoding
+    from .media_gen import media_payloads, media_truth, wav_truth
+    mp = media_payloads()
+    pq.write_table(pa.Table.from_pydict(
+        {"media_ref": [r["media_ref"] for r in mp],
+         "payload": [r["payload"] for r in mp]},
+        schema=pa.schema([("media_ref", pa.string()),
+                          ("payload", pa.binary())])), media_path)
+    mt = media_truth()
+    pq.write_table(pa.Table.from_pydict(
+        {k: [r[k] for r in mt] for k in
+         ("media_ref", "src_width", "src_height", "format",
+          "n_bytes", "px_sum")},
+        schema=pa.schema([
+            ("media_ref", pa.string()), ("src_width", pa.int32()),
+            ("src_height", pa.int32()), ("format", pa.string()),
+            ("n_bytes", pa.int64()), ("px_sum", pa.int64())])),
+        media_golden_path)
+    wt = wav_truth()
+    pq.write_table(pa.Table.from_pydict(
+        {k: [r[k] for r in wt] for k in
+         ("media_ref", "sample_rate", "n_channels", "n_frames",
+          "duration_ms", "peak")},
+        schema=pa.schema([
+            ("media_ref", pa.string()), ("sample_rate", pa.int32()),
+            ("n_channels", pa.int32()), ("n_frames", pa.int64()),
+            ("duration_ms", pa.int64()), ("peak", pa.int32())])),
+        wav_golden_path)
     return {"sf": sf, "docs": n_docs, "pages": n_pages,
             "golden_rows": len(g_doc), "export_rows": len(e["doc_id"]),
             "skipped": False}

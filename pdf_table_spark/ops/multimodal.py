@@ -2,16 +2,25 @@
 
 Images/audio/video are ``binary`` columns (or ``media_ref`` pointers)
 with struct metadata; decode / feature-extract / frame-sample run as
-Arrow stages over ``mapInPandas``. The decode step itself is STUBBED
-(no image/audio libraries in this container): ``FAKE_DECODE`` derives
-deterministic pseudo-metadata from the payload bytes so the Spark-side
-plumbing — schema, batching, partition behavior — is real and tested;
-swap ``_decode_image`` for a PIL/ffmpeg call in production.
+Arrow stages over ``mapInPandas``.
+
+The decode step is REAL for PNG / BMP / PGM / PPM images and WAV audio
+(``core.codecs`` — pure stdlib zlib/struct/wave + numpy, no external
+image libraries): payloads whose magic bytes match those formats are
+pixel-decoded, feature vectors are 4x4 luma-grid means over the real
+pixels, and ``thumbnail_media`` runs a full distributed decode →
+box-mean resize → PNG re-encode. Formats without a pure-Python decoder
+here (JPEG/WebP/GIF — entropy-coded codecs out of sandbox scope) and
+non-media payloads fall back to ``FAKE_DECODE``: a deterministic
+pseudo-decode that hashes the payload into plausible dims + a unit-norm
+feature so the Spark plumbing stays exercised with stable, oracle-
+checkable values; swap the fallback for PIL/cv2/ffmpeg in production.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -19,7 +28,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-FAKE_DECODE = True  # no codec libs in this environment
+from ..core import codecs
+
+FAKE_DECODE = True  # fall back to pseudo-decode for jpeg/webp/unknown
+
+REAL_FORMATS = ("png", "bmp", "pgm", "ppm")
 
 MEDIA_META_SCHEMA = ("media_ref string, n_bytes long, width int, "
                      "height int, format string, feature array<float>")
@@ -30,11 +43,22 @@ FEATURE_DIM = 16
 def _decode_image(payload: bytes):
     """Decode image bytes → (width, height, format, feature vector).
 
-    STUB: real implementation would be PIL.Image.open / cv2.imdecode.
-    The deterministic fake hashes the payload into plausible dims and a
-    unit-norm feature vector, so downstream plumbing is exercised with
-    stable values.
+    PNG/BMP/PGM/PPM payloads decode for real (``core.codecs``); the
+    feature is the 4x4 luma grid of the actual pixels. Anything else
+    (jpeg/webp/gif — no pure-python decoder here — and the synthetic
+    utf8-ref payloads the sandbox blob store substitutes) takes the
+    deterministic pseudo-decode fallback, which hashes the payload
+    into plausible dims and a unit-norm feature vector so downstream
+    plumbing is exercised with stable values.
     """
+    if codecs.sniff(payload) in REAL_FORMATS:
+        try:
+            arr, fmt = codecs.decode_image(payload)
+            h, w = arr.shape[:2]
+            return w, h, fmt, codecs.image_feature(arr, FEATURE_DIM)
+        except (ValueError, struct.error):
+            pass  # magic-prefix collision (e.g. a ref text starting
+            # "BM" / "P6") or corrupt media → pseudo-decode fallback
     if not FAKE_DECODE:  # pragma: no cover - production path
         raise NotImplementedError("image codec not available in this env")
     digest = hashlib.md5(payload).digest()
@@ -192,6 +216,86 @@ def chunk_audio(audio: DataFrame, window_sec: float = 30.0,
             yield pd.DataFrame(rows)
 
     return chunks.mapInPandas(batches, schema=CHUNK_SCHEMA)
+
+
+THUMB_SCHEMA = ("media_ref string, width int, height int, "
+                "format string, thumb binary")
+
+
+def thumbnail_media(media: DataFrame, max_w: int = 256,
+                    max_h: int = 256) -> DataFrame:
+    """Real distributed thumbnail pipeline over decodable payloads:
+    decode (PNG/BMP/PGM/PPM via ``core.codecs``) → aspect-preserving
+    box-mean resize into a max_w x max_h fit → re-encode as PNG. Rows
+    whose payload has no pure-python decoder are dropped (this is the
+    production-image path; the metadata-only path for those is
+    ``decode_media``'s fallback). Arrow-batched mapInPandas; output
+    ``thumb`` is a ready-to-store PNG."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("media_ref", "width", "height",
+                                    "format", "thumb")}
+            for ref, payload in zip(pdf["media_ref"].values,
+                                    pdf["payload"].values):
+                data = bytes(payload) if payload is not None else b""
+                if codecs.sniff(data) not in REAL_FORMATS:
+                    continue
+                try:
+                    arr, fmt = codecs.decode_image(data)
+                except (ValueError, struct.error):
+                    continue
+                sh, sw = arr.shape[:2]
+                scale = min(max_w / sw, max_h / sh, 1.0)
+                ow, oh = max(1, int(sw * scale)), max(1, int(sh * scale))
+                thumb = codecs.resize_box(arr, ow, oh)
+                rows["media_ref"].append(ref)
+                rows["width"].append(ow)
+                rows["height"].append(oh)
+                rows["format"].append(fmt)
+                rows["thumb"].append(codecs.png_encode(thumb))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=THUMB_SCHEMA)
+
+
+AUDIO_META_SCHEMA = ("media_ref string, sample_rate int, "
+                     "n_channels int, n_frames long, "
+                     "duration_ms long, peak int")
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """Real WAV decode over (media_ref, payload) rows: stdlib ``wave``
+    → 16-bit PCM sample matrix; emits rate/channels/frames, integer
+    millisecond duration (floor — engine-independent), and the peak
+    absolute sample. Non-WAV payloads are dropped. Arrow-batched."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("media_ref", "sample_rate",
+                                    "n_channels", "n_frames",
+                                    "duration_ms", "peak")}
+            for ref, payload in zip(pdf["media_ref"].values,
+                                    pdf["payload"].values):
+                data = bytes(payload) if payload is not None else b""
+                if codecs.sniff(data) != "wav":
+                    continue
+                try:
+                    samples, rate = codecs.wav_decode(data)
+                except (ValueError, EOFError, struct.error):
+                    continue
+                rows["media_ref"].append(ref)
+                rows["sample_rate"].append(int(rate))
+                rows["n_channels"].append(int(samples.shape[1]))
+                rows["n_frames"].append(int(samples.shape[0]))
+                rows["duration_ms"].append(
+                    samples.shape[0] * 1000 // int(rate))
+                rows["peak"].append(
+                    int(np.abs(samples.astype(np.int32)).max())
+                    if samples.size else 0)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=AUDIO_META_SCHEMA)
 
 
 def media_refs_with_payloads(docs_spans: DataFrame) -> DataFrame:
