@@ -1038,8 +1038,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    decode (core.slanethead), one shared boundary; the db
         #    oracle twin recomputes grow/scale/round_even from the
         #    planted blob coords in pure SQL.
+        #  * det-CNN arm (round 5b) — REAL forward pass: scan-page
+        #    PNGs (real codec decode) → numpy conv/pool/sigmoid CNN
+        #    (.npz tensors, core.nn) → probability map → the same
+        #    core.dbnet postprocess; no planted model output on the
+        #    whole path. Golden twin = the same .npz run
+        #    single-process at fixture build (the TSR pattern).
         from pdf_table_spark.spark.model_stage import (
-            score_det_contours, score_neural_decoders,
+            score_det_cnn, score_det_contours, score_neural_decoders,
             score_table_structure)
         fx = _fixture_dir(sf_dir)
         tsr = score_table_structure(
@@ -1051,7 +1057,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         neu = score_neural_decoders(
             _spans_df(spark, sf_dir),
             weights_path=os.path.join(fx, "neural_head.npz"))
-        return tsr.unionByName(det).unionByName(neu)
+        scans = spark.read.parquet(os.path.join(fx, "scan_pages.parquet"))
+        cnn = score_det_cnn(
+            scans, weights_path=os.path.join(fx, "det_cnn.npz")
+        ).select(F.col("media_ref").alias("doc_id"),
+                 F.col("box_idx").alias("offset"), "kind", "text")
+        return tsr.unionByName(det).unionByName(neu).unionByName(cnn)
 
     return {
         "extract_spans": q_extract_spans,
@@ -3429,7 +3440,11 @@ def _merge_oracles(o: dict[str, str]) -> dict[str, str]:
         from opages
         where json_extract(text, '$.slanet') is not null
         )
-        """)
+        union all
+        select doc_id, "offset" as offset, kind, text
+        from read_parquet('"""
+        + os.path.join(FIXTURE_ROOT, "sf0.01",
+                       "golden_scan_boxes.parquet") + "')")
 
     o.pop("top_docs_by_tables")
     merged["tables_per_doc"] = f"""

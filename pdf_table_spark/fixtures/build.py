@@ -71,6 +71,9 @@ def build_sf(root: str, sf: str, force: bool = False) -> dict:
     media_path = os.path.join(out_dir, "media_payloads.parquet")
     media_golden_path = os.path.join(out_dir, "golden_media_meta.parquet")
     wav_golden_path = os.path.join(out_dir, "golden_wav_meta.parquet")
+    scan_path = os.path.join(out_dir, "scan_pages.parquet")
+    scan_golden_path = os.path.join(out_dir, "golden_scan_boxes.parquet")
+    detcnn_path = os.path.join(out_dir, "det_cnn.npz")
     flavor_paths = {
         fl: os.path.join(out_dir, f"golden_flat_{fl}.parquet")
         for fl in ("lattice", "stream")}
@@ -84,6 +87,9 @@ def build_sf(root: str, sf: str, force: bool = False) -> dict:
             and os.path.exists(media_path)
             and os.path.exists(media_golden_path)
             and os.path.exists(wav_golden_path)
+            and os.path.exists(scan_path)
+            and os.path.exists(scan_golden_path)
+            and os.path.exists(detcnn_path)
             and all(os.path.exists(p) for p in flavor_paths.values())):
         return {"sf": sf, "skipped": True}
     if os.path.isfile(docs_path):  # migrate old single-file layout
@@ -221,6 +227,38 @@ def build_sf(root: str, sf: str, force: bool = False) -> dict:
             ("n_channels", pa.int32()), ("n_frames", pa.int64()),
             ("duration_ms", pa.int64()), ("peak", pa.int32())])),
         wav_golden_path)
+    # scan-page corpus (REAL PNG pages) + det-CNN artifact + golden:
+    # the image → CNN forward → DBNet postprocess path, run here
+    # single-process through the SAME .npz weights the distributed
+    # score_det_cnn stage loads (the golden_model_tsr pattern)
+    from ..core import codecs as _codecs
+    from ..core import nn as _nn
+    from ..core.dbnet import DB_PARAMS, db_postprocess, format_db_box
+    from ..spark.model_stage import save_weights_dict
+    from .media_gen import scan_payloads
+    sp = scan_payloads()
+    pq.write_table(pa.Table.from_pydict(
+        {"media_ref": [r["media_ref"] for r in sp],
+         "payload": [r["payload"] for r in sp]},
+        schema=pa.schema([("media_ref", pa.string()),
+                          ("payload", pa.binary())])), scan_path)
+    save_weights_dict(detcnn_path, _nn.DET_CNN, _nn.DETCNN_VERSION)
+    sg = {"doc_id": [], "offset": [], "kind": [], "text": []}
+    for r in sp:
+        scan, _fmt = _codecs.decode_image(r["payload"])
+        prob = _nn.det_forward(_nn.ink_from_scan(_codecs.to_gray(scan)),
+                               _nn.DET_CNN)
+        boxes, scores = db_postprocess(prob, prob.shape[1],
+                                       prob.shape[0], DB_PARAMS)
+        for j, (b, s) in enumerate(zip(boxes, scores)):
+            sg["doc_id"].append(r["media_ref"])
+            sg["offset"].append(j)
+            sg["kind"].append("db_cnn_box")
+            sg["text"].append(format_db_box(b, s))
+    pq.write_table(pa.Table.from_pydict(sg, schema=pa.schema([
+        ("doc_id", pa.string()), ("offset", pa.int32()),
+        ("kind", pa.string()), ("text", pa.string())])),
+        scan_golden_path)
     return {"sf": sf, "docs": n_docs, "pages": n_pages,
             "golden_rows": len(g_doc), "export_rows": len(e["doc_id"]),
             "skipped": False}

@@ -109,6 +109,60 @@ def media_truth() -> list[dict]:
     return rows
 
 
+N_SCANS = 24
+SCAN_H, SCAN_W = 160, 220
+
+
+def _scan_lines_for(i: int) -> list[dict]:
+    """Planted text-line layout for scan page i: 2-5 ink lines with
+    1-3 word gaps each. Vertical separation >= 10 px (outside the
+    CNN's +-2 px vertical receptive spread), gap width 3 px (inside
+    the 1x5 horizontal max-pool's bridge reach) — so the forward pass
+    must merge words and must NOT merge lines."""
+    rng = np.random.default_rng(9000 + i)
+    lines, y = [], 8
+    for _ in range(int(rng.integers(2, 6))):
+        h = int(rng.integers(4, 9))
+        if y + h > SCAN_H - 8:
+            break
+        x0 = int(rng.integers(6, 30))
+        x1 = int(rng.integers(x0 + 40, SCAN_W - 6))
+        n_gaps = int(rng.integers(1, 4))
+        gaps = sorted(int(g) for g in rng.choice(
+            np.arange(x0 + 8, x1 - 11, 8), size=min(
+                n_gaps, max(1, (x1 - x0 - 20) // 8)), replace=False))
+        lines.append({"x0": x0, "y0": y, "x1": x1, "y1": y + h,
+                      "gaps": gaps})
+        y += h + int(rng.integers(10, 26))
+    return lines
+
+
+def scan_payloads() -> list[dict]:
+    """Scan-page corpus: each page is a REAL PNG (core.codecs encoder)
+    of the rendered planted lines — the input to the image → CNN →
+    DBNet-postprocess detection path."""
+    from ..core import codecs, nn
+    rows = []
+    for i in range(N_SCANS):
+        scan = nn.render_lines(_scan_lines_for(i), SCAN_H, SCAN_W)
+        rows.append({"media_ref": f"media://scan/{i:04d}",
+                     "payload": codecs.png_encode(
+                         scan, filter_mode=i % 5)})
+    return rows
+
+
+def scan_truth() -> list[dict]:
+    """The planted line rectangles (pre-render ground truth) for
+    recall/containment checks in pytest."""
+    rows = []
+    for i in range(N_SCANS):
+        for j, ln in enumerate(_scan_lines_for(i)):
+            rows.append({"media_ref": f"media://scan/{i:04d}",
+                         "line_idx": j, **{k: ln[k] for k in
+                                           ("x0", "y0", "x1", "y1")}})
+    return rows
+
+
 def wav_truth() -> list[dict]:
     """Encode-side ground truth for the wav rows."""
     rows = []
