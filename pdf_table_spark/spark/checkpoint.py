@@ -202,7 +202,8 @@ def run_checkpointed(spark: SparkSession, docs: DataFrame, out_dir: str,
                      part_col: str | None = None,
                      fingerprint_mode: str = "auto",
                      snapshot_path: str | None = None,
-                     transform=None) -> dict:
+                     transform=None,
+                     commit_output_snapshots: bool = False) -> dict:
     """Extract ``docs`` to ``out_dir`` (parquet, partitioned by
     part_id), resuming past completed buckets. Returns a summary dict.
 
@@ -236,6 +237,17 @@ def run_checkpointed(spark: SparkSession, docs: DataFrame, out_dir: str,
     partial previous runs) it falls through to the per-bucket
     fingerprints below, and re-records the marker only after a run
     with no failed buckets.
+
+    ``commit_output_snapshots``: commit every completed bucket as a
+    transactional snapshot on the OUTPUT table (``iceberg_meta`` —
+    atomic version swap, optimistic concurrency, per-snapshot file
+    manifests), replacing that bucket's previous files. The output
+    then carries a table version a downstream
+    ``run_checkpointed(snapshot_path=<this out_dir>)`` can skip on
+    O(1), and ``iceberg_meta.read_current`` plans its scan from the
+    snapshot's file list instead of a directory walk. Read the
+    committed table through the snapshot (or per-partition paths) —
+    naive whole-root partition discovery sees the ``metadata/`` dir.
 
     ``fingerprint_mode``: 'metadata' fingerprints each partition from
     its files' (path, size, mtime) — a listing, NO input scan, so a
@@ -343,6 +355,24 @@ def run_checkpointed(spark: SparkSession, docs: DataFrame, out_dir: str,
                     "%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
                 status="ok")
             done.append(part_id)
+            if commit_output_snapshots:
+                from . import iceberg_meta
+                pdir = os.path.join(
+                    out_dir,
+                    f"part_id={escape_partition_value(str(part_id))}")
+                added = [
+                    {"path": os.path.join(pdir, n),
+                     "size": os.path.getsize(os.path.join(pdir, n)),
+                     "rows": None, "partition": str(part_id)}
+                    for n in sorted(os.listdir(pdir))
+                    if n.endswith(".parquet")]
+                snap_committed = iceberg_meta.commit_snapshot(
+                    out_dir, added, operation="overwrite",
+                    replace_partition=str(part_id),
+                    summary={"run-id": run_id, "partition": part_id,
+                             "output-rows": n_rows})
+                manifest["output_snapshot_id"] = \
+                    snap_committed["snapshot-id"]
         tmp = mpath + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
