@@ -1044,9 +1044,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    core.dbnet postprocess; no planted model output on the
         #    whole path. Golden twin = the same .npz run
         #    single-process at fixture build (the TSR pattern).
+        #  * full-OCR arm (round 5c) — the COMPLETE imaged-page path:
+        #    scan PNG → pixel decode → morphological rulings → det-CNN
+        #    forward → DBNet postprocess → rec-CNN forward + CTC
+        #    greedy decode → lattice grid/merge/placement → table
+        #    shape/cells/HTML + free lines. The oracle twin is the
+        #    PLANTED truth (encode-side, media_gen.ocr_scan_truth) —
+        #    an independent inverse, not a same-code golden.
         from pdf_table_spark.spark.model_stage import (
             score_det_cnn, score_det_contours, score_neural_decoders,
-            score_table_structure)
+            score_ocr_cnn, score_table_structure)
         fx = _fixture_dir(sf_dir)
         tsr = score_table_structure(
             _spans_df(spark, sf_dir),
@@ -1062,7 +1069,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             scans, weights_path=os.path.join(fx, "det_cnn.npz")
         ).select(F.col("media_ref").alias("doc_id"),
                  F.col("box_idx").alias("offset"), "kind", "text")
-        return tsr.unionByName(det).unionByName(neu).unionByName(cnn)
+        ocr_scans = spark.read.parquet(
+            os.path.join(fx, "ocr_scan_pages.parquet"))
+        ocr = score_ocr_cnn(
+            ocr_scans, weights_path=os.path.join(fx, "ocr_cnn.npz")
+        ).select(F.col("media_ref").alias("doc_id"), "offset",
+                 "kind", "text")
+        return (tsr.unionByName(det).unionByName(neu)
+                .unionByName(cnn).unionByName(ocr))
 
     return {
         "extract_spans": q_extract_spans,
@@ -3444,7 +3458,12 @@ def _merge_oracles(o: dict[str, str]) -> dict[str, str]:
         select doc_id, "offset" as offset, kind, text
         from read_parquet('"""
         + os.path.join(FIXTURE_ROOT, "sf0.01",
-                       "golden_scan_boxes.parquet") + "')")
+                       "golden_scan_boxes.parquet") + """')
+        union all
+        select doc_id, "offset" as offset, kind, text
+        from read_parquet('"""
+        + os.path.join(FIXTURE_ROOT, "sf0.01",
+                       "golden_ocr_scan.parquet") + "')")
 
     o.pop("top_docs_by_tables")
     merged["tables_per_doc"] = f"""

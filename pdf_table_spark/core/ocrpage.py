@@ -1,0 +1,127 @@
+"""Full imaged-page OCR: scan image → words/lines, table cells, HTML
+— every stage real compute, no planted model output anywhere.
+
+This composes the reference's end-to-end imaged-PDF path
+(``model/ocr_pdf/base_infer_task.py:317-381`` dispatching detection →
+recognition, then ``table/table_extractor_lattice.py`` structure +
+placement) from the repo's own stages:
+
+  1. ``core.codecs``   — real PNG/BMP/PNM pixel decode (caller);
+  2. ``core.nn.detect_rulings`` — morphological ruling extraction
+     (the cv2 erode/dilate line detection of the reference's lattice
+     source, pure numpy);
+  3. ``core.nn.det_forward`` with ``OCR_DET_CNN`` — conv/pool/sigmoid
+     text detection on the ruling-masked ink, postprocessed by
+     ``core.dbnet`` (binarize → regions → min-area rect → unclip);
+  4. ``core.nn.rec_forward`` + ``core.ctchead.ctc_decode`` — the
+     recognition conv + CTC greedy decode per detected line crop;
+  5. ``core.lattice.extract_ruled_tables`` — the SAME grid builder,
+     logical-cell merger and text placement the digital-PDF path
+     uses, fed with image-derived segments and OCR'd text lines.
+
+Detected boxes arrive in image coordinates (y down); the lattice
+stage runs in PDF coordinates (y up), so segments/lines flip through
+``H - y`` at the seam — the reference's crop→page coordinate
+translation (X7).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import lattice
+from .dbnet import DB_PARAMS, db_postprocess
+from .html import cells_to_html
+from .nn import (OCR_DET_CNN, REC_CNN, det_forward, detect_rulings,
+                 ink_from_scan, maxpool2d, merge_axis_segments, rec_text)
+
+RULING_THIN = 0.5  # half-thickness of the thin rects fed to lattice
+
+
+def ocr_scan_page(gray: np.ndarray, det_weights: dict | None = None,
+                  rec_weights: dict | None = None,
+                  db_params: dict | None = None) -> dict:
+    """OCR one scan page (uint8 grayscale, 255 = paper).
+
+    Returns ``{"lines": [...], "tables": [...], "remainder": [...]}``:
+    ``lines`` — every detected+recognized text line in reading order
+    (image-coordinate int bounds, text, confidence); ``tables`` — per
+    recovered table: n_rows/n_cols, the non-empty logical cells as
+    ``(row, col, row_span, col_span, text)`` and the serialized HTML;
+    ``remainder`` — the lines not consumed by any table (the page's
+    free text, anti-join semantics U1)."""
+    det_w = det_weights if det_weights is not None else OCR_DET_CNN
+    rec_w = rec_weights if rec_weights is not None else REC_CNN
+    dbp = db_params if db_params is not None else DB_PARAMS
+    ink = ink_from_scan(np.asarray(gray))
+    h_img, w_img = ink.shape
+
+    # rulings, then mask them (dilated 1 px) out of the det/rec input
+    h_raw, v_raw, mask = detect_rulings(ink)
+    h_segs = merge_axis_segments(h_raw, "h")
+    v_segs = merge_axis_segments(v_raw, "v")
+    grown = maxpool2d(mask[None].astype(np.float64), 3, 3)[0] >= 0.5
+    text_ink = np.where(grown, 0.0, ink)
+
+    # detection: conv forward → probability map → DBNet postprocess
+    prob = det_forward(text_ink, det_w)
+    boxes, scores = db_postprocess(prob, w_img, h_img, dbp)
+
+    # recognition per crop; drop boxes that decode to nothing
+    lines = []
+    for b, s in zip(boxes, scores):
+        xs, ys = b[0::2], b[1::2]
+        x0 = max(int(min(xs)), 0)
+        x1 = min(int(max(xs)), w_img - 1)
+        y0 = max(int(min(ys)), 0)
+        y1 = min(int(max(ys)), h_img - 1)
+        if x1 <= x0 or y1 <= y0:
+            continue
+        crop = text_ink[y0:y1 + 1, x0:x1 + 1]
+        text, conf = rec_text(crop, rec_w)
+        if not text:
+            continue
+        # tighten the unclip-expanded box to the crop's ink extent:
+        # placement (and the lattice char-split) needs the GLYPH
+        # geometry, not the recall margin DBNet's unclip adds
+        cols = np.flatnonzero(crop.sum(axis=0) > 0)
+        rows = np.flatnonzero(crop.sum(axis=1) > 0)
+        if len(cols) and len(rows):
+            x0, x1 = x0 + int(cols[0]), x0 + int(cols[-1])
+            y0, y1 = y0 + int(rows[0]), y0 + int(rows[-1])
+        lines.append({"x0": x0, "y0": y0, "x1": x1, "y1": y1,
+                      "text": text, "conf": conf,
+                      "det_score": float(s)})
+    lines.sort(key=lambda ln: (ln["y0"], ln["x0"]))
+
+    # lattice placement in PDF coordinates (y up)
+    rects = []
+    for (x0, y, x1, _y) in h_segs:
+        rects.append({"x0": x0, "x1": x1,
+                      "y0": h_img - y - RULING_THIN,
+                      "y1": h_img - y + RULING_THIN})
+    for (x, y0, _x, y1) in v_segs:
+        rects.append({"x0": x - RULING_THIN, "x1": x + RULING_THIN,
+                      "y0": h_img - y1, "y1": h_img - y0})
+    text_lines = [{"x0": float(ln["x0"]), "x1": float(ln["x1"] + 1),
+                   "y0": float(h_img - (ln["y1"] + 1)),
+                   "y1": float(h_img - ln["y0"]),
+                   "text": ln["text"]} for ln in lines]
+    tables, consumed = lattice.extract_ruled_tables(rects, text_lines)
+
+    out_tables = []
+    for t in tables:
+        cells = [(c.row, c.col, c.row_span, c.col_span, c.text)
+                 for c in sorted(t.cells,
+                                 key=lambda c: (c.row, c.col))
+                 if c.text]
+        out_tables.append({
+            "bbox": tuple(round(v, 1) for v in t.bbox),
+            "n_rows": t.n_rows, "n_cols": t.n_cols,
+            "cells": cells,
+            "html": cells_to_html(sorted(
+                t.cells, key=lambda c: (c.row, c.col))),
+        })
+    remainder = [ln for i, ln in enumerate(lines) if i not in consumed]
+    return {"lines": lines, "tables": out_tables,
+            "remainder": remainder}

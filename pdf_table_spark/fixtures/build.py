@@ -74,6 +74,9 @@ def build_sf(root: str, sf: str, force: bool = False) -> dict:
     scan_path = os.path.join(out_dir, "scan_pages.parquet")
     scan_golden_path = os.path.join(out_dir, "golden_scan_boxes.parquet")
     detcnn_path = os.path.join(out_dir, "det_cnn.npz")
+    ocr_scan_path = os.path.join(out_dir, "ocr_scan_pages.parquet")
+    ocr_golden_path = os.path.join(out_dir, "golden_ocr_scan.parquet")
+    ocrcnn_path = os.path.join(out_dir, "ocr_cnn.npz")
     flavor_paths = {
         fl: os.path.join(out_dir, f"golden_flat_{fl}.parquet")
         for fl in ("lattice", "stream")}
@@ -90,6 +93,9 @@ def build_sf(root: str, sf: str, force: bool = False) -> dict:
             and os.path.exists(scan_path)
             and os.path.exists(scan_golden_path)
             and os.path.exists(detcnn_path)
+            and os.path.exists(ocr_scan_path)
+            and os.path.exists(ocr_golden_path)
+            and os.path.exists(ocrcnn_path)
             and all(os.path.exists(p) for p in flavor_paths.values())):
         return {"sf": sf, "skipped": True}
     if os.path.isfile(docs_path):  # migrate old single-file layout
@@ -259,6 +265,34 @@ def build_sf(root: str, sf: str, force: bool = False) -> dict:
         ("doc_id", pa.string()), ("offset", pa.int32()),
         ("kind", pa.string()), ("text", pa.string())])),
         scan_golden_path)
+    # full-OCR scan corpus (ruled tables + free text rendered with
+    # the core.font glyphs, real PNG) + combined det/rec artifact +
+    # PLANTED-TRUTH golden: unlike the det-CNN golden above, these
+    # rows come from the plants alone (media_gen.ocr_scan_truth), so
+    # the oracle is an independent inverse of the whole pixel
+    # pipeline, not a same-code twin
+    from .media_gen import ocr_scan_payloads, ocr_scan_truth
+    op = ocr_scan_payloads()
+    pq.write_table(pa.Table.from_pydict(
+        {"media_ref": [r["media_ref"] for r in op],
+         "payload": [r["payload"] for r in op]},
+        schema=pa.schema([("media_ref", pa.string()),
+                          ("payload", pa.binary())])),
+        ocr_scan_path)
+    ocr_tensors = {f"det_{k}": v for k, v in _nn.OCR_DET_CNN.items()}
+    ocr_tensors.update(
+        {f"rec_{k}": v for k, v in _nn.REC_CNN.items()})
+    save_weights_dict(ocrcnn_path, ocr_tensors, _nn.OCRCNN_VERSION)
+    ot = ocr_scan_truth()
+    pq.write_table(pa.Table.from_pydict(
+        {"doc_id": [r["media_ref"] for r in ot],
+         "offset": [r["offset"] for r in ot],
+         "kind": [r["kind"] for r in ot],
+         "text": [r["text"] for r in ot]},
+        schema=pa.schema([
+            ("doc_id", pa.string()), ("offset", pa.int32()),
+            ("kind", pa.string()), ("text", pa.string())])),
+        ocr_golden_path)
     return {"sf": sf, "docs": n_docs, "pages": n_pages,
             "golden_rows": len(g_doc), "export_rows": len(e["doc_id"]),
             "skipped": False}

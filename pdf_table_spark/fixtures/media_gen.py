@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..core import codecs
+from ..core import codecs, font
 
 N_IMAGES = 64
 N_WAVS = 8
@@ -160,6 +160,178 @@ def scan_truth() -> list[dict]:
             rows.append({"media_ref": f"media://scan/{i:04d}",
                          "line_idx": j, **{k: ln[k] for k in
                                            ("x0", "y0", "x1", "y1")}})
+    return rows
+
+
+# ------------------------------------------- OCR scan-page corpus
+
+N_OCR_SCANS = 24
+OCR_H, OCR_W = 240, 320
+CELL_PAD = 8          # cell interior padding (keeps det crops, which
+#                       unclip ~12 px past the glyph extent, from
+#                       reaching a neighbour cell's ink)
+CELL_H = 7 + 2 * CELL_PAD
+_WORDS = ("alpha beta gamma delta total qty name rate sum unit city "
+          "item code note page zone mean peak base fee tax net max "
+          "min avg id no 12 99 307 4815 x1 b2 2024").split()
+
+
+def _ocr_layout_for(i: int) -> dict:
+    """Planted page layout i: usually one ruled table (sometimes with
+    a merged cell or 2-px-thick rulings) plus 0-3 free text lines.
+    Every 6th page has no table (free text only). Deterministic."""
+    rng = np.random.default_rng(12000 + i)
+    layout = {"table": None, "lines": []}
+    if i % 6 != 5:
+        n_rows = int(rng.integers(2, 5))
+        n_cols = int(rng.integers(2, 4))
+        texts = [[" ".join(rng.choice(_WORDS, size=rng.integers(1, 3)))
+                  for _ in range(n_cols)] for _ in range(n_rows)]
+        # ~10% empty cells (never a whole row/col empty by luck of the
+        # small grid — acceptable; the truth rows simply omit them)
+        for r in range(n_rows):
+            for c in range(n_cols):
+                if rng.random() < 0.10:
+                    texts[r][c] = ""
+        merged = None
+        if i % 4 == 3 and n_cols >= 2:
+            # merge (r, c)+(r, c+1): the interior vertical ruling is
+            # not drawn across row r; keep the merged text one word so
+            # it fits the left base cell
+            r = int(rng.integers(0, n_rows))
+            c = int(rng.integers(0, n_cols - 1))
+            texts[r][c] = str(rng.choice(_WORDS))
+            texts[r][c + 1] = ""
+            merged = (r, c)
+        col_w = [max([font.text_width(texts[r][c])
+                      for r in range(n_rows)] + [18]) + 2 * CELL_PAD + 1
+                 for c in range(n_cols)]
+        while sum(col_w) > OCR_W - 40 and n_cols > 2:
+            n_cols -= 1
+            col_w = col_w[:n_cols]
+            texts = [row[:n_cols] for row in texts]
+            if merged and merged[1] + 1 >= n_cols:
+                merged = None
+        tx = int(rng.integers(12, max(13, OCR_W - sum(col_w) - 12)))
+        ty = int(rng.integers(10, 26))
+        layout["table"] = {
+            "tx": tx, "ty": ty, "n_rows": n_rows, "n_cols": n_cols,
+            "col_w": col_w, "texts": texts, "merged": merged,
+            "thick": 2 if i % 5 == 2 else 1,
+        }
+        y_free = ty + n_rows * (CELL_H + 1) + 1 + 30
+    else:
+        y_free = int(rng.integers(15, 40))
+    for _ in range(int(rng.integers(0 if layout["table"] else 1, 4))):
+        text = " ".join(rng.choice(_WORDS, size=rng.integers(2, 5)))
+        while font.text_width(text) > OCR_W - 30:
+            text = text.rsplit(" ", 1)[0]
+        if y_free + 7 > OCR_H - 10:
+            break
+        x0 = int(rng.integers(12, OCR_W - font.text_width(text) - 12))
+        layout["lines"].append({"x0": x0, "y0": y_free, "text": text})
+        y_free += 7 + int(rng.integers(25, 40))
+    return layout
+
+
+def _render_ocr_page(layout: dict) -> np.ndarray:
+    """Rasterize a planted layout to a scanner-convention page."""
+    page = np.full((OCR_H, OCR_W), 255, dtype=np.uint8)
+    t = layout["table"]
+    if t is not None:
+        xs = [t["tx"]]
+        for w in t["col_w"]:
+            xs.append(xs[-1] + w)
+        ys = [t["ty"]]
+        for _ in range(t["n_rows"]):
+            ys.append(ys[-1] + CELL_H + 1)
+        th = t["thick"]
+        for y in ys:
+            page[y:y + th, xs[0]:xs[-1] + 1] = 0
+        for ci, x in enumerate(xs):
+            if t["merged"] is not None and ci == t["merged"][1] + 1:
+                r = t["merged"][0]
+                # draw this interior ruling everywhere EXCEPT across
+                # row r (the merged pair's shared boundary)
+                page[ys[0]:ys[r] + 1, x:x + th] = 0
+                page[ys[r + 1]:ys[-1] + 1, x:x + th] = 0
+            else:
+                page[ys[0]:ys[-1] + 1, x:x + th] = 0
+        for r in range(t["n_rows"]):
+            for c in range(t["n_cols"]):
+                txt = t["texts"][r][c]
+                if not txt:
+                    continue
+                font.stamp(page, font.render_text(txt),
+                           ys[r] + t["thick"] + CELL_PAD,
+                           xs[c] + t["thick"] + CELL_PAD)
+    for ln in layout["lines"]:
+        font.stamp(page, font.render_text(ln["text"]),
+                   ln["y0"], ln["x0"])
+    return page
+
+
+def ocr_scan_payloads() -> list[dict]:
+    """The OCR scan corpus: real PNG pages of planted ruled tables +
+    free text, input to the full image → rulings/det/rec/lattice
+    pipeline (``core.ocrpage.ocr_scan_page``)."""
+    from ..core import codecs
+    rows = []
+    for i in range(N_OCR_SCANS):
+        page = _render_ocr_page(_ocr_layout_for(i))
+        rows.append({"media_ref": f"media://ocr/{i:04d}",
+                     "payload": codecs.png_encode(
+                         page, filter_mode=i % 5)})
+    return rows
+
+
+def ocr_scan_truth() -> list[dict]:
+    """ENCODE-SIDE ground truth wire rows for the OCR scan corpus —
+    computed from the plants alone (never by running the pipeline), so
+    golden agreement is a real end-to-end check: render → PNG encode →
+    decode → rulings → det CNN → rec CNN → lattice must round-trip the
+    planted structure and strings exactly.
+
+    Wire rows per page, offsets sequential: ``ocr_shape``
+    ('<rows>x<cols>'), then every non-empty logical cell
+    (``ocr_cell``, 'r,c|text' in (row, col) order), ``ocr_html`` (the
+    serialized table), then each free line (``ocr_line``, reading
+    order)."""
+    from ..core.html import cells_to_html
+    from ..core.lattice import LogicalCell
+    rows = []
+    for i in range(N_OCR_SCANS):
+        ref = f"media://ocr/{i:04d}"
+        layout = _ocr_layout_for(i)
+        off = 0
+
+        def emit(kind, text):
+            nonlocal off
+            rows.append({"media_ref": ref, "offset": off,
+                         "kind": kind, "text": text})
+            off += 1
+
+        t = layout["table"]
+        if t is not None:
+            emit("ocr_shape", f"{t['n_rows']}x{t['n_cols']}")
+            cells = []
+            for r in range(t["n_rows"]):
+                c = 0
+                while c < t["n_cols"]:
+                    span = 2 if t["merged"] == (r, c) else 1
+                    cells.append(LogicalCell(
+                        row=r, col=c, row_span=1, col_span=span,
+                        x0=0, y0=0, x1=0, y1=0,
+                        texts=[t["texts"][r][c]]
+                        if t["texts"][r][c] else []))
+                    c += span
+            for cell in cells:
+                if cell.text:
+                    emit("ocr_cell",
+                         f"{cell.row},{cell.col}|{cell.text}")
+            emit("ocr_html", cells_to_html(cells))
+        for ln in layout["lines"]:
+            emit("ocr_line", ln["text"])
     return rows
 
 

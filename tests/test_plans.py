@@ -137,10 +137,10 @@ class TestPlans:
         """Artifact-to-output query: exactly one Python boundary per
         head arm (TSR; det/rec + contours share one; the round-5
         DBNet/CTC/SLANet decoders share one; the det-CNN forward over
-        scan images one), no exchange — the whole thing runs at scan
-        speed."""
+        scan images one; the round-5c full-OCR pixel pipeline one),
+        no exchange — the whole thing runs at scan speed."""
         plan = plan_of(queries["ocr_from_model"](spark, SF_DIR))
-        assert n_nodes(plan, "MapInArrow") == 4
+        assert n_nodes(plan, "MapInArrow") == 5
         assert n_nodes(plan, "Exchange") == 0
 
     def test_exact_substring_dispatch_reuses_join_exchanges(self,
