@@ -980,7 +980,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("score_rot270").alias("score_d"),
             F.concat_ws(":", F.col("pred_rot"), F.col("declared_rot"))
             .alias("label"))
-        return lay.unionByName(qu).unionByName(ori)
+        # orient-CNN arm (round 5c): REAL image-based vote — rotate
+        # the scan 4 ways, det+rec forward each, argmax of decoded
+        # confidence mass. The oracle's pred_rot column is the PLANTED
+        # angle (encode-side), so a wrong distributed prediction fails
+        # the hash gate; vote scores are the same-artifact
+        # single-process twin.
+        from pdf_table_spark.spark.model_stage import score_orient_cnn
+        fx = _fixture_dir(sf_dir)
+        oscans = spark.read.parquet(
+            os.path.join(fx, "orient_scan_pages.parquet"))
+        ocnn = score_orient_cnn(
+            oscans, weights_path=os.path.join(fx, "ocr_cnn.npz")
+        ).select(
+            F.lit("orient_cnn").alias("head"),
+            F.col("media_ref").alias("doc_id"),
+            F.lit(-1).cast("int").alias("offset"),
+            F.col("score_rot0").alias("score_a"),
+            F.col("score_rot90").alias("score_b"),
+            F.col("score_rot180").alias("score_c"),
+            F.col("score_rot270").alias("score_d"),
+            F.col("pred_rot").cast("string").alias("label"))
+        return (lay.unionByName(qu).unionByName(ori)
+                .unionByName(ocnn))
 
     def q_exports(spark, sf_dir):
         # S7 fan-out melted long (fmt, payload) + merged doc HTML
@@ -3269,6 +3291,12 @@ def _merge_oracles(o: dict[str, str]) -> dict[str, str]:
                cast(pred_rot as varchar) || ':' ||
                  cast(declared_rot as varchar)
         from r
+        union all
+        select 'orient_cnn', doc_id, cast(-1 as int),
+               score_rot0, score_rot90, score_rot180, score_rot270,
+               cast(pred_rot as varchar)
+        from read_parquet('{os.path.join(FIXTURE_ROOT, "sf0.01",
+                                         "golden_orient_cnn.parquet")}')
     """
 
     merged["exports"] = f"""

@@ -125,3 +125,53 @@ def ocr_scan_page(gray: np.ndarray, det_weights: dict | None = None,
     remainder = [ln for i, ln in enumerate(lines) if i not in consumed]
     return {"lines": lines, "tables": out_tables,
             "remainder": remainder}
+
+
+def _read_score(gray: np.ndarray, det_w, rec_w, dbp) -> float:
+    """Recognition-confidence mass of one page reading: det forward →
+    DBNet boxes → rec forward + CTC per crop → sum over decoded
+    characters of their confidence. No lattice — orientation only
+    needs "how much text reads"."""
+    ink = ink_from_scan(gray)
+    _h, _v, mask = detect_rulings(ink)
+    grown = maxpool2d(mask[None].astype(np.float64), 3, 3)[0] >= 0.5
+    text_ink = np.where(grown, 0.0, ink)
+    prob = det_forward(text_ink, det_w)
+    h_img, w_img = text_ink.shape
+    boxes, _scores = db_postprocess(prob, w_img, h_img, dbp)
+    total = 0.0
+    for b in boxes:
+        xs, ys = b[0::2], b[1::2]
+        x0, x1 = max(int(min(xs)), 0), min(int(max(xs)), w_img - 1)
+        y0, y1 = max(int(min(ys)), 0), min(int(max(ys)), h_img - 1)
+        if x1 <= x0 or y1 <= y0:
+            continue
+        text, conf = rec_text(text_ink[y0:y1 + 1, x0:x1 + 1], rec_w)
+        total += conf * len(text.replace(" ", ""))
+    return total
+
+
+def orient_scan_page(gray: np.ndarray, det_weights: dict | None = None,
+                     rec_weights: dict | None = None,
+                     db_params: dict | None = None):
+    """Page-orientation classification by recognition vote — the
+    reference's text-image-orientation model (M1,
+    ``model/ocr_pdf/*text_image_orientation*`` PULC head) realized as
+    the rotate-and-read vote its deterministic twin allows: try all
+    four 90° corrections, score each by how much text the det+rec
+    forward passes actually decode, pick the argmax (ties break to the
+    smaller angle — in practice the upright reading decodes every
+    planted character while wrong rotations match almost nothing,
+    since glyph templates are not rotation-invariant).
+
+    Returns (pred_angle_ccw, votes): the counter-clockwise correction
+    angle in {0, 90, 180, 270} and the four vote scores in angle
+    order."""
+    det_w = det_weights if det_weights is not None else OCR_DET_CNN
+    rec_w = rec_weights if rec_weights is not None else REC_CNN
+    dbp = db_params if db_params is not None else DB_PARAMS
+    g = np.asarray(gray)
+    votes = [
+        _read_score(np.rot90(g, t) if t else g, det_w, rec_w, dbp)
+        for t in range(4)]
+    return 90 * int(np.argmax(votes)), votes

@@ -77,6 +77,8 @@ def build_sf(root: str, sf: str, force: bool = False) -> dict:
     ocr_scan_path = os.path.join(out_dir, "ocr_scan_pages.parquet")
     ocr_golden_path = os.path.join(out_dir, "golden_ocr_scan.parquet")
     ocrcnn_path = os.path.join(out_dir, "ocr_cnn.npz")
+    orient_scan_path = os.path.join(out_dir, "orient_scan_pages.parquet")
+    orient_golden_path = os.path.join(out_dir, "golden_orient_cnn.parquet")
     flavor_paths = {
         fl: os.path.join(out_dir, f"golden_flat_{fl}.parquet")
         for fl in ("lattice", "stream")}
@@ -96,6 +98,8 @@ def build_sf(root: str, sf: str, force: bool = False) -> dict:
             and os.path.exists(ocr_scan_path)
             and os.path.exists(ocr_golden_path)
             and os.path.exists(ocrcnn_path)
+            and os.path.exists(orient_scan_path)
+            and os.path.exists(orient_golden_path)
             and all(os.path.exists(p) for p in flavor_paths.values())):
         return {"sf": sf, "skipped": True}
     if os.path.isfile(docs_path):  # migrate old single-file layout
@@ -293,6 +297,39 @@ def build_sf(root: str, sf: str, force: bool = False) -> dict:
             ("doc_id", pa.string()), ("offset", pa.int32()),
             ("kind", pa.string()), ("text", pa.string())])),
         ocr_golden_path)
+    # orientation corpus + golden: pred_rot is the PLANTED correction
+    # angle (encode-side truth — a wrong distributed prediction fails
+    # the gate), the four vote scores are the same-artifact
+    # single-process run (the det-CNN golden pattern)
+    from ..core.ocrpage import orient_scan_page
+    from .media_gen import orient_scan_payloads, orient_scan_truth
+    opp = orient_scan_payloads()
+    pq.write_table(pa.Table.from_pydict(
+        {"media_ref": [r["media_ref"] for r in opp],
+         "payload": [r["payload"] for r in opp]},
+        schema=pa.schema([("media_ref", pa.string()),
+                          ("payload", pa.binary())])),
+        orient_scan_path)
+    og = {"doc_id": [], "score_rot0": [], "score_rot90": [],
+          "score_rot180": [], "score_rot270": [], "pred_rot": []}
+    odet = {k[4:]: v for k, v in ocr_tensors.items()
+            if k.startswith("det_")}
+    orec = {k[4:]: v for k, v in ocr_tensors.items()
+            if k.startswith("rec_")}
+    for r, tr in zip(opp, orient_scan_truth()):
+        img, _fmt = _codecs.decode_image(r["payload"])
+        _pred, votes = orient_scan_page(
+            _codecs.to_gray(img), det_weights=odet, rec_weights=orec)
+        og["doc_id"].append(r["media_ref"])
+        for j, col in enumerate(("score_rot0", "score_rot90",
+                                 "score_rot180", "score_rot270")):
+            og[col].append(float(votes[j]))
+        og["pred_rot"].append(tr["angle"])
+    pq.write_table(pa.Table.from_pydict(og, schema=pa.schema([
+        ("doc_id", pa.string()), ("score_rot0", pa.float64()),
+        ("score_rot90", pa.float64()), ("score_rot180", pa.float64()),
+        ("score_rot270", pa.float64()), ("pred_rot", pa.int32())])),
+        orient_golden_path)
     return {"sf": sf, "docs": n_docs, "pages": n_pages,
             "golden_rows": len(g_doc), "export_rows": len(e["doc_id"]),
             "skipped": False}

@@ -335,6 +335,34 @@ def ocr_scan_truth() -> list[dict]:
     return rows
 
 
+N_ORIENT_SCANS = 16
+
+
+def orient_scan_payloads() -> list[dict]:
+    """Orientation corpus: the first 16 OCR layouts, each rendered
+    upright then rotated by a planted multiple of 90° (page i is
+    rotated so that a (i%4)·90° counter-clockwise correction restores
+    it). Real PNGs — input to the rotate-and-read orientation vote
+    (``core.ocrpage.orient_scan_page``)."""
+    from ..core import codecs
+    rows = []
+    for i in range(N_ORIENT_SCANS):
+        upright = _render_ocr_page(_ocr_layout_for(i))
+        a = i % 4
+        page = np.rot90(upright, -a) if a else upright
+        rows.append({"media_ref": f"media://orient/{i:04d}",
+                     "payload": codecs.png_encode(
+                         np.ascontiguousarray(page),
+                         filter_mode=i % 5)})
+    return rows
+
+
+def orient_scan_truth() -> list[dict]:
+    """Encode-side planted correction angles."""
+    return [{"media_ref": f"media://orient/{i:04d}",
+             "angle": 90 * (i % 4)} for i in range(N_ORIENT_SCANS)]
+
+
 def wav_truth() -> list[dict]:
     """Encode-side ground truth for the wav rows."""
     rows = []

@@ -825,6 +825,85 @@ def score_ocr_cnn(scans: DataFrame, weights_path: str | None = None,
         schema=OCRCNN_SCHEMA)
 
 
+ORIENTCNN_SCHEMA = ("media_ref string, score_rot0 double, "
+                    "score_rot90 double, score_rot180 double, "
+                    "score_rot270 double, pred_rot int")
+
+
+def _make_orientcnn_stage(weights_bc, version: str, mat_counter=None):
+    def stage(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..core import codecs
+        from ..core.ocrpage import orient_scan_page
+        key = version + "/orient"
+        w = _MODEL_SINGLETON.get(key)
+        if w is None:
+            raw = {k: np.asarray(v, dtype=np.float64)
+                   for k, v in weights_bc.value.items()}
+            det = {k[4:]: v for k, v in raw.items()
+                   if k.startswith("det_")}
+            rec = {k[4:]: v for k, v in raw.items()
+                   if k.startswith("rec_")}
+            w = (det or None, rec or None)
+            _MODEL_SINGLETON[key] = w
+            if mat_counter is not None:
+                mat_counter.add(1)
+        det_w, rec_w = w
+        for batch in batches:
+            refs = batch.column(0).to_pylist()
+            payloads = batch.column(1).to_pylist()
+            out = {"media_ref": [], "v0": [], "v1": [], "v2": [],
+                   "v3": [], "pred": []}
+            for ref, payload in zip(refs, payloads):
+                try:
+                    img, _fmt = codecs.decode_image(bytes(payload))
+                except ValueError:
+                    continue
+                pred, votes = orient_scan_page(
+                    codecs.to_gray(img), det_weights=det_w,
+                    rec_weights=rec_w)
+                out["media_ref"].append(ref)
+                for j in range(4):
+                    out[f"v{j}"].append(float(votes[j]))
+                out["pred"].append(pred)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out["media_ref"], pa.string()),
+                 pa.array(out["v0"], pa.float64()),
+                 pa.array(out["v1"], pa.float64()),
+                 pa.array(out["v2"], pa.float64()),
+                 pa.array(out["v3"], pa.float64()),
+                 pa.array(out["pred"], pa.int32())],
+                names=["media_ref", "score_rot0", "score_rot90",
+                       "score_rot180", "score_rot270", "pred_rot"])
+    return stage
+
+
+def score_orient_cnn(scans: DataFrame, weights_path: str | None = None,
+                     _mat_counter=None) -> DataFrame:
+    """Image-based page-orientation classification (M1's PULC text-
+    image-orientation model): per scan payload, try all four 90°
+    corrections and score each by how much text the det+rec forward
+    passes decode (``core.ocrpage.orient_scan_page``); the argmax is
+    the predicted counter-clockwise correction angle. One shuffle-free
+    Arrow stage over the same broadcast ``det_*``/``rec_*`` artifact
+    as ``score_ocr_cnn``."""
+    from ..core.nn import OCR_DET_CNN, OCRCNN_VERSION, REC_CNN
+    spark = scans.sparkSession
+    if weights_path is not None:
+        tensors, version = load_weights_dict(weights_path)
+        weights_bc = spark.sparkContext.broadcast(
+            {k: v.tolist() for k, v in tensors.items()})
+    else:
+        version = OCRCNN_VERSION
+        combined = {f"det_{k}": np.asarray(v).tolist()
+                    for k, v in OCR_DET_CNN.items()}
+        combined.update({f"rec_{k}": np.asarray(v).tolist()
+                         for k, v in REC_CNN.items()})
+        weights_bc = spark.sparkContext.broadcast(combined)
+    return scans.select("media_ref", "payload").mapInArrow(
+        _make_orientcnn_stage(weights_bc, version, _mat_counter),
+        schema=ORIENTCNN_SCHEMA)
+
+
 def score_det_cnn(scans: DataFrame, weights_path: str | None = None,
                   _mat_counter=None) -> DataFrame:
     """The REAL forward-pass detection path: page IMAGE → text boxes

@@ -194,6 +194,21 @@ def test_ocr_page_without_rulings_or_text():
     assert out == {"lines": [], "tables": [], "remainder": []}
 
 
+def test_orientation_vote_matches_planted_angles():
+    """Rotate-and-read orientation (M1): on every planted rotation the
+    argmax vote is the planted correction angle, and the winning vote
+    strictly dominates the runner-up (the decision has margin, it is
+    not a tie-break artifact)."""
+    from pdf_table_spark.core.ocrpage import orient_scan_page
+    truth = {r["media_ref"]: r["angle"] for r in mg.orient_scan_truth()}
+    for row in mg.orient_scan_payloads():
+        img, _fmt = codecs.decode_image(row["payload"])
+        pred, votes = orient_scan_page(codecs.to_gray(img))
+        assert pred == truth[row["media_ref"]], row["media_ref"]
+        ranked = sorted(votes, reverse=True)
+        assert ranked[0] > ranked[1], row["media_ref"]
+
+
 def test_ocr_page_det_boxes_contain_plants():
     """Detected line boxes must contain their planted glyph extents
     (unclip grows boxes, never shrinks them)."""
