@@ -1001,8 +1001,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("score_rot180").alias("score_c"),
             F.col("score_rot270").alias("score_d"),
             F.col("pred_rot").cast("string").alias("label"))
+        # layout-CNN arm (round 5c): REAL image-based layout analysis
+        # — coarse-ink region proposals classified table/text/figure
+        # from conv-derived features via a broadcast linear head. The
+        # oracle's label column (class + tight bbox) is the PLANTED
+        # truth; scores are the single-process same-artifact twin.
+        from pdf_table_spark.spark.model_stage import score_layout_cnn
+        lscans = spark.read.parquet(
+            os.path.join(fx, "layout_scan_pages.parquet"))
+        lcnn = score_layout_cnn(
+            lscans, weights_path=os.path.join(fx, "ocr_cnn.npz")
+        ).select(
+            F.lit("layout_cnn").alias("head"),
+            F.col("media_ref").alias("doc_id"), "offset",
+            F.col("score_table").alias("score_a"),
+            F.col("score_text").alias("score_b"),
+            F.col("score_figure").alias("score_c"),
+            F.lit(None).cast("double").alias("score_d"),
+            "label")
         return (lay.unionByName(qu).unionByName(ori)
-                .unionByName(ocnn))
+                .unionByName(ocnn).unionByName(lcnn))
 
     def q_exports(spark, sf_dir):
         # S7 fan-out melted long (fmt, payload) + merged doc HTML
@@ -3297,6 +3315,12 @@ def _merge_oracles(o: dict[str, str]) -> dict[str, str]:
                cast(pred_rot as varchar)
         from read_parquet('{os.path.join(FIXTURE_ROOT, "sf0.01",
                                          "golden_orient_cnn.parquet")}')
+        union all
+        select 'layout_cnn', doc_id, "offset",
+               score_table, score_text, score_figure,
+               cast(null as double), label
+        from read_parquet('{os.path.join(FIXTURE_ROOT, "sf0.01",
+                                         "golden_layout_cnn.parquet")}')
     """
 
     merged["exports"] = f"""

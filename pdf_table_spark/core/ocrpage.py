@@ -127,6 +127,87 @@ def ocr_scan_page(gray: np.ndarray, det_weights: dict | None = None,
             "remainder": remainder}
 
 
+LAYOUT_CLASSES = ("table", "text", "figure")
+LAYOUTCNN_VERSION = "layout-cnn-v1"
+
+# linear classification head over the three conv-derived region
+# features (d = ink density in bbox, r = ruling-ink fraction of the
+# region's ink, m = det-probability mass per bbox pixel) + bias.
+# Hand-set separating weights (the PicoDet-classifier swap point, like
+# every other head): tables are sparse ink dominated by rulings, text
+# is det-hot with no rulings, figures are dense blocks.
+LAYOUT_CNN = {"w": np.array([
+    #   d      r     m    1
+    [-1.0,   2.5,  0.0,  0.2],   # table
+    [-1.0,  -2.0,  2.0,  0.2],   # text
+    [3.0,   -1.0,  0.0, -1.2],   # figure
+]), "merge": np.array([9.0, 9.0])}
+
+
+def layout_regions(gray: np.ndarray, weights: dict | None = None,
+                   det_weights: dict | None = None):
+    """Layout analysis from pixels (M2): propose page regions by
+    coarse ink connectivity, then classify each as table / text /
+    figure from conv-derived features through a linear head.
+
+    The reference runs a trained PicoDet/DocXLayout detector
+    (``model/picodet``, ``model/docx_layout``); this is the same
+    two-stage shape — region proposal then per-region class scores —
+    with the backbone features replaced by the repo's deterministic
+    conv stages: the morphological ruling maps (``detect_rulings``),
+    the det-CNN text-probability map, and raw ink density. Region
+    proposals are 8-connected components of the ``merge``-pooled ink
+    (a 9x9 dilation bridges intra-table and intra-line gaps but not
+    the >=20 px separation between page blocks).
+
+    Returns a list of ``{"x0", "y0", "x1", "y1", "scores": (t, x, f),
+    "label"}`` in reading order (top-down, left-right)."""
+    from .dbnet import connected_regions
+    w = weights if weights is not None else LAYOUT_CNN
+    det_w = det_weights if det_weights is not None else OCR_DET_CNN
+    wm = np.asarray(w["w"], dtype=np.float64)
+    mh, mw = (int(v) for v in np.asarray(w["merge"]).ravel())
+    from .nn import RULING_MIN_LEN, morph_open
+    ink = ink_from_scan(np.asarray(gray))
+    binary = (ink >= 0.5).astype(np.float64)
+    # thin-ruling map: survives the long-horizontal OR long-vertical
+    # opening but not both — a solid figure block survives both (its
+    # rows AND columns are long runs), a 1-2 px ruling only one
+    hmap = morph_open(binary[None], 1, RULING_MIN_LEN)[0] >= 0.5
+    vmap = morph_open(binary[None], RULING_MIN_LEN, 1)[0] >= 0.5
+    ruling = hmap ^ vmap
+    grown = maxpool2d((hmap | vmap)[None].astype(np.float64),
+                      3, 3)[0] >= 0.5
+    prob = det_forward(np.where(grown, 0.0, ink), det_w)
+    merged = maxpool2d(binary[None], mh, mw)[0] >= 0.5
+    out = []
+    for ys, xs in connected_regions(merged.astype(np.uint8)):
+        y0, y1 = int(ys.min()), int(ys.max())
+        x0, x1 = int(xs.min()), int(xs.max())
+        # tighten the dilated proposal to its ink extent — features
+        # are computed over the real content box, not the merge halo
+        sub = binary[y0:y1 + 1, x0:x1 + 1]
+        rows = np.flatnonzero(sub.sum(axis=1) > 0)
+        cols = np.flatnonzero(sub.sum(axis=0) > 0)
+        if not len(rows) or not len(cols):
+            continue
+        y0, y1 = y0 + int(rows[0]), y0 + int(rows[-1])
+        x0, x1 = x0 + int(cols[0]), x0 + int(cols[-1])
+        area = float((y1 - y0 + 1) * (x1 - x0 + 1))
+        ink_px = float(binary[y0:y1 + 1, x0:x1 + 1].sum())
+        if ink_px < 8:  # speckle gate (reference min-area filter)
+            continue
+        d = ink_px / area
+        r = float(ruling[y0:y1 + 1, x0:x1 + 1].sum()) / ink_px
+        m = float(prob[y0:y1 + 1, x0:x1 + 1].sum()) / area
+        scores = wm @ np.array([d, r, m, 1.0])
+        out.append({"x0": x0, "y0": y0, "x1": x1, "y1": y1,
+                    "scores": tuple(float(s) for s in scores),
+                    "label": LAYOUT_CLASSES[int(np.argmax(scores))]})
+    out.sort(key=lambda reg: (reg["y0"], reg["x0"]))
+    return out
+
+
 def _read_score(gray: np.ndarray, det_w, rec_w, dbp) -> float:
     """Recognition-confidence mass of one page reading: det forward →
     DBNet boxes → rec forward + CTC per crop → sum over decoded

@@ -79,6 +79,8 @@ def build_sf(root: str, sf: str, force: bool = False) -> dict:
     ocrcnn_path = os.path.join(out_dir, "ocr_cnn.npz")
     orient_scan_path = os.path.join(out_dir, "orient_scan_pages.parquet")
     orient_golden_path = os.path.join(out_dir, "golden_orient_cnn.parquet")
+    layout_scan_path = os.path.join(out_dir, "layout_scan_pages.parquet")
+    layout_golden_path = os.path.join(out_dir, "golden_layout_cnn.parquet")
     flavor_paths = {
         fl: os.path.join(out_dir, f"golden_flat_{fl}.parquet")
         for fl in ("lattice", "stream")}
@@ -100,6 +102,8 @@ def build_sf(root: str, sf: str, force: bool = False) -> dict:
             and os.path.exists(ocrcnn_path)
             and os.path.exists(orient_scan_path)
             and os.path.exists(orient_golden_path)
+            and os.path.exists(layout_scan_path)
+            and os.path.exists(layout_golden_path)
             and all(os.path.exists(p) for p in flavor_paths.values())):
         return {"sf": sf, "skipped": True}
     if os.path.isfile(docs_path):  # migrate old single-file layout
@@ -283,9 +287,12 @@ def build_sf(root: str, sf: str, force: bool = False) -> dict:
         schema=pa.schema([("media_ref", pa.string()),
                           ("payload", pa.binary())])),
         ocr_scan_path)
+    from ..core.ocrpage import LAYOUT_CNN
     ocr_tensors = {f"det_{k}": v for k, v in _nn.OCR_DET_CNN.items()}
     ocr_tensors.update(
         {f"rec_{k}": v for k, v in _nn.REC_CNN.items()})
+    ocr_tensors.update(
+        {f"layout_{k}": v for k, v in LAYOUT_CNN.items()})
     save_weights_dict(ocrcnn_path, ocr_tensors, _nn.OCRCNN_VERSION)
     ot = ocr_scan_truth()
     pq.write_table(pa.Table.from_pydict(
@@ -297,6 +304,42 @@ def build_sf(root: str, sf: str, force: bool = False) -> dict:
             ("doc_id", pa.string()), ("offset", pa.int32()),
             ("kind", pa.string()), ("text", pa.string())])),
         ocr_golden_path)
+    # layout corpus + golden: label (class + tight bbox) is PLANTED
+    # truth — a wrong distributed region, class or geometry fails the
+    # gate; the three scores are the same-artifact single-process twin
+    from ..core.ocrpage import layout_regions
+    from .media_gen import layout_scan_payloads, layout_scan_truth
+    lpp = layout_scan_payloads()
+    pq.write_table(pa.Table.from_pydict(
+        {"media_ref": [r["media_ref"] for r in lpp],
+         "payload": [r["payload"] for r in lpp]},
+        schema=pa.schema([("media_ref", pa.string()),
+                          ("payload", pa.binary())])),
+        layout_scan_path)
+    ldet = {k[4:]: v for k, v in ocr_tensors.items()
+            if k.startswith("det_")}
+    llay = {k[7:]: v for k, v in ocr_tensors.items()
+            if k.startswith("layout_")}
+    lg = {"doc_id": [], "offset": [], "score_table": [],
+          "score_text": [], "score_figure": [], "label": []}
+    ltruth = {}
+    for r in layout_scan_truth():
+        ltruth[(r["media_ref"], r["offset"])] = r["label"]
+    for r in lpp:
+        img, _fmt = _codecs.decode_image(r["payload"])
+        for j, reg in enumerate(layout_regions(
+                _codecs.to_gray(img), weights=llay, det_weights=ldet)):
+            lg["doc_id"].append(r["media_ref"])
+            lg["offset"].append(j)
+            lg["score_table"].append(reg["scores"][0])
+            lg["score_text"].append(reg["scores"][1])
+            lg["score_figure"].append(reg["scores"][2])
+            lg["label"].append(ltruth[(r["media_ref"], j)])
+    pq.write_table(pa.Table.from_pydict(lg, schema=pa.schema([
+        ("doc_id", pa.string()), ("offset", pa.int32()),
+        ("score_table", pa.float64()), ("score_text", pa.float64()),
+        ("score_figure", pa.float64()), ("label", pa.string())])),
+        layout_golden_path)
     # orientation corpus + golden: pred_rot is the PLANTED correction
     # angle (encode-side truth — a wrong distributed prediction fails
     # the gate), the four vote scores are the same-artifact

@@ -335,6 +335,77 @@ def ocr_scan_truth() -> list[dict]:
     return rows
 
 
+N_LAYOUT_SCANS = 16
+LAYOUT_H = 300  # taller canvas: figures plant below the free text
+
+
+def _layout_page_for(i: int):
+    """Page i for the layout corpus: an OCR layout (table + free
+    lines) on a taller canvas plus 0-2 planted figure blocks (one
+    solid, one 90 %-dense with pseudo-random holes). Returns
+    (page, truth_regions) where truth carries the class and the TIGHT
+    ink bbox of every planted object, reading-ordered — all derived
+    encode-side."""
+    rng = np.random.default_rng(15000 + i)
+    layout = _ocr_layout_for(i)
+    page = np.full((LAYOUT_H, OCR_W), 255, dtype=np.uint8)
+    page[:OCR_H] = _render_ocr_page(layout)
+    regions = []
+    t = layout["table"]
+    if t is not None:
+        th = t["thick"]
+        x1 = t["tx"] + sum(t["col_w"]) + th - 1
+        y1 = t["ty"] + t["n_rows"] * (CELL_H + 1) + th - 1
+        regions.append(("table", t["tx"], t["ty"], x1, y1))
+    for ln in layout["lines"]:
+        regions.append(("text", ln["x0"], ln["y0"],
+                        ln["x0"] + font.text_width(ln["text"]) - 1,
+                        ln["y0"] + font.GLYPH_H - 1))
+    n_figs = i % 3
+    if n_figs >= 1:
+        fh, fw = int(rng.integers(28, 45)), int(rng.integers(50, 90))
+        fy, fx = int(rng.integers(245, 298 - fh)), int(rng.integers(15, 120))
+        page[fy:fy + fh, fx:fx + fw] = 0
+        regions.append(("figure", fx, fy, fx + fw - 1, fy + fh - 1))
+    if n_figs >= 2:
+        fh, fw = int(rng.integers(28, 42)), int(rng.integers(45, 70))
+        fy, fx = int(rng.integers(245, 298 - fh)), int(rng.integers(230, 318 - fw))
+        holes = rng.random((fh, fw)) < 0.9
+        page[fy:fy + fh, fx:fx + fw][holes] = 0
+        ys, xs = np.nonzero(holes)
+        regions.append(("figure", fx + int(xs.min()), fy + int(ys.min()),
+                        fx + int(xs.max()), fy + int(ys.max())))
+    regions.sort(key=lambda r: (r[2], r[1]))
+    return page, regions
+
+
+def layout_scan_payloads() -> list[dict]:
+    """Layout-analysis corpus: real PNGs of table/text/figure pages —
+    input to the region-proposal + linear-head classifier
+    (``core.ocrpage.layout_regions``)."""
+    from ..core import codecs
+    rows = []
+    for i in range(N_LAYOUT_SCANS):
+        page, _regions = _layout_page_for(i)
+        rows.append({"media_ref": f"media://layout/{i:04d}",
+                     "payload": codecs.png_encode(
+                         page, filter_mode=i % 5)})
+    return rows
+
+
+def layout_scan_truth() -> list[dict]:
+    """Encode-side planted regions: class + tight ink bbox, reading
+    order."""
+    rows = []
+    for i in range(N_LAYOUT_SCANS):
+        _page, regions = _layout_page_for(i)
+        for j, (label, x0, y0, x1, y1) in enumerate(regions):
+            rows.append({"media_ref": f"media://layout/{i:04d}",
+                         "offset": j,
+                         "label": f"{label}|{x0},{y0},{x1},{y1}"})
+    return rows
+
+
 N_ORIENT_SCANS = 16
 
 

@@ -825,6 +825,89 @@ def score_ocr_cnn(scans: DataFrame, weights_path: str | None = None,
         schema=OCRCNN_SCHEMA)
 
 
+LAYOUTCNN_SCHEMA = ("media_ref string, offset int, score_table double, "
+                    "score_text double, score_figure double, "
+                    "label string")
+
+
+def _make_layoutcnn_stage(weights_bc, version: str, mat_counter=None):
+    def stage(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..core import codecs
+        from ..core.ocrpage import layout_regions
+        key = version + "/layout"
+        w = _MODEL_SINGLETON.get(key)
+        if w is None:
+            raw = {k: np.asarray(v, dtype=np.float64)
+                   for k, v in weights_bc.value.items()}
+            det = {k[4:]: v for k, v in raw.items()
+                   if k.startswith("det_")}
+            lay = {k[7:]: v for k, v in raw.items()
+                   if k.startswith("layout_")}
+            w = (det or None, lay or None)
+            _MODEL_SINGLETON[key] = w
+            if mat_counter is not None:
+                mat_counter.add(1)
+        det_w, lay_w = w
+        for batch in batches:
+            refs = batch.column(0).to_pylist()
+            payloads = batch.column(1).to_pylist()
+            out = {"media_ref": [], "offset": [], "s0": [], "s1": [],
+                   "s2": [], "label": []}
+            for ref, payload in zip(refs, payloads):
+                try:
+                    img, _fmt = codecs.decode_image(bytes(payload))
+                except ValueError:
+                    continue
+                for j, reg in enumerate(layout_regions(
+                        codecs.to_gray(img), weights=lay_w,
+                        det_weights=det_w)):
+                    out["media_ref"].append(ref)
+                    out["offset"].append(j)
+                    for k in range(3):
+                        out[f"s{k}"].append(reg["scores"][k])
+                    out["label"].append(
+                        f"{reg['label']}|{reg['x0']},{reg['y0']},"
+                        f"{reg['x1']},{reg['y1']}")
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out["media_ref"], pa.string()),
+                 pa.array(out["offset"], pa.int32()),
+                 pa.array(out["s0"], pa.float64()),
+                 pa.array(out["s1"], pa.float64()),
+                 pa.array(out["s2"], pa.float64()),
+                 pa.array(out["label"], pa.string())],
+                names=["media_ref", "offset", "score_table",
+                       "score_text", "score_figure", "label"])
+    return stage
+
+
+def score_layout_cnn(scans: DataFrame, weights_path: str | None = None,
+                     _mat_counter=None) -> DataFrame:
+    """Layout analysis from pixels (M2's PicoDet/DocXLayout half):
+    per scan payload, propose regions by coarse ink connectivity and
+    classify each table / text / figure from conv-derived features
+    (ink density, thin-ruling fraction, det-probability mass) through
+    a broadcast linear head (``core.ocrpage.layout_regions``). One
+    shuffle-free Arrow stage; ``layout_*`` tensors ride the same
+    ``.npz`` artifact as the det/rec heads."""
+    from ..core.nn import OCR_DET_CNN, OCRCNN_VERSION
+    from ..core.ocrpage import LAYOUT_CNN
+    spark = scans.sparkSession
+    if weights_path is not None:
+        tensors, version = load_weights_dict(weights_path)
+        weights_bc = spark.sparkContext.broadcast(
+            {k: v.tolist() for k, v in tensors.items()})
+    else:
+        version = OCRCNN_VERSION
+        combined = {f"det_{k}": np.asarray(v).tolist()
+                    for k, v in OCR_DET_CNN.items()}
+        combined.update({f"layout_{k}": np.asarray(v).tolist()
+                         for k, v in LAYOUT_CNN.items()})
+        weights_bc = spark.sparkContext.broadcast(combined)
+    return scans.select("media_ref", "payload").mapInArrow(
+        _make_layoutcnn_stage(weights_bc, version, _mat_counter),
+        schema=LAYOUTCNN_SCHEMA)
+
+
 ORIENTCNN_SCHEMA = ("media_ref string, score_rot0 double, "
                     "score_rot90 double, score_rot180 double, "
                     "score_rot270 double, pred_rot int")

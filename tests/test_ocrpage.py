@@ -209,6 +209,46 @@ def test_orientation_vote_matches_planted_angles():
         assert ranked[0] > ranked[1], row["media_ref"]
 
 
+def test_layout_regions_match_planted_truth():
+    """Layout analysis from pixels (M2): on every fixture page the
+    region proposals recover each planted object with its exact tight
+    ink bbox and the linear head classifies it correctly — truth is
+    encode-side (class + geometry from the plants)."""
+    from pdf_table_spark.core.ocrpage import layout_regions
+    truth: dict[str, list] = {}
+    for r in mg.layout_scan_truth():
+        truth.setdefault(r["media_ref"], []).append(
+            (r["offset"], r["label"]))
+    for row in mg.layout_scan_payloads():
+        img, _fmt = codecs.decode_image(row["payload"])
+        regs = layout_regions(codecs.to_gray(img))
+        got = [(j, f"{r['label']}|{r['x0']},{r['y0']},"
+                   f"{r['x1']},{r['y1']}")
+               for j, r in enumerate(regs)]
+        assert got == sorted(truth.get(row["media_ref"], [])), \
+            row["media_ref"]
+
+
+def test_layout_fixture_covers_all_classes():
+    labels = {r["label"].split("|")[0] for r in mg.layout_scan_truth()}
+    assert labels == {"table", "text", "figure"}
+
+
+def test_layout_solid_block_is_figure_not_table():
+    """The thin-ruling XOR feature: a solid block survives both the
+    horizontal and vertical opening (so its ruling fraction is ~0),
+    while a real ruled grid survives exactly one per stroke."""
+    from pdf_table_spark.core.ocrpage import layout_regions
+    page = np.full((120, 200), 255, dtype=np.uint8)
+    page[20:70, 30:110] = 0  # solid block, no rulings
+    for y in (20, 45, 70):
+        page[y, 130:190] = 0
+    for x in (130, 160, 190):
+        page[20:71, x] = 0   # a 2x2 ruled grid (empty cells)
+    regs = layout_regions(page)
+    assert [r["label"] for r in regs] == ["figure", "table"]
+
+
 def test_ocr_page_det_boxes_contain_plants():
     """Detected line boxes must contain their planted glyph extents
     (unclip grows boxes, never shrinks them)."""
