@@ -66,7 +66,10 @@ def release_caches() -> int:
     scoped form, :func:`cache_scope`."""
     n = len(_PERSISTED)
     for df in _PERSISTED:
-        df.unpersist()
+        # blocking: the guarantee is "memory is free when this
+        # returns" — async unpersist leaves blocks pinned for an
+        # unbounded beat, defeating the loop-over-corpora contract
+        df.unpersist(blocking=True)
     _PERSISTED.clear()
     return n
 
@@ -100,7 +103,7 @@ class cache_scope:
         tail = _PERSISTED[self._mark:]
         del _PERSISTED[self._mark:]
         for df in tail:
-            df.unpersist()
+            df.unpersist(blocking=True)
         self.released = len(tail)
         return False
 
