@@ -85,45 +85,64 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
 def _unfilter(raw: np.ndarray, height: int, stride: int,
               bpp: int) -> np.ndarray:
     """Undo PNG per-row filtering. ``raw`` is the inflated byte stream
-    of height rows, each 1 filter byte + ``stride`` data bytes."""
+    of height rows, each 1 filter byte + ``stride`` data bytes.
+
+    Reconstruction is the 2-D recurrence Recon(y,x) = Filt(y,x) +
+    pred(left, up, upper-left); a naive scan is O(pixels) PYTHON
+    iterations for the Sub/Average/Paeth rows (seconds per megapixel —
+    the original per-pixel loop made a single 880 KB scan page the
+    entire media_meta budget). Every dependency of pixel-group (y, g)
+    is (y, g-1), (y-1, g) or (y-1, g-1), so anti-diagonals d = y + g
+    form a valid schedule: one vectorized numpy step per diagonal,
+    O(height + width) steps total, all five filter types selected per
+    row by mask inside the step."""
     rows = raw.reshape(height, stride + 1)
-    out = np.zeros((height, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int16)
-    for y in range(height):
-        ftype = int(rows[y, 0])
-        cur = rows[y, 1:].astype(np.int16)
-        if ftype == 0:            # None
-            line = cur
-        elif ftype == 2:          # Up
-            line = (cur + prev) & 0xFF
-        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need a scan
-            line = cur.copy()
-            if ftype == 1:
-                for x in range(bpp, stride):
-                    line[x] = (line[x] + line[x - bpp]) & 0xFF
-            elif ftype == 3:
-                for x in range(stride):
-                    left = line[x - bpp] if x >= bpp else 0
-                    line[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
-            else:
-                for x in range(stride):
-                    left = int(line[x - bpp]) if x >= bpp else 0
-                    ul = int(prev[x - bpp]) if x >= bpp else 0
-                    up = int(prev[x])
-                    p = left + up - ul
-                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
-                    if pa <= pb and pa <= pc:
-                        pred = left
-                    elif pb <= pc:
-                        pred = up
-                    else:
-                        pred = ul
-                    line[x] = (line[x] + pred) & 0xFF
-        else:
-            raise ValueError(f"png: unknown filter type {ftype} row {y}")
-        out[y] = line.astype(np.uint8)
-        prev = line
-    return out
+    ft = rows[:, 0].astype(np.int64)
+    bad = np.nonzero(ft > 4)[0]
+    if bad.size:
+        y = int(bad[0])
+        raise ValueError(
+            f"png: unknown filter type {int(ft[y])} row {y}")
+    cur = rows[:, 1:]
+    if not ft.any():              # all-None fast path: bytes pass through
+        return np.ascontiguousarray(cur)
+    if not np.isin(ft, (1, 3, 4)).any():
+        # only None/Up rows: no left-neighbor dependency, one
+        # vectorized op per row
+        out = np.zeros((height, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.int16)
+        for y in range(height):
+            line = cur[y].astype(np.int16)
+            if ft[y] == 2:
+                line = (line + prev) & 0xFF
+            out[y] = line.astype(np.uint8)
+            prev = line
+        return out
+    n_groups = stride // bpp      # stride == width * channels exactly
+    curg = cur.reshape(height, n_groups, bpp).astype(np.int16)
+    # padded reconstruction plane: out[0, :, :] is the virtual row
+    # above the image, out[:, 0, :] the virtual column left of it —
+    # both zero, exactly the spec's out-of-image predictor values
+    out = np.zeros((height + 1, n_groups + 1, bpp), dtype=np.int16)
+    for d in range(height + n_groups):
+        y0 = max(0, d - n_groups + 1)
+        y1 = min(height - 1, d)
+        if y0 > y1:
+            continue
+        ys = np.arange(y0, y1 + 1)
+        gs = d - ys
+        left = out[ys + 1, gs]
+        up = out[ys, gs + 1]
+        ul = out[ys, gs]
+        t = ft[ys][:, None]
+        pred = np.where(
+            t == 1, left,
+            np.where(t == 2, up,
+                     np.where(t == 3, (left + up) >> 1,
+                              np.where(t == 4, _paeth(left, up, ul),
+                                       0))))
+        out[ys + 1, gs + 1] = (curg[ys, gs] + pred) & 0xFF
+    return out[1:, 1:].reshape(height, stride).astype(np.uint8)
 
 
 def png_decode(data: bytes) -> np.ndarray:

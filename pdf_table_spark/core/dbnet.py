@@ -49,34 +49,65 @@ def connected_regions(bitmap: np.ndarray, cap: int = 1000):
     """8-connected regions of a {0,1} map → list of (ys, xs) integer
     index arrays, ordered by each region's first pixel in row-major
     scan order, capped at ``cap`` (the reference iterates the first
-    ``max_candidates`` contours)."""
-    h, w = bitmap.shape
-    labels = np.zeros((h, w), dtype=np.int32)
+    ``max_candidates`` contours).
+
+    Run-length union-find, not per-pixel flood fill: rows are RLE'd in
+    one vectorized diff, then consecutive-row runs are merged with a
+    two-pointer sweep — O(runs) Python steps (text maps have a few
+    runs per line) instead of O(pixels), which was the dominant cost
+    of the whole DB postprocess on dense probability maps."""
+    h, _w = bitmap.shape
+    mask = np.zeros((h, bitmap.shape[1] + 2), dtype=np.int8)
+    mask[:, 1:-1] = bitmap != 0
+    d = np.diff(mask, axis=1)
+    sy, sx = np.nonzero(d == 1)    # run r: row sy[r], cols [sx[r], ex[r])
+    _ey, ex = np.nonzero(d == -1)  # row-major, so k-th start ↔ k-th end
+    n = len(sy)
+    if n == 0:
+        return []
+    parent = list(range(n))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    row_start = np.searchsorted(sy, np.arange(h + 1))
+    sx_l, ex_l, sy_l = sx.tolist(), ex.tolist(), sy.tolist()
+    for y in range(1, h):
+        i, i1 = int(row_start[y]), int(row_start[y + 1])
+        j, j1 = int(row_start[y - 1]), int(row_start[y])
+        while i < i1 and j < j1:
+            # runs [sa, ea) and [sb, eb) touch 8-connectedly iff
+            # sa <= eb and sb <= ea (the ±1 diagonal tolerance is
+            # exactly the exclusive-end slack)
+            if sx_l[i] <= ex_l[j] and sx_l[j] <= ex_l[i]:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+            if ex_l[i] < ex_l[j]:
+                i += 1
+            else:
+                j += 1
+    first_seen: dict = {}
+    groups: list = []
+    for r in range(n):
+        root = find(r)
+        slot = first_seen.get(root)
+        if slot is None:
+            first_seen[root] = len(groups)
+            groups.append([])
+            slot = first_seen[root]
+        groups[slot].append(r)
     regions = []
-    for y in range(h):
-        row = bitmap[y]
-        for x in np.nonzero(row)[0]:
-            if labels[y, x]:
-                continue
-            lab = len(regions) + 1
-            stack = [(y, int(x))]
-            labels[y, x] = lab
-            ys, xs = [], []
-            while stack:
-                cy, cx = stack.pop()
-                ys.append(cy)
-                xs.append(cx)
-                for ny in (cy - 1, cy, cy + 1):
-                    if not 0 <= ny < h:
-                        continue
-                    for nx in (cx - 1, cx, cx + 1):
-                        if (0 <= nx < w and bitmap[ny, nx]
-                                and not labels[ny, nx]):
-                            labels[ny, nx] = lab
-                            stack.append((ny, nx))
-            regions.append((np.asarray(ys), np.asarray(xs)))
-            if len(regions) >= cap:
-                return regions
+    for runs in groups[:cap]:
+        ys = np.concatenate([
+            np.full(ex_l[r] - sx_l[r], sy_l[r], dtype=np.int64)
+            for r in runs])
+        xs = np.concatenate([
+            np.arange(sx_l[r], ex_l[r], dtype=np.int64) for r in runs])
+        regions.append((ys, xs))
     return regions
 
 
@@ -88,22 +119,32 @@ def convex_hull(points: np.ndarray) -> np.ndarray:
     if len(pts) <= 2:
         return pts
     pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+    if len(pts) > 16:
+        # only the min/max-y point of each x column can be a hull
+        # vertex — exact reduction that collapses a region's pixel
+        # lattice (thousands of points) to its column extremes
+        xs = pts[:, 0]
+        col_start = np.nonzero(np.r_[True, xs[1:] != xs[:-1]])[0]
+        col_end = np.r_[col_start[1:] - 1, len(pts) - 1]
+        keep = np.unique(np.concatenate([col_start, col_end]))
+        pts = pts[keep]
+    seq = [(float(px), float(py)) for px, py in pts]
 
     def half(seq):
         out = []
-        for p in seq:
+        for px, py in seq:
             while len(out) >= 2:
-                o, a = out[-2], out[-1]
-                if ((a[0] - o[0]) * (p[1] - o[1])
-                        - (a[1] - o[1]) * (p[0] - o[0])) <= 0:
+                ox, oy = out[-2]
+                ax, ay = out[-1]
+                if (ax - ox) * (py - oy) - (ay - oy) * (px - ox) <= 0:
                     out.pop()
                 else:
                     break
-            out.append(p)
+            out.append((px, py))
         return out
 
-    lower = half(pts)
-    upper = half(pts[::-1])
+    lower = half(seq)
+    upper = half(seq[::-1])
     return np.asarray(lower[:-1] + upper[:-1])
 
 
