@@ -3488,6 +3488,77 @@ def _merge_oracles(o: dict[str, str]) -> dict[str, str]:
                    '[{{"gt": "VARCHAR"}}]')) as r
           from opages
           where json_extract(text, '$.rec_lines') is not null
+        ), cnp as (
+          -- Cycle-CenterNet twin (M6): recompute the cell polygons
+          -- from the planted peak arrays alone — subpixel center =
+          -- peak + reg, vertex_j = center - c2v_j, corner snap = the
+          -- corner peak whose link equals this center replaces its
+          -- nearest computed vertex, then the inverse preprocessing
+          -- affine (x - out/2) * (s/out) + c. All planted values are
+          -- exact dyadics so the float path is bit-identical to the
+          -- decoder's.
+          select doc_id, "offset",
+                 cast(json_extract(text, '$.centernet.out_w')
+                   as double) as ow,
+                 cast(json_extract(text, '$.centernet.out_h')
+                   as double) as oh,
+                 cast(json_extract(text, '$.centernet.s')
+                   as double) as sc,
+                 json_transform(json_extract(text, '$.centernet.c'),
+                   '["DOUBLE"]') as cc,
+                 json_transform(
+                   json_extract(text, '$.centernet.centers'),
+                   '[["DOUBLE"]]') as centers,
+                 json_transform(
+                   json_extract(text, '$.centernet.corners'),
+                   '[["DOUBLE"]]') as corners
+          from opages
+          where json_extract(text, '$.centernet') is not null
+        ), cnc as (
+          select doc_id, "offset", ow, oh, sc,
+                 cc[1] as cx, cc[2] as cy, unnest(centers) as ctr
+          from cnp
+        ), cnv as (
+          select doc_id, "offset", ow, oh, sc, cx, cy,
+                 ctr[1] + ctr[4] as pcx, ctr[2] + ctr[5] as pcy,
+                 ctr[3] as score, js.j as j,
+                 ctr[1] + ctr[4] - ctr[6 + 2 * js.j] as vx,
+                 ctr[2] + ctr[5] - ctr[7 + 2 * js.j] as vy
+          from cnc cross join (values (0), (1), (2), (3)) js(j)
+          where ctr[3] > 0.3
+        ), cnl as (
+          select doc_id, "offset",
+                 cr[1] + cr[4] as gvx, cr[2] + cr[5] as gvy,
+                 cr[1] + cr[4] - cr[6 + 2 * isq.i] as lx,
+                 cr[2] + cr[5] - cr[7 + 2 * isq.i] as ly
+          from (select doc_id, "offset", unnest(corners) as cr
+                from cnp) c0
+          cross join (values (0), (1), (2), (3)) isq(i)
+          where cr[3] > 0.3
+            and not (cr[6 + 2 * isq.i] = 0 and cr[7 + 2 * isq.i] = 0)
+        ), cns as (
+          select v.doc_id, v."offset", v.pcx, v.pcy, v.j,
+                 l.gvx, l.gvy,
+                 row_number() over (
+                   partition by v.doc_id, v."offset", v.pcx, v.pcy,
+                                l.gvx, l.gvy
+                   order by (v.vx - l.gvx) * (v.vx - l.gvx)
+                          + (v.vy - l.gvy) * (v.vy - l.gvy), v.j)
+                   as rn
+          from cnv v
+          join cnl l on l.doc_id = v.doc_id
+                    and l."offset" = v."offset"
+                    and l.lx = v.pcx and l.ly = v.pcy
+        ), cnf as (
+          select v.doc_id, v."offset", v.pcx, v.pcy, v.score, v.j,
+                 (coalesce(s.gvx, v.vx) - v.ow / 2) * (v.sc / v.ow)
+                   + v.cx as ix,
+                 (coalesce(s.gvy, v.vy) - v.oh / 2) * (v.sc / v.ow)
+                   + v.cy as iy
+          from cnv v
+          left join (select * from cns where rn = 1) s
+            on s.doc_id = v.doc_id and s."offset" = v."offset"
+           and s.pcx = v.pcx and s.pcy = v.pcy and s.j = v.j
         )
         select doc_id, "offset", 'db_box' as kind,
                printf('%d,%d,%d,%d,%d,%d,%d,%d|%.4f',
@@ -3505,6 +3576,20 @@ def _merge_oracles(o: dict[str, str]) -> dict[str, str]:
                json_extract_string(text, '$.slanet.gt')
         from opages
         where json_extract(text, '$.slanet') is not null
+        union all
+        select doc_id, "offset", 'cn_poly',
+               printf('%.2f,%.2f,%.2f,%.2f,%.2f,%.2f,%.2f,%.2f|%.4f',
+                      max(case when j = 0 then ix end),
+                      max(case when j = 0 then iy end),
+                      max(case when j = 1 then ix end),
+                      max(case when j = 1 then iy end),
+                      max(case when j = 2 then ix end),
+                      max(case when j = 2 then iy end),
+                      max(case when j = 3 then ix end),
+                      max(case when j = 3 then iy end),
+                      score)
+        from cnf
+        group by doc_id, "offset", pcx, pcy, score
         )
         union all
         select doc_id, "offset" as offset, kind, text

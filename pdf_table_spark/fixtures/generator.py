@@ -445,11 +445,87 @@ def _plant_slanet(rng, payload):
                          "gt": format_slanet(tokens, cells)}
 
 
+def _plant_centernet(rng, payload):
+    """Plant a Cycle-CenterNet TSR contract (M6's model-output half):
+    the sparse peak encoding of the paired keypoint tensors a trained
+    DLA-34 would emit (``core.centernet.tensors_from_payload``
+    re-densifies it executor-side) — center peaks carrying the 8
+    center→vertex offsets (CCW: tl, bl, br, tr), shared corner peaks
+    carrying the vertex→center links, sub-pixel reg, sigmoid scores as
+    planted probabilities. Map 128x128, scale 512 (×4, power of two)
+    and quarter-integer geometry so the affine map→image transform is
+    exact in float64 — the DuckDB twin recomputes the polygons (and
+    the corner SNAPS: some cells get one c2v offset perturbed by
+    (+0.5, +0.5), which the group step must pull back onto the exact
+    corner peak) from the planted arrays alone.
+
+    Distractors the decode must reject: one sub-threshold center
+    (score < 0.3 → dropped by the final gate) and one sub-threshold
+    corner (score-sorted after every real peak → the group step's
+    early break never reads it)."""
+    n_rows, n_cols = rng.randint(1, 3), rng.randint(2, 4)
+    gx0 = 8 + 4 * rng.randint(0, 4)
+    gy0 = 8 + 4 * rng.randint(0, 4)
+    cw = 4 * rng.randint(4, 6)       # cell size in map px, ≥16
+    chh = 4 * rng.randint(3, 4)
+    cx_img = 256.0 + rng.randint(-8, 8)
+    cy_img = 256.0 + rng.randint(-8, 8)
+    # sub-pixel shift of the whole grid: peaks stay at the integer
+    # lattice, reg carries the fraction (exact dyadics, so the float
+    # path through the decode and the SQL twin is bit-identical)
+    dx_sub = rng.choice([0.0, 0.25, 0.5])
+    dy_sub = rng.choice([0.0, 0.25, 0.5])
+    centers, corners = [], []
+    corner_links: dict = {}
+    for r in range(n_rows):
+        for c in range(n_cols):
+            x0, y0 = gx0 + c * cw + dx_sub, gy0 + r * chh + dy_sub
+            x1, y1 = x0 + cw, y0 + chh
+            ccx, ccy = x0 + cw / 2, y0 + chh / 2
+            verts = [(x0, y0), (x0, y1), (x1, y1), (x1, y0)]  # CCW
+            offs = []
+            perturb = rng.random() < 0.4
+            pj = rng.randint(0, 3) if perturb else -1
+            for j, (vx, vy) in enumerate(verts):
+                dx, dy = ccx - vx, ccy - vy
+                if j == pj:
+                    dx -= 0.5
+                    dy -= 0.5
+                offs += [dx, dy]
+            centers.append([int(ccx), int(ccy),
+                            round(0.5 + 0.1 * ((r + c) % 5), 4),
+                            ccx - int(ccx), ccy - int(ccy)] + offs)
+            for vx, vy in verts:
+                corner_links.setdefault((vx, vy), []).append(
+                    (ccx, ccy))
+    for (vx, vy), links in sorted(corner_links.items()):
+        offs = []
+        for lx, ly in links[:4]:
+            offs += [vx - lx, vy - ly]
+        while len(offs) < 8:
+            offs += [0.0, 0.0]       # sentinel: link == vertex
+        corners.append([int(vx), int(vy), 0.8,
+                        vx - int(vx), vy - int(vy)] + offs)
+    # distractors (kept clear of the grid; map is 128x128)
+    centers.append([120, 120, 0.25, 0.0, 0.0,
+                    4.0, 4.0, 4.0, -4.0, -4.0, -4.0, -4.0, 4.0])
+    corners.append([124, 2, 0.2, 0.0, 0.0] + [0.0] * 8)
+    payload["centernet"] = {
+        "out_h": 128, "out_w": 128, "base": 0.01,
+        "c": [cx_img, cy_img], "s": 512.0,
+        "centers": centers, "corners": corners}
+
+
 def _dump_ocr(rng, payload):
     """Finalize an ocr_page payload: plant the glyph evidence for its
-    det_cells plus the three model-output contracts (DBNet prob map,
-    CTC rec paths, SLANet structure path), then dump with sorted keys
-    (byte-stable fixtures)."""
+    det_cells plus the four model-output contracts (DBNet prob map,
+    CTC rec paths, SLANet structure path, Cycle-CenterNet keypoint
+    peaks), then dump with sorted keys (byte-stable fixtures).
+
+    The CenterNet plant (added round 5) uses its OWN rng derived from
+    the page's det_cells so the draw sequence of the pre-existing
+    plants — and with it every previously frozen fixture value — is
+    untouched."""
     payload["glyphs"] = _plant_glyphs(rng, payload["det_cells"])
     if rng.random() < 0.7:
         _plant_db_prob(rng, payload)
@@ -457,6 +533,10 @@ def _dump_ocr(rng, payload):
         _plant_rec_lines(rng, payload)
     if rng.random() < 0.6:
         _plant_slanet(rng, payload)
+    rng_cn = random.Random(
+        json.dumps(payload["det_cells"], sort_keys=True) + "|centernet")
+    if rng_cn.random() < 0.6:
+        _plant_centernet(rng_cn, payload)
     return json.dumps(payload, sort_keys=True)
 
 

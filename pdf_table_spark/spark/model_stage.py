@@ -546,6 +546,8 @@ NEURAL_VERSION = "neural-postprocess-v1"
 
 def _make_neural_stage(weights_bc, version: str, mat_counter=None):
     def stage(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..core import picodet as pico
+        from ..core.centernet import decode_payload, format_cn_poly
         from ..core.ctchead import ctc_decode, format_rec
         from ..core.dbnet import (db_postprocess, format_db_box,
                                   prob_map_from_payload)
@@ -590,6 +592,18 @@ def _make_neural_stage(weights_bc, version: str, mat_counter=None):
                         sl["ids"], sl["bboxes"], sl["shape"])
                     emit(did, off, "slanet",
                          format_slanet(tokens, cells))
+                cnp = page.get("centernet")
+                if cnp:
+                    for poly, score in decode_payload(cnp):
+                        emit(did, off, "cn_poly",
+                             format_cn_poly(poly, score))
+                pdp = page.get("picodet")
+                if pdp:
+                    for label, clsid, score, box in \
+                            pico.decode_payload(pdp):
+                        emit(did, off, "layout_box",
+                             pico.format_layout_box(
+                                 label, clsid, score, box))
             yield pa.RecordBatch.from_arrays(
                 [pa.array(out["doc_id"], pa.string()),
                  pa.array(out["offset"], pa.int32()),
@@ -602,14 +616,16 @@ def _make_neural_stage(weights_bc, version: str, mat_counter=None):
 def score_neural_decoders(docs_spans: DataFrame,
                           weights_path: str | None = None,
                           _mat_counter=None) -> DataFrame:
-    """The three round-5 deterministic postprocess decoders over the
+    """The four round-5 deterministic postprocess decoders over the
     model seam, one scan and ONE Python boundary: DBNet probability
     map → text boxes (``core.dbnet``, M3's postprocess half — NO
     planted det_cells anywhere on this path), CTC greedy label decode
-    (``core.ctchead``, M5), and SLANet structure-token decode
-    (``core.slanethead``, M7). Each ocr_page span emits ``db_box`` /
-    ``rec_text`` / ``slanet`` rows for whichever contracts its
-    payload carries.
+    (``core.ctchead``, M5), SLANet structure-token decode
+    (``core.slanethead``, M7), and the Cycle-CenterNet paired-keypoint
+    TSR decode — heatmap peaks → cell polygons with corner snapping
+    (``core.centernet``, M6). Each ocr_page span emits ``db_box`` /
+    ``rec_text`` / ``slanet`` / ``cn_poly`` rows for whichever
+    contracts its payload carries.
 
     Same seam as every other head: ``weights_path`` loads the
     DBPostProcess parameter vector from ``.npz`` once on the driver,

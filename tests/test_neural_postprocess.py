@@ -193,7 +193,9 @@ def test_score_neural_decoders_matches_plants(spark, fixture_root):
     by_kind = {}
     for r in got:
         by_kind.setdefault(r.kind, []).append(r)
-    assert set(by_kind) == {"db_box", "rec_text", "slanet"}
+    assert {"db_box", "rec_text", "slanet", "cn_poly"} <= set(by_kind)
+    assert set(by_kind) <= {"db_box", "rec_text", "slanet", "cn_poly",
+                            "layout_box"}
     # rec/slanet: every planted gt decoded verbatim
     rows = duckdb.sql(f"""
         select doc_id, s."offset" as off, s.text as text
@@ -211,3 +213,15 @@ def test_score_neural_decoders_matches_plants(spark, fixture_root):
                   for r in by_kind["rec_text"]) == sorted(want_rec)
     assert sorted((r.doc_id, r.offset, r.text)
                   for r in by_kind["slanet"]) == sorted(want_sl)
+    # centernet: one polygon per planted above-threshold center
+    want_cn = {}
+    for did, off, text in rows:
+        cnp = json.loads(text).get("centernet")
+        if cnp:
+            want_cn[(did, off)] = sum(
+                1 for c in cnp["centers"] if c[2] > 0.3)
+    got_cn = {}
+    for r in by_kind["cn_poly"]:
+        got_cn[(r.doc_id, r.offset)] = \
+            got_cn.get((r.doc_id, r.offset), 0) + 1
+    assert got_cn == want_cn
