@@ -3559,6 +3559,50 @@ def _merge_oracles(o: dict[str, str]) -> dict[str, str]:
           left join (select * from cns where rn = 1) s
             on s.doc_id = v.doc_id and s."offset" = v."offset"
            and s.pcx = v.pcx and s.pcy = v.pcy and s.j = v.j
+        ), plv as (
+          -- PicoDet twin (M2): the planted DFL bin sets decode to
+          -- their exact mean (equal-logit softmax), so box =
+          -- anchor center ± mean·stride, clipped to the ORIGINAL
+          -- shape before the scale division (warp_boxes quirk), and
+          -- hard-NMS reduces to keep-max-score per identical
+          -- (class, box) — the only planted overlaps are exact
+          -- duplicates.
+          select doc_id, "offset",
+                 cast(json_extract(text, '$.picodet.org_shape[0]')
+                   as double) as oh2,
+                 cast(json_extract(text, '$.picodet.org_shape[1]')
+                   as double) as ow2,
+                 cast(json_extract(text, '$.picodet.scale_factor[0]')
+                   as double) as sy,
+                 cast(json_extract(text, '$.picodet.scale_factor[1]')
+                   as double) as sx,
+                 unnest(json_transform(
+                   json_extract(text, '$.picodet.levels'),
+                   '[{{"stride":"INTEGER","anchors":[{{"r":"INTEGER",
+                      "c":"INTEGER","cls":"INTEGER","score":"DOUBLE",
+                      "bl":["INTEGER"],"bt":["INTEGER"],
+                      "br":["INTEGER"],"bb":["INTEGER"]}}]}}]')) as lv
+          from opages
+          where json_extract(text, '$.picodet') is not null
+        ), panch as (
+          select doc_id, "offset", oh2, ow2, sy, sx,
+                 lv.stride as st, unnest(lv.anchors) as a
+          from plv
+        ), pbox as (
+          select doc_id, "offset", a.cls as cls, a.score as score,
+            least(greatest((a.c + 0.5) * st
+              - st * list_aggregate(a.bl, 'avg'), 0), ow2) / sx as x0,
+            least(greatest((a.r + 0.5) * st
+              - st * list_aggregate(a.bt, 'avg'), 0), oh2) / sy as y0,
+            least(greatest((a.c + 0.5) * st
+              + st * list_aggregate(a.br, 'avg'), 0), ow2) / sx as x1,
+            least(greatest((a.r + 0.5) * st
+              + st * list_aggregate(a.bb, 'avg'), 0), oh2) / sy as y1
+          from panch where a.score > 0.5
+        ), pkept as (
+          select doc_id, "offset", cls, x0, y0, x1, y1,
+                 max(score) as score
+          from pbox group by all
         )
         select doc_id, "offset", 'db_box' as kind,
                printf('%d,%d,%d,%d,%d,%d,%d,%d|%.4f',
@@ -3590,6 +3634,14 @@ def _merge_oracles(o: dict[str, str]) -> dict[str, str]:
                       score)
         from cnf
         group by doc_id, "offset", pcx, pcy, score
+        union all
+        select doc_id, "offset", 'layout_box',
+               printf('%s|%d|%.4f|%.2f,%.2f,%.2f,%.2f',
+                      ['text', 'title', 'figure', 'figure_caption',
+                       'table', 'table_caption', 'header', 'footer',
+                       'reference', 'equation'][cls + 1],
+                      cls, score, x0, y0, x1, y1)
+        from pkept
         )
         union all
         select doc_id, "offset" as offset, kind, text

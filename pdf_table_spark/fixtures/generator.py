@@ -516,16 +516,100 @@ def _plant_centernet(rng, payload):
         "centers": centers, "corners": corners}
 
 
+def _plant_picodet(rng, payload):
+    """Plant a PicoDet layout-detection contract (M2's model-output
+    half): per-FPN-stride sparse anchors carrying post-sigmoid class
+    scores and DFL bin SETS (equal logit 0 on the set, −1e30 off it,
+    so the softmax integral is the set's exact mean — every decoded
+    coordinate is an exact dyadic both engines compute bit-equally).
+    Boxes live in disjoint 128-px tiles of the 512x512 input so the
+    only NMS interactions are the planted ones: one pair of anchors
+    in different grid cells that decode to the IDENTICAL box (shifted
+    center, counter-shifted bins) of which hard-NMS must keep the
+    higher score, plus one sub-threshold distractor the class gate
+    drops. scale_factor is a power of two so the resize-back division
+    is exact; one variant plants org < input to exercise the
+    clip-before-scale quirk of warp_boxes."""
+    strides = [8, 16, 32, 64]
+    sy, sx, oh, ow = rng.choice([
+        (0.5, 0.5, 1024.0, 1024.0),
+        (0.25, 0.5, 2048.0, 1024.0),
+        (2.0, 2.0, 256.0, 256.0),      # clip exercised
+        (1.0, 0.5, 512.0, 1024.0),
+    ])
+    tiles = [(tx, ty) for tx in range(4) for ty in range(4)]
+    rng.shuffle(tiles)
+    levels = {s: [] for s in strides}
+    scores_pool = [0.5625, 0.625, 0.6875, 0.75, 0.8125, 0.875, 0.9375]
+    rng.shuffle(scores_pool)
+    n_boxes = rng.randint(2, 5)
+    made_dup = False
+    for b in range(n_boxes):
+        tx, ty = tiles.pop()
+        # anchors only on the finer levels: the 64-stride grid is
+        # coarser than the tile isolation (its centers sit 32 px off
+        # the tile centers), so that level ships empty anchors — the
+        # multi-scale concat still runs over it
+        s = rng.choice(strides[:3])
+        # anchor cell whose center lands mid-tile; the in-tile margin
+        # bounds the bin mean so the box cannot cross tiles (the only
+        # planted NMS interaction is the deliberate duplicate below)
+        c = (tx * 128 + 64) // s
+        r = (ty * 128 + 64) // s
+        cx, cy = (c + 0.5) * s, (r + 0.5) * s
+        margin = min(cx - tx * 128, (tx + 1) * 128 - cx,
+                     cy - ty * 128, (ty + 1) * 128 - cy)
+        kmax = max(1, min(7, int((margin - 4) // s)))
+
+        def bins():
+            k = rng.randint(0, kmax)
+            # two-bin sets add 0.5 to the mean — only when that still
+            # fits both the bin range and the tile margin
+            if rng.random() < 0.5 or k + 1 > kmax or k >= 7:
+                return [k]
+            return [k, k + 1]
+        bl, bt, br, bb = bins(), bins(), bins(), bins()
+        score = scores_pool[b % len(scores_pool)]
+        cls = rng.randint(0, 9)
+        levels[s].append({"r": r, "c": c, "cls": cls, "score": score,
+                          "bl": bl, "bt": bt, "br": br, "bb": bb})
+        if (not made_dup and rng.random() < 0.5 and max(bl) <= 6
+                and min(br) >= 1 and c + 1 < 512 // s):
+            # same box decoded from the neighbouring cell: center
+            # +s in x, left bins +1, right bins −1 → identical
+            # coordinates, lower score → hard-NMS keeps the original
+            levels[s].append({"r": r, "c": c + 1, "cls": cls,
+                              "score": score - 0.03125,  # above the
+                              # 0.5 gate, below the original: the
+                              # pair reaches hard-NMS and loses there
+                              "bl": [v + 1 for v in bl], "bt": bt,
+                              "br": [v - 1 for v in br], "bb": bb})
+            made_dup = True
+    if tiles and rng.random() < 0.7:     # sub-threshold distractor
+        tx, ty = tiles.pop()
+        s = rng.choice(strides)
+        levels[s].append({"r": (ty * 128 + 64) // s,
+                          "c": (tx * 128 + 64) // s,
+                          "cls": rng.randint(0, 9), "score": 0.375,
+                          "bl": [1], "bt": [1], "br": [1], "bb": [1]})
+    payload["picodet"] = {
+        "input_shape": [512, 512], "org_shape": [oh, ow],
+        "scale_factor": [sy, sx], "reg_max": 7, "n_classes": 10,
+        "levels": [{"stride": s, "anchors": levels[s]}
+                   for s in strides]}
+
+
 def _dump_ocr(rng, payload):
     """Finalize an ocr_page payload: plant the glyph evidence for its
-    det_cells plus the four model-output contracts (DBNet prob map,
+    det_cells plus the five model-output contracts (DBNet prob map,
     CTC rec paths, SLANet structure path, Cycle-CenterNet keypoint
-    peaks), then dump with sorted keys (byte-stable fixtures).
+    peaks, PicoDet layout anchors), then dump with sorted keys
+    (byte-stable fixtures).
 
-    The CenterNet plant (added round 5) uses its OWN rng derived from
-    the page's det_cells so the draw sequence of the pre-existing
-    plants — and with it every previously frozen fixture value — is
-    untouched."""
+    The CenterNet and PicoDet plants (added round 5) each use their
+    OWN rng derived from the page's det_cells so the draw sequence of
+    the pre-existing plants — and with it every previously frozen
+    fixture value — is untouched."""
     payload["glyphs"] = _plant_glyphs(rng, payload["det_cells"])
     if rng.random() < 0.7:
         _plant_db_prob(rng, payload)
@@ -533,10 +617,13 @@ def _dump_ocr(rng, payload):
         _plant_rec_lines(rng, payload)
     if rng.random() < 0.6:
         _plant_slanet(rng, payload)
-    rng_cn = random.Random(
-        json.dumps(payload["det_cells"], sort_keys=True) + "|centernet")
+    seed = json.dumps(payload["det_cells"], sort_keys=True)
+    rng_cn = random.Random(seed + "|centernet")
     if rng_cn.random() < 0.6:
         _plant_centernet(rng_cn, payload)
+    rng_pd = random.Random(seed + "|picodet")
+    if rng_pd.random() < 0.5:
+        _plant_picodet(rng_pd, payload)
     return json.dumps(payload, sort_keys=True)
 
 
