@@ -3355,7 +3355,10 @@ def _merge_oracles(o: dict[str, str]) -> dict[str, str]:
         + f"""
         union all
         select * from (
-        with pages as (
+        with pages as materialized (
+          -- materialized: DuckDB may otherwise evaluate a pushed-down
+          -- json_extract before the kind/json_valid scan filter and
+          -- throw on a non-JSON page payload (seen flaking)
           select doc_id, s."offset" as "offset", s.text as text
           from (select doc_id, unnest(spans) as s
                 from read_parquet('{SPANS_001}/*.parquet'))
@@ -3440,7 +3443,9 @@ def _merge_oracles(o: dict[str, str]) -> dict[str, str]:
         -- >= 0.7, grown sside >= 5. rec_text / slanet: the planted
         -- ground truth the decoders must invert.
         select * from (
-        with opages as (
+        with opages as materialized (
+          -- materialized: see the pages CTE note — keeps json_extract
+          -- from running ahead of the kind/json_valid filter
           select doc_id, s."offset" as "offset", s.text as text
           from (select doc_id, unnest(spans) as s
                 from read_parquet('{SPANS_001}/*.parquet'))
@@ -3603,6 +3608,41 @@ def _merge_oracles(o: dict[str, str]) -> dict[str, str]:
           select doc_id, "offset", cls, x0, y0, x1, y1,
                  max(score) as score
           from pbox group by all
+        ), mast as (
+          -- TableMaster twin (M10): html rides on the planted gt;
+          -- the BOX path is recomputed here from the planted rows +
+          -- decoded token string alone — td-family mask, [0,1]
+          -- validity, denormalize by pad_shape, divide by
+          -- scale_factor, truncate to token count, sum>1 survivor
+          -- filter, xywh → int-truncated xyxy
+          select doc_id, "offset",
+                 string_split(json_extract_string(text,
+                   '$.master.gt_tokens'), ',') as toks,
+                 json_transform(json_extract(text, '$.master.bboxes'),
+                   '[["DOUBLE"]]') as bbs,
+                 cast(json_extract(text, '$.master.pad_shape[0]')
+                   as double) as mph,
+                 cast(json_extract(text, '$.master.pad_shape[1]')
+                   as double) as mpw,
+                 cast(json_extract(text, '$.master.scale_factor[0]')
+                   as double) as msy,
+                 cast(json_extract(text, '$.master.scale_factor[1]')
+                   as double) as msx
+          from opages
+          where json_extract(text, '$.master') is not null
+        ), mrow as (
+          select doc_id, "offset", mph, mpw, msy, msx, toks,
+                 unnest(bbs) as bb, generate_subscripts(bbs, 1) as i
+          from mast
+        ), mbox as (
+          select doc_id, "offset",
+                 bb[1] * mpw / msx as mcx, bb[2] * mph / msy as mcy,
+                 bb[3] * mpw / msx as mws, bb[4] * mph / msy as mhs
+          from mrow
+          where i <= len(toks)
+            and toks[i] in ('<td></td>', '<td')
+            and bb[1] between 0 and 1 and bb[2] between 0 and 1
+            and bb[3] between 0 and 1 and bb[4] between 0 and 1
         )
         select doc_id, "offset", 'db_box' as kind,
                printf('%d,%d,%d,%d,%d,%d,%d,%d|%.4f',
@@ -3642,6 +3682,19 @@ def _merge_oracles(o: dict[str, str]) -> dict[str, str]:
                        'reference', 'equation'][cls + 1],
                       cls, score, x0, y0, x1, y1)
         from pkept
+        union all
+        select doc_id, "offset", 'master_html',
+               json_extract_string(text, '$.master.gt_html')
+        from opages
+        where json_extract(text, '$.master') is not null
+        union all
+        select doc_id, "offset", 'master_box',
+               printf('%d,%d,%d,%d',
+                      cast(trunc(mcx - mws / 2) as bigint),
+                      cast(trunc(mcy - mhs / 2) as bigint),
+                      cast(trunc(mcx + mws / 2) as bigint),
+                      cast(trunc(mcy + mhs / 2) as bigint))
+        from mbox where mcx + mcy + mws + mhs > 1
         )
         union all
         select doc_id, "offset" as offset, kind, text

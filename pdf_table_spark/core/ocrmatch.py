@@ -327,32 +327,40 @@ def insert_text_to_tokens(tokens: list[str], text_by_master: dict) -> str:
     return "".join(out)
 
 
-_THEAD_RE = re.compile(r"<thead>(.*?)</thead>", re.DOTALL)
+_TAG_RES = {
+    tag: re.compile(rf"<{tag}>(.*?)</{tag}>", re.DOTALL)
+    for tag in ("thead", "tbody")}
 _SPAN_TD_RE = re.compile(
     r'<td rowspan="\d+" colspan="\d+">|<td colspan="\d+" rowspan="\d+">'
     r'|<td rowspan="\d+">|<td colspan="\d+">')
 
 
-def deal_bb(html: str) -> str:
-    """Bold every <thead> cell (deal_bb; the model-error repair passes
-    deal_isolate_span / deal_duplicate_bb are no-ops on deterministic
-    inputs and are omitted)."""
-    m = _THEAD_RE.search(html)
+def deal_bb(html: str, tag: str = "thead") -> str:
+    """Bold every cell inside <tag>…</tag> (deal_bb — the splice path
+    uses the thead default, the TableMaster/MTL postprocessor also
+    runs the tbody arm); an empty bolded cell reverts to '<td></td>'
+    (master_post_processor.py:156 — only the attribute-less literal,
+    an empty SPAN cell keeps its '<b></b>', a pinned quirk). The
+    model-error repair passes deal_isolate_span / deal_duplicate_bb
+    are no-ops on deterministic inputs and are omitted."""
+    m = _TAG_RES[tag].search(html)
     if m is None:
         return html
-    thead = m.group()
-    spans = _SPAN_TD_RE.findall(thead)
+    part = m.group()
+    spans = _SPAN_TD_RE.findall(part)
     if not spans:
-        new = (thead.replace("<td>", "<td><b>")
+        new = (part.replace("<td>", "<td><b>")
                .replace("</td>", "</b></td>")
                .replace("<b><b>", "<b>").replace("</b></b>", "</b>"))
     else:
-        new = thead
+        new = part
         for sp in set(spans):
             new = new.replace(sp, sp[:-1] + "><b>")
         new = (new.replace("</td>", "</b></td>")
-               .replace("<b><b>", "<b>").replace("</b></b>", "</b>"))
-    return html.replace(thead, new)
+               .replace("<b><b>", "<b>").replace("</b></b>", "</b>")
+               .replace("<td>", "<td><b>").replace("<b><b>", "<b>"))
+    new = new.replace("<td><b></b></td>", "<td></td>")
+    return html.replace(part, new)
 
 
 # ---------------------------------------------------------------- J2 splice

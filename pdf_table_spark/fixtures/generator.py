@@ -599,6 +599,180 @@ def _plant_picodet(rng, payload):
                    for s in strides]}
 
 
+def _plant_master(rng, payload):
+    """Plant an MtlTabNet/TableMaster output contract (M10's
+    model-output half): the per-step structure-id argmax path (junk
+    steps after EOS + trailing PADs the decode must skip), the
+    per-step normalized (cx, cy, w, h) regression rows (noise rows on
+    non-td steps the bbox mask must zero, optionally one out-of-[0,1]
+    td row the value filter must zero, extra rows past the token
+    count the length-adjust must truncate), and the MTL cell branch:
+    per-td character-id paths over a planted cell dictionary.
+    Variants: a truncated stream ending on a bare '<td></td>' (the
+    virtual '</tr></tbody>' close), a cell list one SHORT of the td
+    count (the reference drops that td from the html entirely —
+    insert_text_to_token's continue-skip), an empty thead cell (the
+    '<td><b></b></td>' → '<td></td>' revert).
+
+    All geometry is dyadic and pad_shape/scale_factor are powers of
+    two, so decode → denormalize → truncate is exact in float64 and
+    the DuckDB twin recomputes the boxes bit-equally from the planted
+    rows + decoded token string alone. The html ground truth is
+    CONSTRUCTED FORWARD here from the table spec (per-cell bold /
+    expansion rules), never by calling the engine's decoder."""
+    pad_h, pad_w = rng.choice([(512.0, 512.0), (1024.0, 512.0)])
+    sy, sx = rng.choice([(0.5, 0.5), (1.0, 1.0), (2.0, 1.0),
+                         (1.0, 0.5)])
+    score = rng.choice([0.625, 0.6875, 0.75, 0.8125, 0.875])
+    n_cols = rng.randint(2, 4)
+    n_body = rng.randint(1, 3)
+    truncated = rng.random() < 0.25
+    drop_last = rng.random() < 0.3
+    invalid_first_body = rng.random() < 0.3
+
+    # eb token → its post-bold html (expansion then the deal_bb pass:
+    # plain empties revert, space/line-separator payloads stay bolded)
+    eb_html = {"<eb></eb>": "<td></td>",
+               "<eb1></eb1>": "<td><b> </b></td>",
+               "<eb2></eb2>": "<td><b> </b></td>",
+               "<eb3></eb3>": "<td><b>\u2028\u2028</b></td>"}
+
+    def noise():
+        return [0.25, 0.25, 0.0, 0.0]     # masked by non-td steps
+
+    def td_bbox(r, c, span):
+        return [c * 0.25 + span * 0.125, r * 0.125 + 0.0625,
+                span * 0.25 - 0.0625, 0.09375]
+
+    tokens, rows_norm = [], []
+    cell_texts = []                        # stream order, per td
+    td_specs = []                          # (r, c, span) per td
+    html_rows = []                         # forward gt, per table row
+
+    def push(tok, row=None):
+        tokens.append(tok)
+        rows_norm.append(row if row is not None else noise())
+
+    push("<thead>")
+    push("<tr>")
+    head_cells = []
+    for c in range(n_cols):
+        text = "" if (c == 0 and rng.random() < 0.3) \
+            else _words(rng, 1, 2)
+        push("<td></td>", td_bbox(0, c, 1))
+        cell_texts.append(text)
+        td_specs.append((0, c, 1))
+        head_cells.append(("td", text, 1))
+    push("</tr>")
+    push("</thead>")
+    push("<tbody>")
+    html_rows.append(("thead", head_cells))
+    for r in range(1, n_body + 1):
+        last = r == n_body
+        push("<tr>")
+        body_cells = []
+        c = 0
+        while c < n_cols:
+            plain_only = truncated and last
+            if (not plain_only and c + 1 < n_cols
+                    and rng.random() < 0.2):
+                push("<td", td_bbox(r, c, 2))
+                push(' colspan="2"')
+                push(">")
+                push("</td>")
+                cell_texts.append(_words(rng, 1, 2))
+                td_specs.append((r, c, 2))
+                body_cells.append(("td", cell_texts[-1], 2))
+                c += 2
+            elif not plain_only and rng.random() < 0.2:
+                eb = rng.choice(sorted(eb_html))
+                push(eb)
+                body_cells.append(("eb", eb, 1))
+                c += 1
+            else:
+                push("<td></td>", td_bbox(r, c, 1))
+                cell_texts.append(_words(rng, 1, 2))
+                td_specs.append((r, c, 1))
+                body_cells.append(("td", cell_texts[-1], 1))
+                c += 1
+        html_rows.append(("tbody", body_cells))
+        if truncated and last:
+            break                          # stream cut mid-row
+        push("</tr>")
+    if not truncated:
+        push("</tbody>")
+
+    if invalid_first_body and len(td_specs) > n_cols:
+        # first BODY td: out-of-range coord → zeroed → no box row
+        bad = next(i for i, t in enumerate(tokens)
+                   if t.startswith("<td") and
+                   rows_norm[i][1] > 0.125)
+        rows_norm[bad] = [1.5, 0.5, 0.25, 0.25]
+
+    used_texts = cell_texts[:-1] if drop_last else cell_texts
+    cell_dict = sorted(set("".join(used_texts)) or {"a"})
+    from ..core.masterhead import master_dict, master_encode
+    ids, cell_ids = master_encode(tokens, used_texts, cell_dict)
+    bboxes = list(rows_norm)
+    bboxes.append(noise())                 # the EOS step's row
+    pad_id = len(master_dict()) - 1
+    ids += [1, pad_id, pad_id]             # junk '<tr>' + PADs
+    bboxes += [noise(), noise(), [0.5, 0.5, 0.5, 0.5]]
+
+    # ---- forward ground truth ----
+    def fcell(text, span):
+        open_ = "<td>" if span == 1 else '<td colspan="2">'
+        if not text:
+            return ("<td></td>" if span == 1
+                    else '<td colspan="2"><b></b></td>')
+        return open_[:-1] + "><b>" + text + "</b></td>"
+
+    n_drop = len(cell_texts) - len(used_texts)
+    seen_td = 0
+    parts = []
+    for sec, cells in html_rows:
+        row = []
+        for kind, val, span in cells:
+            if kind == "eb":
+                row.append(eb_html[val])
+                continue
+            seen_td += 1
+            if seen_td > len(used_texts):
+                continue                   # reference drops the td
+            row.append(fcell(val, span))
+        parts.append((sec, "<tr>" + "".join(row) + "</tr>"))
+    gt_html = (
+        "<thead>"
+        + "".join(h for s, h in parts if s == "thead")
+        + "</thead><tbody>"
+        + "".join(h for s, h in parts if s == "tbody")
+        + "</tbody>")
+    assert n_drop in (0, 1) and seen_td == len(cell_texts)
+
+    gt_boxes = []
+    for (r, c, span), ti in zip(
+            td_specs,
+            (i for i, t in enumerate(tokens)
+             if t in ("<td></td>", "<td"))):
+        row = rows_norm[ti]
+        if not all(0.0 <= v <= 1.0 for v in row):
+            continue
+        cx, cy, w, h = row
+        x_, y_ = cx * pad_w / sx, cy * pad_h / sy
+        w_, h_ = w * pad_w / sx, h * pad_h / sy
+        gt_boxes.append(f"{int(x_ - w_ / 2)},{int(y_ - h_ / 2)},"
+                        f"{int(x_ + w_ / 2)},{int(y_ + h_ / 2)}")
+
+    payload["master"] = {
+        "ids": ids, "scores": [score] * len(ids), "bboxes": bboxes,
+        "pad_shape": [pad_h, pad_w], "scale_factor": [sy, sx],
+        "cells": [{"ids": p} for p in cell_ids],
+        "cell_dict": cell_dict,
+        "gt_tokens": ",".join(tokens),
+        "gt_html": f"{gt_html}|{score:.4f}",
+        "gt_boxes": gt_boxes}
+
+
 def _dump_ocr(rng, payload):
     """Finalize an ocr_page payload: plant the glyph evidence for its
     det_cells plus the five model-output contracts (DBNet prob map,
@@ -624,6 +798,9 @@ def _dump_ocr(rng, payload):
     rng_pd = random.Random(seed + "|picodet")
     if rng_pd.random() < 0.5:
         _plant_picodet(rng_pd, payload)
+    rng_ms = random.Random(seed + "|master")
+    if rng_ms.random() < 0.5:
+        _plant_master(rng_ms, payload)
     return json.dumps(payload, sort_keys=True)
 
 

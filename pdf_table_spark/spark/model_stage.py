@@ -551,6 +551,7 @@ def _make_neural_stage(weights_bc, version: str, mat_counter=None):
         from ..core.ctchead import ctc_decode, format_rec
         from ..core.dbnet import (db_postprocess, format_db_box,
                                   prob_map_from_payload)
+        from ..core.masterhead import master_output
         from ..core.slanethead import format_slanet, slanet_decode
         w = _get_model(version, weights_bc, mat_counter)
         thresh, box_thresh, max_cand, ratio, min_size = w.ravel()
@@ -604,6 +605,12 @@ def _make_neural_stage(weights_bc, version: str, mat_counter=None):
                         emit(did, off, "layout_box",
                              pico.format_layout_box(
                                  label, clsid, score, box))
+                ms = page.get("master")
+                if ms:
+                    html_wire, box_wires = master_output(ms)
+                    emit(did, off, "master_html", html_wire)
+                    for bw in box_wires:
+                        emit(did, off, "master_box", bw)
             yield pa.RecordBatch.from_arrays(
                 [pa.array(out["doc_id"], pa.string()),
                  pa.array(out["offset"], pa.int32()),
