@@ -335,14 +335,56 @@ _SPAN_TD_RE = re.compile(
     r'|<td rowspan="\d+">|<td colspan="\d+">')
 
 
+_ISOLATE_RE = re.compile(
+    r'<td></td> rowspan="\d+" colspan="\d+"></b></td>'
+    r'|<td></td> colspan="\d+" rowspan="\d+"></b></td>'
+    r'|<td></td> rowspan="\d+"></b></td>'
+    r'|<td></td> colspan="\d+"></b></td>')
+_SPAN_ATTR_RE = re.compile(
+    r' rowspan="\d+" colspan="\d+"| colspan="\d+" rowspan="\d+"'
+    r'| rowspan="\d+"| colspan="\d+"')
+_ANY_TD_RE = re.compile(
+    r'<td rowspan="\d+" colspan="\d+">(.+?)</td>'
+    r'|<td colspan="\d+" rowspan="\d+">(.+?)</td>'
+    r'|<td rowspan="\d+">(.+?)</td>'
+    r'|<td colspan="\d+">(.+?)</td>'
+    r'|<td>(.*?)</td>')
+
+
+def deal_isolate_span(part: str) -> str:
+    """Repair a mis-predicted split span token — the model emitting
+    '<td></td> rowspan="2"></b></td>' instead of
+    '<td rowspan="2"></td>' (master_post_processor.py:15-53)."""
+    for bad in _ISOLATE_RE.findall(part):
+        attr = _SPAN_ATTR_RE.search(bad)
+        if attr is not None:
+            part = part.replace(bad, f"<td{attr.group()}></td>")
+    return part
+
+
+def deal_duplicate_bb(part: str) -> str:
+    """Collapse multiple <b></b> pairs inside one cell to a single
+    wrapping pair (master_post_processor.py:56-88; its '<td>'-only
+    re-wrap leaves a stripped SPAN cell unbolded — a reference quirk
+    kept as-is)."""
+    for m in _ANY_TD_RE.finditer(part):
+        td = m.group()
+        if td.count("<b>") > 1 or td.count("</b>") > 1:
+            fixed = (td.replace("<b>", "").replace("</b>", "")
+                     .replace("<td>", "<td><b>")
+                     .replace("</td>", "</b></td>"))
+            part = part.replace(td, fixed)
+    return part
+
+
 def deal_bb(html: str, tag: str = "thead") -> str:
     """Bold every cell inside <tag>…</tag> (deal_bb — the splice path
     uses the thead default, the TableMaster/MTL postprocessor also
     runs the tbody arm); an empty bolded cell reverts to '<td></td>'
     (master_post_processor.py:156 — only the attribute-less literal,
-    an empty SPAN cell keeps its '<b></b>', a pinned quirk). The
-    model-error repair passes deal_isolate_span / deal_duplicate_bb
-    are no-ops on deterministic inputs and are omitted."""
+    an empty SPAN cell keeps its '<b></b>', a pinned quirk), then the
+    model-error repair passes run in reference order: duplicate-<b>
+    collapse, isolate-span repair."""
     m = _TAG_RES[tag].search(html)
     if m is None:
         return html
@@ -360,6 +402,8 @@ def deal_bb(html: str, tag: str = "thead") -> str:
                .replace("<b><b>", "<b>").replace("</b></b>", "</b>")
                .replace("<td>", "<td><b>").replace("<b><b>", "<b>"))
     new = new.replace("<td><b></b></td>", "<td></td>")
+    new = deal_duplicate_bb(new)
+    new = deal_isolate_span(new)
     return html.replace(part, new)
 
 

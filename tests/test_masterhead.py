@@ -149,3 +149,35 @@ def test_master_output_end_to_end():
         "<thead><tr><td><b>h</b></td></tr></thead>"
         "<tbody><tr><td><b>v</b></td></tr></tbody>|0.7500")
     assert boxes == ["192,32,320,96", "192,224,320,288"]
+
+
+def test_deal_isolate_span_repair():
+    from pdf_table_spark.core.ocrmatch import deal_isolate_span
+    # the reference docstring's own example: a split span prediction
+    bad = '<thead><tr><td></td> rowspan="2"></b></td><td>x</td></tr></thead>'
+    assert deal_isolate_span(bad) == (
+        '<thead><tr><td rowspan="2"></td><td>x</td></tr></thead>')
+    both = '<td></td> colspan="3" rowspan="2"></b></td>'
+    assert deal_isolate_span(both) == '<td colspan="3" rowspan="2"></td>'
+
+
+def test_deal_duplicate_bb_collapse():
+    from pdf_table_spark.core.ocrmatch import deal_duplicate_bb
+    part = "<td><b>a</b> <b>b</b></td>"
+    assert deal_duplicate_bb(part) == "<td><b>a b</b></td>"
+    # span cell: b's stripped, the '<td>'-only re-wrap never opens a
+    # new <b> but the '</td>' replace still closes one — the
+    # reference emits this unbalanced '</b>' (a pinned quirk)
+    sp = '<td colspan="2"><b>a</b><b>b</b></td>'
+    assert deal_duplicate_bb(sp) == '<td colspan="2">ab</b></td>'
+    # single pair untouched
+    ok = "<td><b>a</b></td>"
+    assert deal_duplicate_bb(ok) == ok
+
+
+def test_deal_bb_runs_repairs():
+    from pdf_table_spark.core.ocrmatch import deal_bb
+    html = "<thead><tr><td><b>a</b> <b>b</b></td></tr></thead>"
+    # bold pass dedupes the cell-edge b's; repair collapses the inner
+    assert deal_bb(html) == (
+        "<thead><tr><td><b>a b</b></td></tr></thead>")
