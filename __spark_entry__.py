@@ -940,15 +940,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # truth recorded in golden_media_meta.parquet BEFORE encoding,
         # so agreement is a real encoder↔decoder inverse check
         from pdf_table_spark.ops.multimodal import (
-            decode_media, media_refs_with_payloads, resize_media)
+            describe_media, media_refs_with_payloads)
         refs = media_refs_with_payloads(_spans_df(spark, sf_dir))
-        feat = decode_media(refs).select("media_ref", "n_bytes")
-        fake = resize_media(refs).join(feat, "media_ref")
+        fake = describe_media(refs)
         planted = spark.read.parquet(os.path.join(
             _fixture_dir(sf_dir), "media_payloads.parquet")).filter(
             F.col("media_ref").startswith("media://img/"))
-        pfeat = decode_media(planted).select("media_ref", "n_bytes")
-        real = resize_media(planted).join(pfeat, "media_ref")
+        real = describe_media(planted)
         return fake.unionByName(real)
 
     def q_model_scores(spark, sf_dir):

@@ -94,6 +94,32 @@ def fan_small_scan(spark: SparkSession, df: DataFrame,
     return df.repartition(par)
 
 
+def fan_cpu_bound(df: DataFrame) -> DataFrame:
+    """Widen a frame to the session's default parallelism when the
+    source handed it fewer partitions; unchanged otherwise.
+
+    Sibling of :func:`fan_small_scan` for CPU-BOUND Arrow stages
+    (codec decode, numpy CNN forwards): their cost is per ROW, not
+    per byte, so Spark's byte-based split sizing is the wrong lever —
+    a small parquet (one file → one row group → one partition)
+    serializes the whole stage on a single core (measured:
+    score_orient_cnn 3.4 s as ONE task at local[32], 0.35 s fanned).
+    The trade is one bounded round-robin exchange of the payload
+    bytes, negligible exactly when the condition fires (few, small
+    files). At web scale the input arrives as file splits ≥ the core
+    count, the condition is false, and no shuffle is added. The
+    partition-count test (not bytes) is deliberate: even a large
+    single-split input under-parallelizes a per-row-expensive stage,
+    and the exchange it buys is amortized by the stage cost."""
+    import os
+    if os.environ.get("SPARK_GRAFT_NO_FAN"):  # A/B kill switch
+        return df
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def read_corpus(spark: SparkSession, path: str,
                 fmt: str = "auto") -> DataFrame:
     """Load an interleaved documents corpus (parquet or JSONL) with the

@@ -812,6 +812,15 @@ def _make_ocrcnn_stage(weights_bc, version: str, mat_counter=None):
     return stage
 
 
+def _fan_cpu_bound(scans: DataFrame) -> DataFrame:
+    """CPU-bound widening for the scan-CNN stages — see
+    ``sources.corpus.fan_cpu_bound`` (the canonical definition and
+    rationale; measured here: score_orient_cnn 3.4 s as one task at
+    local[32], 0.35 s fanned)."""
+    from ..sources.corpus import fan_cpu_bound
+    return fan_cpu_bound(scans)
+
+
 def score_ocr_cnn(scans: DataFrame, weights_path: str | None = None,
                   _mat_counter=None) -> DataFrame:
     """The COMPLETE imaged-page OCR path as one Arrow stage: scan
@@ -843,7 +852,7 @@ def score_ocr_cnn(scans: DataFrame, weights_path: str | None = None,
         combined.update({f"rec_{k}": np.asarray(v).tolist()
                          for k, v in REC_CNN.items()})
         weights_bc = spark.sparkContext.broadcast(combined)
-    return scans.select("media_ref", "payload").mapInArrow(
+    return _fan_cpu_bound(scans.select("media_ref", "payload")).mapInArrow(
         _make_ocrcnn_stage(weights_bc, version, _mat_counter),
         schema=OCRCNN_SCHEMA)
 
@@ -926,7 +935,7 @@ def score_layout_cnn(scans: DataFrame, weights_path: str | None = None,
         combined.update({f"layout_{k}": np.asarray(v).tolist()
                          for k, v in LAYOUT_CNN.items()})
         weights_bc = spark.sparkContext.broadcast(combined)
-    return scans.select("media_ref", "payload").mapInArrow(
+    return _fan_cpu_bound(scans.select("media_ref", "payload")).mapInArrow(
         _make_layoutcnn_stage(weights_bc, version, _mat_counter),
         schema=LAYOUTCNN_SCHEMA)
 
@@ -1005,7 +1014,7 @@ def score_orient_cnn(scans: DataFrame, weights_path: str | None = None,
         combined.update({f"rec_{k}": np.asarray(v).tolist()
                          for k, v in REC_CNN.items()})
         weights_bc = spark.sparkContext.broadcast(combined)
-    return scans.select("media_ref", "payload").mapInArrow(
+    return _fan_cpu_bound(scans.select("media_ref", "payload")).mapInArrow(
         _make_orientcnn_stage(weights_bc, version, _mat_counter),
         schema=ORIENTCNN_SCHEMA)
 
@@ -1042,6 +1051,6 @@ def score_det_cnn(scans: DataFrame, weights_path: str | None = None,
         version = DETCNN_VERSION
         weights_bc = spark.sparkContext.broadcast(
             {k: np.asarray(v).tolist() for k, v in DET_CNN.items()})
-    return scans.select("media_ref", "payload").mapInArrow(
+    return _fan_cpu_bound(scans.select("media_ref", "payload")).mapInArrow(
         _make_detcnn_stage(weights_bc, version, _mat_counter),
         schema=DETCNN_SCHEMA)

@@ -123,6 +123,27 @@ def test_resize_media_fits_box_preserving_aspect(spark, fixture_root):
             assert (r.width, r.height) == (r.src_width, r.src_height)
 
 
+def test_describe_media_matches_composed_shape(spark, fixture_root):
+    # one-pass describe == decode + resize + join, column for column
+    from pdf_table_spark.ops.multimodal import (
+        decode_media, describe_media, media_refs_with_payloads,
+        resize_media)
+    spans = spark.read.parquet(os.path.join(
+        fixture_root, "sf0.001", "documents_spans.parquet"))
+    media = media_refs_with_payloads(spans)
+    one = {r.media_ref: r for r in describe_media(media).collect()}
+    feat = {r.media_ref: r.n_bytes
+            for r in decode_media(media).collect()}
+    two = {r.media_ref: r for r in resize_media(media).collect()}
+    assert set(one) == set(two)
+    for ref, r in one.items():
+        t = two[ref]
+        assert (r.width, r.height, r.src_width, r.src_height,
+                r.format) == (t.width, t.height, t.src_width,
+                              t.src_height, t.format)
+        assert r.n_bytes == feat[ref]
+
+
 def test_sample_frames_enumeration_and_determinism(spark):
     from pdf_table_spark.ops.multimodal import sample_frames
     vids = spark.createDataFrame(

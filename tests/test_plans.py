@@ -138,10 +138,13 @@ class TestPlans:
         head arm (TSR; det/rec + contours share one; the round-5
         DBNet/CTC/SLANet decoders share one; the det-CNN forward over
         scan images one; the round-5c full-OCR pixel pipeline one),
-        no exchange — the whole thing runs at scan speed."""
+        no KEYED exchange — the whole thing runs at scan speed. The
+        CPU-bound CNN arms may add bounded round-robin widenings on
+        tiny local scan files (model_stage._fan_cpu_bound — absent at
+        web scale), which don't count against the shuffle budget."""
         plan = plan_of(queries["ocr_from_model"](spark, SF_DIR))
         assert n_nodes(plan, "MapInArrow") == 5
-        assert n_nodes(plan, "Exchange") == 0
+        assert n_shuffles(plan) == 0
 
     def test_exact_substring_dispatch_reuses_join_exchanges(self,
                                                             spark):
