@@ -86,3 +86,28 @@ def test_fan_small_scan_policy(spark, tmp_path):
         assert fan_small_scan(spark, df, p) is df
     finally:
         del os.environ["SPARK_GRAFT_NO_FAN"]
+
+
+def test_fan_cpu_bound_policy(spark):
+    import os
+
+    from pdf_table_spark.sources.corpus import fan_cpu_bound
+    par = spark.sparkContext.defaultParallelism
+
+    # single-partition frame: widened to the session parallelism
+    narrow = spark.range(100).coalesce(1)
+    fanned = fan_cpu_bound(narrow)
+    assert fanned.rdd.getNumPartitions() == par
+    # rows preserved
+    assert fanned.count() == 100
+
+    # already-wide frame: untouched (no added exchange)
+    wide = spark.range(100).repartition(par)
+    assert fan_cpu_bound(wide) is wide
+
+    # kill switch for A/B runs
+    os.environ["SPARK_GRAFT_NO_FAN"] = "1"
+    try:
+        assert fan_cpu_bound(narrow) is narrow
+    finally:
+        del os.environ["SPARK_GRAFT_NO_FAN"]
