@@ -268,18 +268,38 @@ def unclip(box: np.ndarray, unclip_ratio: float = 2.0,
     return np.asarray(out)
 
 
+def box_score_slow(pred: np.ndarray, ys: np.ndarray,
+                   xs: np.ndarray) -> float:
+    """Mean probability over the REGION's own pixels — the
+    reference's ``box_score_slow`` (``processor_ocr_db_pp.py:270-289``
+    fillPoly's the traced contour, which for a solid region is
+    exactly its member-pixel mask), vs the fast mode's min-area-BOX
+    mean. The two differ on non-rectangular regions: an L-shaped blob
+    scores its own ink only here, while the fast box mean dilutes it
+    with the empty corner."""
+    if len(ys) == 0:
+        return 0.0
+    return float(pred[ys, xs].mean())
+
+
 def boxes_from_bitmap(pred: np.ndarray, bitmap: np.ndarray,
                       dest_width: int, dest_height: int,
                       box_thresh: float = 0.7,
                       unclip_ratio: float = 2.0,
                       max_candidates: int = 1000,
-                      min_size: int = 3):
+                      min_size: int = 3,
+                      score_mode: str = "fast"):
     """The reference's DBPostProcess.boxes_from_bitmap loop
     (``processor_ocr_db_pp.py:174-219``): per connected region —
-    mini box; drop sside < min_size; score, drop < box_thresh;
+    mini box; drop sside < min_size; score (``score_mode`` 'fast' =
+    min-area-box mean, 'slow' = filled-contour mean — the reference's
+    constructor switch, 'fast' shipped default), drop < box_thresh;
     unclip; mini box again, drop sside < min_size + 2; scale map →
     dest coords with banker's rounding (np.round) and clip.
     Returns (boxes int16 (n, 8) flat tl,tr,br,bl, scores)."""
+    if score_mode not in ("fast", "slow"):
+        raise ValueError(
+            f"score_mode must be fast|slow, got {score_mode!r}")
     h, w = bitmap.shape
     boxes, scores = [], []
     for ys, xs in connected_regions(bitmap, cap=max_candidates):
@@ -292,7 +312,8 @@ def boxes_from_bitmap(pred: np.ndarray, bitmap: np.ndarray,
         points, sside = min_area_rect(corners)
         if sside < min_size:
             continue
-        score = box_score_fast(pred, points)
+        score = (box_score_fast(pred, points) if score_mode == "fast"
+                 else box_score_slow(pred, ys, xs))
         if box_thresh > score:
             continue
         box, sside = min_area_rect(unclip(points, unclip_ratio))
@@ -320,7 +341,8 @@ def db_postprocess(prob_map: np.ndarray, dest_width: int,
         prob_map, bitmap, dest_width, dest_height,
         box_thresh=p["box_thresh"], unclip_ratio=p["unclip_ratio"],
         max_candidates=int(p["max_candidates"]),
-        min_size=int(p["min_size"]))
+        min_size=int(p["min_size"]),
+        score_mode=p.get("score_mode", "fast"))
 
 
 def prob_map_from_payload(db: dict) -> np.ndarray:

@@ -210,6 +210,31 @@ def master_html(token_str: str, cell_texts) -> str:
     return deal_bb(html, "tbody")
 
 
+def html_post_process(text: str) -> str:
+    """``html_post_process`` (master_post_processor.py:321-323): the
+    border-1 table wrap the reference ships in ``html_context``."""
+    return ('<html><body><table border="1">' + text
+            + "</table></body></html>")
+
+
+def master_structure(token_str: str):
+    """``MasterPostProcessor.get_table_structure`` +
+    ``get_table_structure_list`` (master_post_processor.py:331-350):
+    the TEXT-FREE structure views — virtual close, span merge, join,
+    bold both sections, html wrap; and the raw merged token list
+    wrapped in plain <html>/<body>/<table> markers. Returns
+    (structure_str, structure_str_list)."""
+    from .ocrmatch import deal_bb, merge_span_tokens
+    merged = merge_span_tokens(text_to_list(token_str))
+    pred_html = "".join(merged)
+    pred_html = deal_bb(pred_html, "thead")
+    pred_html = deal_bb(pred_html, "tbody")
+    structure_str = html_post_process(pred_html)
+    structure_list = (["<html>", "<body>", "<table>"] + merged
+                      + ["</table>", "</body>", "</html>"])
+    return structure_str, structure_list
+
+
 def master_output(payload: dict):
     """Decode one planted MtlTabNet output contract → the wire rows.
 

@@ -181,3 +181,21 @@ def test_deal_bb_runs_repairs():
     # bold pass dedupes the cell-edge b's; repair collapses the inner
     assert deal_bb(html) == (
         "<thead><tr><td><b>a b</b></td></tr></thead>")
+
+
+def test_master_structure_views():
+    tok = ",".join(["<thead>", "<tr>", "<td></td>", "</tr>",
+                    "</thead>", "<tbody>", "<tr>", "<td",
+                    ' colspan="2"', ">", "</td>", "<eb></eb>",
+                    "</tr>", "</tbody>"])
+    s, lst = MH.master_structure(tok)
+    # text-free: no eb expansion (get_table_structure never splices),
+    # spans merged, both sections bolded, empty plain td reverted
+    assert s == ('<html><body><table border="1">'
+                 "<thead><tr><td></td></tr></thead>"
+                 '<tbody><tr><td colspan="2"><b></b></td>'
+                 "<eb></eb></tr></tbody>"
+                 "</table></body></html>")
+    assert lst[:4] == ["<html>", "<body>", "<table>", "<thead>"]
+    assert '<td colspan="2"></td>' in lst
+    assert lst[-3:] == ["</table>", "</body>", "</html>"]

@@ -225,3 +225,24 @@ def test_score_neural_decoders_matches_plants(spark, fixture_root):
         got_cn[(r.doc_id, r.offset)] = \
             got_cn.get((r.doc_id, r.offset), 0) + 1
     assert got_cn == want_cn
+
+
+def test_db_score_mode_slow_vs_fast_on_L_blob():
+    import numpy as np
+
+    from pdf_table_spark.core.dbnet import db_postprocess
+    # L-shaped region: ink 0.9 on the L, the bbox's empty corner
+    # dilutes the FAST mean below box_thresh while SLOW (region-pixel
+    # mean) stays at 0.9 — reference box_score_slow semantics
+    pred = np.zeros((64, 64))
+    pred[10:30, 10:18] = 0.9     # vertical bar of the L
+    pred[22:30, 10:34] = 0.9     # foot of the L
+    fast = db_postprocess(pred, 64, 64, {"box_thresh": 0.7})
+    slow = db_postprocess(pred, 64, 64, {"box_thresh": 0.7,
+                                         "score_mode": "slow"})
+    assert fast[0] == []         # bbox mean ≈ 0.52 < 0.7 → dropped
+    assert len(slow[0]) == 1 and abs(slow[1][0] - 0.9) < 1e-9
+    # bad mode rejected
+    import pytest
+    with pytest.raises(ValueError):
+        db_postprocess(pred, 64, 64, {"score_mode": "best"})
