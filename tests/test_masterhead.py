@@ -199,3 +199,30 @@ def test_master_structure_views():
     assert lst[:4] == ["<html>", "<body>", "<table>", "<thead>"]
     assert '<td colspan="2"></td>' in lst
     assert lst[-3:] == ["</table>", "</body>", "</html>"]
+
+
+def test_master_roundtrip_property():
+    # encode → decode inverts for arbitrary well-formed streams and
+    # arbitrary cell texts over an arbitrary dictionary
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    alphabet = MH.master_dict()[:39]
+    texts = st.lists(
+        st.text(alphabet="abc <i>", min_size=0, max_size=12),
+        min_size=0, max_size=4)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.sampled_from(alphabet), min_size=1,
+                    max_size=30), texts)
+    def rt(tokens, cell_texts):
+        cdict = sorted({c for t in cell_texts for c in t} | {"<i>"})
+        # multi-char entry <i> must win the greedy longest match
+        ids, cell_ids = MH.master_encode(tokens, cell_texts, cdict)
+        tok_str, score = MH.master_decode_ids(
+            ids, [0.5] * len(ids))
+        assert tok_str == ",".join(tokens)
+        for path, text in zip(cell_ids, cell_texts):
+            assert MH.decode_cell_ids(path, cdict) == text
+
+    rt()
