@@ -270,16 +270,47 @@ def unclip(box: np.ndarray, unclip_ratio: float = 2.0,
 
 def box_score_slow(pred: np.ndarray, ys: np.ndarray,
                    xs: np.ndarray) -> float:
-    """Mean probability over the REGION's own pixels — the
-    reference's ``box_score_slow`` (``processor_ocr_db_pp.py:270-289``
-    fillPoly's the traced contour, which for a solid region is
-    exactly its member-pixel mask), vs the fast mode's min-area-BOX
-    mean. The two differ on non-rectangular regions: an L-shaped blob
-    scores its own ink only here, while the fast box mean dilutes it
-    with the empty corner."""
+    """Mean probability over the FILLED region — the reference's
+    ``box_score_slow`` (``processor_ocr_db_pp.py:270-289`` fillPoly's
+    the traced outer contour, so interior HOLES are filled in and
+    averaged too), vs the fast mode's min-area-BOX mean. The two
+    modes differ on non-rectangular regions: an L-shaped blob scores
+    its own ink only here, while the fast box mean dilutes it with
+    the empty corner. Hole filling: within the region's bbox, flood
+    the background 4-connectedly from the bbox border (4-connectivity
+    is the correct complement of the 8-connected foreground — a
+    diagonal foreground seal must stop the flood); background the
+    flood cannot reach is inside the outer contour and gets filled.
+    Vectorized as iterated neighbor-OR sweeps (a separable dilation
+    masked to background), O(bbox · diameter) worst case on tiny
+    per-region bboxes."""
     if len(ys) == 0:
         return 0.0
-    return float(pred[ys, xs].mean())
+    y0, y1 = int(ys.min()), int(ys.max())
+    x0, x1 = int(xs.min()), int(xs.max())
+    sub = np.zeros((y1 - y0 + 1, x1 - x0 + 1), dtype=bool)
+    sub[ys - y0, xs - x0] = True
+    if sub.all():                      # solid rectangle — no holes
+        return float(pred[ys, xs].mean())
+    bg = ~sub
+    reach = np.zeros_like(bg)
+    reach[0, :] = bg[0, :]
+    reach[-1, :] = bg[-1, :]
+    reach[:, 0] |= bg[:, 0]
+    reach[:, -1] |= bg[:, -1]
+    while True:
+        grown = reach.copy()
+        grown[1:, :] |= reach[:-1, :]
+        grown[:-1, :] |= reach[1:, :]
+        grown[:, 1:] |= reach[:, :-1]
+        grown[:, :-1] |= reach[:, 1:]
+        grown &= bg
+        if (grown == reach).all():
+            break
+        reach = grown
+    filled = sub | (bg & ~reach)       # unreachable background = hole
+    fys, fxs = np.nonzero(filled)
+    return float(pred[fys + y0, fxs + x0].mean())
 
 
 def boxes_from_bitmap(pred: np.ndarray, bitmap: np.ndarray,

@@ -55,8 +55,8 @@ forward pass is deterministic and is re-derived clean-room here from
 Dictionary layout (``update_dict``, master_convertor.py:170-196, with
 the reference's shipped config ``with_unknown=True,
 start_end_same=False``): alphabet + [<UKN>, <SOS>, <EOS>, <PAD>] —
-for the 38-token PubTabNet structure alphabet that puts UKN=38,
-SOS=39, EOS=40, PAD=41.
+for the 39-token PubTabNet structure alphabet that puts UKN=39,
+SOS=40, EOS=41, PAD=42 (dict length 43).
 
 Pure functions shared by the Spark Arrow stage, the fixture
 generator's encoder, and tests.

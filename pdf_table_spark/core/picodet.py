@@ -180,7 +180,12 @@ def picodet_decode(scores_list, boxes_list, input_shape, ori_shape,
     picked_box_probs[:, :4] /= im_scale
     out = []
     for clsid, row in zip(picked_labels, picked_box_probs):
-        out.append((labels[clsid], int(clsid), float(row[4]),
+        # a payload may declare n_classes beyond the bundled label
+        # table (the reference loads labels from the model artifact);
+        # fall back to a stable synthetic name instead of crashing
+        name = (labels[clsid] if clsid < len(labels)
+                else f"class_{int(clsid)}")
+        out.append((name, int(clsid), float(row[4]),
                     [float(v) for v in row[:4]]))
     return out
 

@@ -537,12 +537,38 @@ def _plant_picodet(rng, payload):
         (2.0, 2.0, 256.0, 256.0),      # clip exercised
         (1.0, 0.5, 512.0, 1024.0),
     ])
-    tiles = [(tx, ty) for tx in range(4) for ty in range(4)]
+    clip_case = oh == 256.0
+    if clip_case:
+        # org < input: only the top-left 2x2 tile quadrant survives
+        # the clip non-degenerately — boxes planted further right/down
+        # would ALL collapse onto the org corner (identical degenerate
+        # boxes across tiles broke the NMS == group-max invariant the
+        # DuckDB twin relies on; found by review at sf0.1). The clip
+        # itself is exercised by a dedicated wide-box anchor below.
+        tiles = [(tx, ty) for tx in range(2) for ty in range(2)]
+    else:
+        tiles = [(tx, ty) for tx in range(4) for ty in range(4)]
     rng.shuffle(tiles)
     levels = {s: [] for s in strides}
     scores_pool = [0.5625, 0.625, 0.6875, 0.75, 0.8125, 0.875, 0.9375]
     rng.shuffle(scores_pool)
-    n_boxes = rng.randint(2, 5)
+    if clip_case:
+        # the clip exerciser: a stride-32 anchor whose right DFL bin
+        # is maxed (br=[7] → 224 px) so x1 crosses org and clips to
+        # ow — POSITIVE width retained (x0 stays mid-tile). Its own
+        # tile AND its horizontal neighbor are reserved so the wide
+        # box overlaps no other planted box.
+        tx, ty = tiles.pop()
+        if (1 - tx, ty) in tiles:
+            tiles.remove((1 - tx, ty))
+        c32 = (tx * 128 + 64) // 32
+        r32 = (ty * 128 + 64) // 32
+        levels[32].append({"r": r32, "c": c32,
+                           "cls": rng.randint(0, 9),
+                           "score": 0.90625,
+                           "bl": [1], "bt": [1], "br": [7],
+                           "bb": [1]})
+    n_boxes = rng.randint(2, min(5, len(tiles)))
     made_dup = False
     for b in range(n_boxes):
         tx, ty = tiles.pop()
@@ -562,7 +588,11 @@ def _plant_picodet(rng, payload):
         kmax = max(1, min(7, int((margin - 4) // s)))
 
         def bins():
-            k = rng.randint(0, kmax)
+            # k >= 1 always: a zero-bin pair on one axis would decode
+            # a ZERO-AREA box, whose IoU with its planted duplicate is
+            # 0 — hard-NMS would keep both while the twin's group-max
+            # merges them (found by review at sf0.1)
+            k = rng.randint(1, kmax)
             # two-bin sets add 0.5 to the mean — only when that still
             # fits both the bin range and the tile margin
             if rng.random() < 0.5 or k + 1 > kmax or k >= 7:

@@ -104,6 +104,17 @@ RESIZE_SCHEMA = ("media_ref string, width int, height int, "
                  "src_width int, src_height int, format string")
 
 
+def _decode_fit(payload, max_w: int, max_h: int):
+    """Shared per-row decode + aspect-preserving fit: → (fit_w, fit_h,
+    src_w, src_h, fmt, n_bytes). The ONE copy of the fit arithmetic
+    behind ``resize_media`` and ``describe_media`` (pinned equal in
+    test_describe_media_matches_composed_shape)."""
+    data = bytes(payload) if payload is not None else b""
+    sw, sh, fmt, _feat = _decode_image(data)
+    scale = min(max_w / sw, max_h / sh, 1.0)
+    return int(sw * scale), int(sh * scale), sw, sh, fmt, len(data)
+
+
 def resize_media(media: DataFrame, max_w: int = 256,
                  max_h: int = 256) -> DataFrame:
     """Aspect-preserving resize of image payloads into a max_w x max_h
@@ -118,12 +129,11 @@ def resize_media(media: DataFrame, max_w: int = 256,
                                     "src_width", "src_height", "format")}
             for ref, payload in zip(pdf["media_ref"].values,
                                     pdf["payload"].values):
-                data = bytes(payload) if payload is not None else b""
-                sw, sh, fmt, _feat = _decode_image(data)
-                scale = min(max_w / sw, max_h / sh, 1.0)
+                w, h, sw, sh, fmt, _nb = _decode_fit(
+                    payload, max_w, max_h)
                 rows["media_ref"].append(ref)
-                rows["width"].append(int(sw * scale))
-                rows["height"].append(int(sh * scale))
+                rows["width"].append(w)
+                rows["height"].append(h)
                 rows["src_width"].append(sw)
                 rows["src_height"].append(sh)
                 rows["format"].append(fmt)
@@ -159,16 +169,15 @@ def describe_media(media: DataFrame, max_w: int = 256,
                                     "format", "n_bytes")}
             for ref, payload in zip(pdf["media_ref"].values,
                                     pdf["payload"].values):
-                data = bytes(payload) if payload is not None else b""
-                sw, sh, fmt, _feat = _decode_image(data)
-                scale = min(max_w / sw, max_h / sh, 1.0)
+                w, h, sw, sh, fmt, nb = _decode_fit(
+                    payload, max_w, max_h)
                 rows["media_ref"].append(ref)
-                rows["width"].append(int(sw * scale))
-                rows["height"].append(int(sh * scale))
+                rows["width"].append(w)
+                rows["height"].append(h)
                 rows["src_width"].append(sw)
                 rows["src_height"].append(sh)
                 rows["format"].append(fmt)
-                rows["n_bytes"].append(len(data))
+                rows["n_bytes"].append(nb)
             yield pd.DataFrame(rows)
 
     from ..sources.corpus import fan_cpu_bound

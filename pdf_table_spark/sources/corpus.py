@@ -110,12 +110,23 @@ def fan_cpu_bound(df: DataFrame) -> DataFrame:
     count, the condition is false, and no shuffle is added. The
     partition-count test (not bytes) is deliberate: even a large
     single-split input under-parallelizes a per-row-expensive stage,
-    and the exchange it buys is amortized by the stage cost."""
+    and the exchange it buys is amortized by the stage cost.
+
+    The probe sees the PRE-AQE planned count, and AQE's byte-keyed
+    coalescing would happily shrink a tiny post-shuffle frame (e.g.
+    a ``.distinct()`` feeding a decode) back to one runtime
+    partition — so the trigger is ``<=``: when the planned count is
+    at-or-below the parallelism, the explicit numPartitions
+    repartition is inserted, which AQE respects (user-specified
+    counts are never coalesced). A post-shuffle plan whose
+    ``shuffle.partitions`` exceeds the core count still bypasses the
+    guard — size ``shuffle.partitions`` to the session, as this
+    repo's sessions do."""
     import os
     if os.environ.get("SPARK_GRAFT_NO_FAN"):  # A/B kill switch
         return df
     par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    if df.rdd.getNumPartitions() <= par:
         return df.repartition(par)
     return df
 

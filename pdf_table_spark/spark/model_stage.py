@@ -607,7 +607,14 @@ def _make_neural_stage(weights_bc, version: str, mat_counter=None):
                                  label, clsid, score, box))
                 ms = page.get("master")
                 if ms:
-                    html_wire, box_wires = master_output(ms)
+                    try:
+                        html_wire, box_wires = master_output(ms)
+                    except Exception:  # noqa: BLE001 — a degenerate
+                        # stream (e.g. decoding to a single token)
+                        # IndexErrors in the reference's own
+                        # text_to_list; quarantine the page instead
+                        # of failing every page in the partition
+                        continue
                     emit(did, off, "master_html", html_wire)
                     for bw in box_wires:
                         emit(did, off, "master_box", bw)

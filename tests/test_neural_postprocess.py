@@ -246,3 +246,27 @@ def test_db_score_mode_slow_vs_fast_on_L_blob():
     import pytest
     with pytest.raises(ValueError):
         db_postprocess(pred, 64, 64, {"score_mode": "best"})
+
+
+def test_db_score_slow_fills_holes_like_fillpoly():
+    import numpy as np
+
+    from pdf_table_spark.core.dbnet import box_score_slow
+    # ring of 0.9 around a 0.0 hole: the reference fillPoly's the
+    # OUTER contour, averaging the hole pixels in; member-pixel-only
+    # scoring would read 0.9
+    pred = np.zeros((20, 20))
+    pred[4:12, 4:12] = 0.9
+    pred[6:10, 6:10] = 0.0       # the hole
+    mask = (pred > 0.3).astype(np.uint8)
+    ys, xs = np.nonzero(mask)
+    n_ring, n_hole = len(ys), 16
+    want = 0.9 * n_ring / (n_ring + n_hole)
+    assert abs(box_score_slow(pred, ys, xs) - want) < 1e-12
+    # concave notch touching the bbox border stays OUT (reachable
+    # background, not a hole)
+    pred2 = np.zeros((20, 20))
+    pred2[2:10, 2:6] = 0.8       # vertical bar
+    pred2[6:10, 2:14] = 0.8      # foot -> L shape
+    ys2, xs2 = np.nonzero(pred2 > 0.3)
+    assert abs(box_score_slow(pred2, ys2, xs2) - 0.8) < 1e-12

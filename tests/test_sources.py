@@ -101,8 +101,15 @@ def test_fan_cpu_bound_policy(spark):
     # rows preserved
     assert fanned.count() == 100
 
-    # already-wide frame: untouched (no added exchange)
-    wide = spark.range(100).repartition(par)
+    # frame planned AT the parallelism still widens: the planned
+    # count is pre-AQE, and byte-keyed coalescing would shrink a tiny
+    # post-shuffle frame to one runtime partition — the explicit
+    # numPartitions repartition pins it (AQE respects user counts)
+    at_par = spark.range(100).repartition(par)
+    assert fan_cpu_bound(at_par) is not at_par
+
+    # genuinely wider frame: untouched (no added exchange)
+    wide = spark.range(100).repartition(par + 1)
     assert fan_cpu_bound(wide) is wide
 
     # kill switch for A/B runs
