@@ -137,19 +137,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                 "documents_spans.parquet"),
             flavor="stream")
 
+    def _extract_flat_docs(spark, sf_dir, doc_pred: str) -> DataFrame:
+        # doc-subset extraction: the predicate is per-DOCUMENT (an
+        # exists() over the input spans), and the pipeline is
+        # per-document independent (explode → per-span map → groupBy
+        # doc_id), so filtering the documents BEFORE extraction yields
+        # bit-identical rows for the surviving docs while skipping the
+        # Python decode of every other doc — the "don't compute things
+        # you throw away" rule (optimization guide §1.2), replacing
+        # the old extract-everything-then-broadcast-join shape.
+        import sys
+        sys.path.insert(0, REPO)
+        from pdf_table_spark.spark.pipeline import (extract_documents,
+                                                    flatten_output)
+        docs = _spans_df(spark, sf_dir).filter(F.expr(doc_pred))
+        return flatten_output(extract_documents(docs))
+
     def q_ocr_table_match(spark, sf_dir):
         # the imaged-document path: docs whose spans carry ocr_page
         # payloads (det/rec/TSR stand-in outputs) extract via the J3
         # 3-tier match + X10 token splice (core.ocrmatch)
-        spans = _spans_df(spark, sf_dir)
-        ocr_docs = spans.filter(
-            F.expr("exists(spans, s -> s.kind = 'ocr_page')")
-        ).select("doc_id")
-        return (
-            _extract_flat(spark, sf_dir)
-            .join(F.broadcast(ocr_docs), "doc_id")
-            .select("doc_id", "offset", "kind", "text")
-        )
+        return _extract_flat_docs(
+            spark, sf_dir, "exists(spans, s -> s.kind = 'ocr_page')"
+        ).select("doc_id", "offset", "kind", "text")
 
     def q_ocr_table_logi(spark, sf_dir):
         # the polygon + logical-axis TSR contract (LORE / CenterNet /
@@ -157,46 +167,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # axes decode via core.logicell (process_logic_output rounding
         # -> is_priori sort -> build_table_cell_from_axis grid ->
         # cell-grid text match)
-        spans = _spans_df(spark, sf_dir)
-        logi_docs = spans.filter(
-            F.expr("exists(spans, s -> s.kind = 'ocr_page' "
-                   "and s.text like '%\"logi\"%')")
-        ).select("doc_id")
-        return (
-            _extract_flat(spark, sf_dir)
-            .join(F.broadcast(logi_docs), "doc_id")
-            .select("doc_id", "offset", "kind", "text")
-        )
+        return _extract_flat_docs(
+            spark, sf_dir,
+            "exists(spans, s -> s.kind = 'ocr_page' "
+            "and s.text like '%\"logi\"%')"
+        ).select("doc_id", "offset", "kind", "text")
 
     def q_ocr_table_lgpma(spark, sf_dir):
         # the LGPMA aligned-bbox contract (M9): docs whose ocr_page
         # payloads carry per-class scored cell boxes decode via
         # core.lgpma (cross-class NMS -> bbox2adj adjacency -> maximal
         # -clique rows/cols -> empty-cell fill -> IoU>=0.75 OCR match)
-        spans = _spans_df(spark, sf_dir)
-        lg_docs = spans.filter(
-            F.expr("exists(spans, s -> s.kind = 'ocr_page' "
-                   "and s.text like '%\"lgpma\"%')")
-        ).select("doc_id")
-        return (
-            _extract_flat(spark, sf_dir)
-            .join(F.broadcast(lg_docs), "doc_id")
-            .select("doc_id", "offset", "kind", "text")
-        )
+        return _extract_flat_docs(
+            spark, sf_dir,
+            "exists(spans, s -> s.kind = 'ocr_page' "
+            "and s.text like '%\"lgpma\"%')"
+        ).select("doc_id", "offset", "kind", "text")
 
     def q_html_main_content(spark, sf_dir):
         # the web-document path: docs whose spans are full HTML pages
         # extract via boilerplate strip + DOM heuristics
         # (core.htmlpage — the north rule's first clause)
-        spans = _spans_df(spark, sf_dir)
-        web_docs = spans.filter(
-            F.expr("exists(spans, s -> s.kind = 'html_page')")
-        ).select("doc_id")
-        return (
-            _extract_flat(spark, sf_dir)
-            .join(F.broadcast(web_docs), "doc_id")
-            .select("doc_id", "offset", "kind", "text", "media_ref")
-        )
+        return _extract_flat_docs(
+            spark, sf_dir, "exists(spans, s -> s.kind = 'html_page')"
+        ).select("doc_id", "offset", "kind", "text", "media_ref")
 
     def q_extract_kind_stats(spark, sf_dir):
         return (
@@ -522,16 +516,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.simhash_pairs(
             _t(spark, sf_dir, "documents", fan=False), max_hamming=3)
 
-    def q_audio_chunks(spark, sf_dir):
+    def q_audio_chunks(spark, sf_dir, refs: DataFrame | None = None):
         # audio modality: windowed 30s chunk enumeration (JVM-side
         # sequence/explode; only kept windows would reach a decoder).
         # Audio metadata is hash-derived from media refs (no audio
         # table in the corpus): duration 1-90s at 16 kHz.
+        # ``refs`` lets a composed query share the ref table.
         from pdf_table_spark.ops.dedup import H60_SPARK
         from pdf_table_spark.ops.multimodal import (
             chunk_audio, media_refs_with_payloads)
-        refs = media_refs_with_payloads(
-            _spans_df(spark, sf_dir)).select("media_ref")
+        if refs is None:
+            refs = media_refs_with_payloads(
+                _spans_df(spark, sf_dir)).select("media_ref")
         audio = refs.select(
             "media_ref",
             F.expr(f"(({H60_SPARK.format(s='media_ref')} % 90) + 1) "
@@ -540,16 +536,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return chunk_audio(audio, window_sec=30.0, hop_sec=30.0).select(
             "media_ref", "chunk_idx", "start_sec", "end_sec")
 
-    def q_video_frames(spark, sf_dir):
+    def q_video_frames(spark, sf_dir, refs: DataFrame | None = None):
         # video modality: every-5th-frame sampling enumeration
         # (JVM-side sequence/explode; only sampled frames would reach
         # a decoder). Video metadata is hash-derived from media refs:
         # 1-240 frames at 1-30 fps.
+        # ``refs`` lets a composed query share the ref table.
         from pdf_table_spark.ops.dedup import H60_SPARK
         from pdf_table_spark.ops.multimodal import (
             media_refs_with_payloads, sample_frames)
-        refs = media_refs_with_payloads(
-            _spans_df(spark, sf_dir)).select("media_ref")
+        if refs is None:
+            refs = media_refs_with_payloads(
+                _spans_df(spark, sf_dir)).select("media_ref")
         h = H60_SPARK.format(s="media_ref")
         hf = H60_SPARK.format(s="media_ref || 'f'")
         videos = refs.select(
@@ -671,12 +669,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pdf_table_spark.ops.export import export_tables
         return export_tables(_extract_flat(spark, sf_dir))
 
-    def q_doc_html(spark, sf_dir):
+    def q_doc_html(spark, sf_dir, flat: DataFrame | None = None):
         # S7 merged multi-page HTML: per doc, spans in offset order
         # rendered and concatenated, source spans (pages) joined with
         # the reference CLI's '@@@@@@' merge separator — all JVM array
-        # expressions (make_pdf_output_html, cli/main.py:154-226)
-        out = _extract_flat(spark, sf_dir)
+        # expressions (make_pdf_output_html, cli/main.py:154-226).
+        # ``flat`` lets a composed query (q_exports) hand in a shared
+        # extraction frame instead of re-running the pipeline.
+        out = flat if flat is not None else _extract_flat(spark, sf_dir)
         return (
             out.groupBy("doc_id")
             .agg(F.array_sort(F.collect_list(F.struct(
@@ -864,14 +864,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             F.col("component") == F.col("doc_id")))
 
     def q_minhash_lsh(spark, sf_dir):
-        # signatures + band-join candidate pairs + pairwise survivors
+        # signatures + band-join candidate pairs + pairwise survivors.
+        # The signature table feeds all three arms (sig rows, the band
+        # join, and keep's anti-join side) and the pair table feeds
+        # two; without a persist each reference re-runs the full
+        # shingle explode + 64-perm aggregation (measured: signatures
+        # computed 3x per run). Persisted within the query (released
+        # by dedup.release_caches()) — plan digest: three
+        # shingle-scan subtrees → one InMemoryTableScan.
         d = _t(spark, sf_dir, "documents")
-        sig = dedup.minhash_signatures(d).select(
+        sig_full = dedup.minhash_signatures(d)
+        sig = sig_full.select(
             F.lit("sig").alias("part"), F.col("doc_id").alias("a"),
             F.lit(None).cast("bigint").alias("b"),
             F.concat_ws(",", *[F.col(f"s{i}").cast("string")
                                for i in range(8)]).alias("val"))
-        pairs_df = dedup.minhash_lsh_pairs(d)
+        pairs_df = dedup._lsh_pairs_from_signatures(
+            sig_full, max_bucket=None)
         pairs = pairs_df.select(
             F.lit("pair").alias("part"), F.col("doc_a").alias("a"),
             F.col("doc_b").alias("b"),
@@ -886,13 +895,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sig.unionByName(pairs).unionByName(keep)
 
     def q_simhash_merged(spark, sf_dir):
-        # 60-bit fingerprints + banded-hamming verified pairs, tagged
+        # 60-bit fingerprints + banded-hamming verified pairs, tagged.
+        # The fingerprint table feeds both arms (sig rows AND the
+        # banded pair join's two sides); persisted within the query so
+        # the token explode + 60 vote aggregations run once instead of
+        # twice (released by dedup.release_caches()).
         d = _t(spark, sf_dir, "documents", fan=False)
-        sig = dedup.simhash(d).select(
+        fp = dedup.simhash(d).persist()
+        dedup._PERSISTED.append(fp)
+        sig = fp.select(
             F.lit("sig").alias("part"), F.col("doc_id").alias("a"),
             F.lit(None).cast("bigint").alias("b"),
             F.col("simhash").cast("bigint").alias("val"))
-        pr = dedup.simhash_pairs(d, max_hamming=3).select(
+        pr = dedup.simhash_pairs_from_fingerprints(
+            fp, max_hamming=3).select(
             F.lit("pair").alias("part"), F.col("doc_a").alias("a"),
             F.col("doc_b").alias("b"),
             F.col("hamming").cast("bigint").alias("val"))
@@ -918,13 +934,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out
 
     def q_media_sampling(spark, sf_dir):
-        # audio 30s chunk windows + every-5th video frames, tagged
-        au = q_audio_chunks(spark, sf_dir).select(
+        # audio 30s chunk windows + every-5th video frames, tagged.
+        # Both arms derive from the same media-ref table (explode +
+        # distinct over the spans scan); persisted within the query so
+        # that shuffle runs once (released by dedup.release_caches()).
+        from pdf_table_spark.ops.multimodal import (
+            media_refs_with_payloads)
+        refs = media_refs_with_payloads(
+            _spans_df(spark, sf_dir)).select("media_ref")
+        au = q_audio_chunks(spark, sf_dir, refs=refs).select(
             "media_ref", F.lit("audio").alias("modality"),
             F.col("chunk_idx").alias("idx"),
             F.col("start_sec").alias("t0"),
             F.col("end_sec").alias("t1"))
-        vi = q_video_frames(spark, sf_dir).select(
+        vi = q_video_frames(spark, sf_dir, refs=refs).select(
             "media_ref", F.lit("video").alias("modality"),
             F.col("frame_idx").alias("idx"),
             F.col("ts_sec").alias("t0"),
@@ -1021,8 +1044,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .unionByName(ocnn).unionByName(lcnn))
 
     def q_exports(spark, sf_dir):
-        # S7 fan-out melted long (fmt, payload) + merged doc HTML
-        ex = q_table_exports(spark, sf_dir)
+        # S7 fan-out melted long (fmt, payload) + merged doc HTML.
+        # Both arms consume the extraction output; without a persist
+        # the full pipeline (scan → Arrow decode → reassembly) ran
+        # TWICE per action. Persisted within the query (released by
+        # dedup.release_caches()).
+        from pdf_table_spark.ops.export import export_tables
+        flat = _extract_flat(spark, sf_dir)
+        ex = export_tables(flat)
         off_ty = dict(ex.dtypes)["offset"]
         melted = ex.select(
             "doc_id", "offset", F.expr(
@@ -1033,7 +1062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "'json_rows', json_rows, 'sqlite_sql', sqlite_sql, "
                 "'excel_xml', excel_xml, 'html_db', html_db) "
                 "as (fmt, payload)"))
-        dh = q_doc_html(spark, sf_dir).select(
+        dh = q_doc_html(spark, sf_dir, flat=flat).select(
             "doc_id", F.lit(-1).cast(off_ty).alias("offset"),
             F.lit("doc_html").alias("fmt"),
             F.col("html").alias("payload"))
