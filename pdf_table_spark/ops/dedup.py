@@ -219,6 +219,7 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     with a cap, jaccard is computed over surviving shingles on both
     the intersection AND size sides, the standard approximation).
     """
+    from pyspark.sql.window import Window
     arrs = shingle_hash_arrays(docs)
     if max_df is not None:
         sh0 = arrs.select("doc_id", F.explode("shs").alias("sh"))
@@ -229,49 +230,35 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     if cache:
         arrs = arrs.persist()
         _PERSISTED.append(arrs)
-    sh = arrs.select("doc_id", F.explode("shs").alias("sh"))
 
-    # global total order: (unique-first, sh asc). Full df-ascending
-    # ordering is the textbook choice, but only REPEATED shingles can
-    # ever collide in a prefix — a df=1 shingle produces no candidate
-    # — so a two-level order (unique before repeated, hash asc within)
-    # keeps the entire win: prefixes fill with never-colliding unique
-    # shingles first. The per-doc repeated set is joined back SMALL
-    # (only df>=2 shingles) and the rank/slice happens INSIDE the
-    # per-doc array in one JVM pass — no full-shingle-table shuffle.
-    reps = (sh.groupBy("sh").agg(F.count("*").alias("c"))
-            .filter(F.col("c") >= 2).select("sh"))
-    rep_doc = (sh.join(reps, "sh")
-               .groupBy("doc_id").agg(F.collect_set("sh").alias("reps")))
+    # global total order: FULL df-ascending, (df, sh) — the textbook
+    # PPJoin choice. Rarest shingles fill prefixes first, so a
+    # boilerplate shingle shared by k docs only lands in a prefix
+    # when a doc has nothing rarer to offer — the k² collision the
+    # prefix lemma is there to avoid stays rare even on corpora where
+    # almost every shingle repeats. (An earlier two-level order —
+    # binary unique-vs-repeated flag, hash asc within — degenerated
+    # to plain hash order exactly there, while paying two extra
+    # shuffles and a per-doc interpreted struct-sort to build the
+    # flag arrays; the window formulation below replaces all of that
+    # with one codegen'd sort in the doc_id exchange. Any global
+    # total order preserves the lemma, and the exact verify makes the
+    # candidate set's composition invisible in the output.)
+    sh = arrs.select("doc_id", F.size("shs").alias("n_sh"),
+                     F.explode("shs").alias("sh"))
+    dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))
     # ceil over a float product may round UP on noise, which would
     # SHORTEN the prefix and lose exactness — the epsilon can only
-    # lengthen it (extra candidates are harmless). The rep flag is
-    # attached ONCE per element (a struct transform), then the sort
-    # runs on the struct's natural order — a comparator lambda here
-    # is interpreted per COMPARISON and measured 3x slower.
-    prefix_expr = f"""
-        transform(
-          slice(
-            array_sort(transform(shs, x -> struct(
-              coalesce(array_contains(reps, x), false) as rep,
-              x as sh))),
-            1,
-            greatest(cast(size(shs)
-                          - ceil({threshold} * size(shs) - 1e-9)
-                          + 1 as int), 0)),
-          p -> p.sh)
-    """
+    # lengthen it (extra candidates are harmless).
+    w = Window.partitionBy("doc_id").orderBy("df", "sh")
     pref = (
-        arrs.join(rep_doc, "doc_id", "left")
-        .select("doc_id", F.size("shs").alias("n_sh"),
-                F.expr(prefix_expr).alias("prefix"))
-        .select("doc_id", "n_sh",
-                F.posexplode("prefix").alias("pos", "sh")))
-    if cache:
-        # both sides of the candidate self-join read pref — without a
-        # persist the rep-flag sort runs twice
-        pref = pref.persist()
-        _PERSISTED.append(pref)
+        sh.join(dfreq, "sh")
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("int"))
+        .filter(F.col("pos") < F.greatest(
+            (F.col("n_sh")
+             - F.ceil(threshold * F.col("n_sh") - 1e-9) + 1)
+            .cast("int"), F.lit(0)))
+        .select("doc_id", "n_sh", "pos", "sh"))
 
     # two more EXACT cuts on the collision join (PPJoin §3):
     #  - length filter: J >= t forces t*|x| <= |y| <= |x|/t;
@@ -678,17 +665,16 @@ def exact_substring_dedup(docs: DataFrame, n: int = 50,
     ``hash_fn``: 'md5' (DuckDB-replicable — the oracle contract) or
     'xxhash64' (bigint keys, the production default elsewhere).
 
-    Scale bound: the final cut application is ONE Arrow stage that
-    scatters each doc's cut-index set into a boolean mask and
-    compresses the token array through it — O(n_tokens + |cut|) per
-    doc. (The previous SQL formulation probed ``array_contains(cut,
-    i)`` per token — a linear scan per probe, O(n_tokens x |cut|): a
-    heavily-duplicated 100k-token doc was ~1e10 comparisons inside
-    ONE task. Measured on exactly that pathological fixture, the mask
-    sweep is bounded — see tests/test_properties.py — while the probe
-    formulation did not finish.) The distributed spans/groupBy stages
-    are corpus-linear and proved at 50M docs / 895M tokens
-    (BASELINE.md).
+    Scale bound: the final cut application is ONE JVM projection that
+    splits each doc's token array at its sorted cut indexes and
+    rejoins the gap slices — O(n_tokens + |cut|) per doc, no Python
+    boundary. (An earlier SQL formulation probed ``array_contains(
+    cut, i)`` per token — a linear scan per probe, O(n_tokens x
+    |cut|): a heavily-duplicated 100k-token doc was ~1e10 comparisons
+    inside ONE task; the gap-slice sweep is bounded on exactly that
+    pathological fixture — see tests/test_ops.py.) The distributed
+    spans/groupBy stages are corpus-linear and proved at 50M docs /
+    895M tokens (BASELINE.md).
     """
     window_cols = ", ".join(f"w.`{k}`" for k in range(n))
     if hash_fn == "md5":
@@ -755,74 +741,37 @@ def exact_substring_dedup(docs: DataFrame, n: int = 50,
                 f"sequence(start, start + {n - 1})")).alias("idx"))
         .distinct()
         .groupBy("doc_id").agg(F.collect_set("idx").alias("cut")))
-    id_ty = dict(docs.dtypes)["doc_id"]
-    # Dispatch: only docs that actually hold a cut cross the Python
-    # boundary. On realistic corpora that is a few percent (1.8 % on
-    # the 50M proof corpus); the other ~98 % take a pure JVM
-    # projection instead of Arrow-serializing every token (with the
-    # window dispatch above: 50M wall 691 s vs 1,201 s for the
-    # round-4 formulation, outputs bit-identical — BASELINE.md round
-    # 5). Both branches filter the SAME join, so the tk shuffle and
-    # the cuts lineage execute once (ReusedExchange — asserted
-    # executed in test_plans).
-    joined = tk.join(cuts, "doc_id", "left")
-    uncut = joined.filter(F.col("cut").isNull()).select(
-        "doc_id",
-        F.size("tk").cast("int").alias("n_tokens"),
-        F.lit(0).cast("int").alias("n_removed"),
-        F.concat_ws(" ", "tk").alias("clean_text"))
-    cut_docs = (
-        joined.filter(F.col("cut").isNotNull())
-        .mapInArrow(_apply_cut_masks,
-                    schema=f"doc_id {id_ty}, n_tokens int, "
-                           f"n_removed int, clean_text string"))
-    return uncut.unionByName(cut_docs)
-
-
-def _apply_cut_masks(batches):
-    """Arrow stage for :func:`exact_substring_dedup`'s final step:
-    (doc_id, tk: array<string>, cut: array<int>|null) → (doc_id,
-    n_tokens, n_removed, clean_text). One boolean-mask scatter over
-    the batch's flattened token values, one vectorized compress
-    (Arrow filter), one list rebuild, one ``binary_join`` — linear in
-    tokens, no per-token set probe, and no token ever becomes a
-    Python object."""
-    import numpy as np
-    import pyarrow as pa
-    import pyarrow.compute as pc
-    for batch in batches:
-        nrows = batch.num_rows
-        tk_col = batch.column(1)
-        cut_col = batch.column(2)
-        tok_lens = np.nan_to_num(
-            pc.list_value_length(tk_col).to_numpy(
-                zero_copy_only=False).astype(np.float64)).astype(
-            np.int64)
-        cut_lens = np.nan_to_num(
-            pc.list_value_length(cut_col).to_numpy(
-                zero_copy_only=False).astype(np.float64)).astype(
-            np.int64)
-        tok_vals = tk_col.flatten()  # offset-adjusted values, Arrow
-        tok_offs = np.concatenate(([0], np.cumsum(tok_lens)))
-        keep = np.ones(len(tok_vals), dtype=bool)
-        cut_vals = cut_col.flatten().to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        # global scatter: each cut index shifted by its row's token
-        # offset (null-cut rows contribute zero entries)
-        row_of_cut = np.repeat(np.arange(nrows), cut_lens)
-        keep[cut_vals + tok_offs[row_of_cut]] = False
-        kept_vals = tok_vals.filter(pa.array(keep))
-        kept_offs = np.concatenate(
-            ([0], np.cumsum(tok_lens - cut_lens))).astype(np.int32)
-        kept_lists = pa.ListArray.from_arrays(
-            pa.array(kept_offs, pa.int32()), kept_vals)
-        texts = pc.binary_join(kept_lists, " ")
-        yield pa.RecordBatch.from_arrays(
-            [batch.column(0),
-             pa.array(tok_lens, pa.int32()),
-             pa.array(cut_lens, pa.int32()),
-             texts],
-            names=["doc_id", "n_tokens", "n_removed", "clean_text"])
+    # Cut application: ONE JVM projection over the left join — no
+    # Python boundary, no cut/uncut branch union. The sorted cut
+    # index array splits the token array into |cut|+1 gap slices
+    # whose lengths sum to n_tokens − |cut|; flatten + concat_ws
+    # rebuilds the kept text in O(n_tokens + |cut|) per doc — the
+    # same linear bound as the previous Arrow mask sweep (pinned on
+    # the 100k-token pathological fixture in tests/test_ops.py), but
+    # without Arrow-serializing every cut doc's tokens out to a
+    # Python worker and unioning two branch subplans (the round-5
+    # shape cost a MapInArrow stage + branch union per run; at the
+    # bench scale that was ~0.8 s of pure boundary overhead for a
+    # handful of cut docs). Docs with no cut take the same expression
+    # with an empty cut set — one full-array slice.
+    gaps = (
+        "transform(sequence(1, size(cs) + 1), j -> "
+        "slice(tk, "
+        "if(j = 1, 1, element_at(cs, j - 1) + 2), "
+        "greatest(if(j = size(cs) + 1, size(tk), element_at(cs, j)) "
+        "- if(j = 1, 0, element_at(cs, j - 1) + 1), 0)))"
+    )
+    return (
+        tk.join(cuts, "doc_id", "left")
+        .select("doc_id", "tk", F.expr(
+            "array_sort(coalesce(cut, cast(array() as array<int>)))"
+        ).alias("cs"))
+        .select(
+            "doc_id",
+            F.size("tk").cast("int").alias("n_tokens"),
+            F.size("cs").cast("int").alias("n_removed"),
+            F.expr(f"concat_ws(' ', flatten({gaps}))")
+            .alias("clean_text")))
 
 
 # ---------------------------------------------------------------------------

@@ -146,24 +146,21 @@ class TestPlans:
         assert n_nodes(plan, "MapInArrow") == 5
         assert n_shuffles(plan) == 0
 
-    def test_exact_substring_dispatch_reuses_join_exchanges(self,
-                                                            spark):
-        """The cut/uncut dispatch union must not recompute the token
-        join or the cut-derivation lineage: both branches filter the
-        SAME left join, so its exchanges appear once and the second
-        branch consumes ReusedExchange nodes. Exactly one Python
-        boundary — only cut docs cross it."""
+    def test_exact_substring_cut_application_is_jvm_side(self, spark):
+        """The cut application must be ONE JVM projection over the
+        left join (the r6 gap-slice formulation): no Python boundary
+        anywhere in the op, no cut/uncut branch union re-reading the
+        join, and the whole pipeline runs in the three keyed shuffles
+        the docstring promises (window groupBy, join-back, cuts
+        groupBy) plus the token join."""
         from pdf_table_spark.ops.dedup import exact_substring_dedup
         docs = _tbl(spark, "documents").select("doc_id", "text")
         out = exact_substring_dedup(docs, n=10)
         static = plan_of(out)
-        assert n_nodes(static, "MapInArrow") == 1
-        # AQE materializes exchange reuse only at runtime — execute
-        # THIS df (count() would plan a separate QueryExecution),
-        # then read the final adaptive plan
-        out.collect()
-        final = out._jdf.queryExecution().executedPlan().toString()
-        assert "ReusedExchange" in final
+        assert n_nodes(static, "MapInArrow") == 0
+        assert "BatchEvalPython" not in static
+        assert "ArrowEvalPython" not in static
+        assert "Union" not in static
 
     def test_ann_ivf_narrow_assignment_and_broadcast_probes(
             self, spark, queries):
