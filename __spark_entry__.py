@@ -426,12 +426,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     F.col("n_tok").alias("aux"),
                     F.col("cum_before").alias("aux2")))
         d = _t(spark, sf_dir, "documents")
-        lr = dsir.fit_logratio_e6(d.filter("source = 'src1'"),
-                                  d.filter("source <> 'src1'"))
+        # one-scan tagged fit (identical integers to the two-frame
+        # fit) + a shared persisted scored frame so the topk and
+        # gumbel arms rank the same scoring pass instead of re-hashing
+        # every gram per arm (released by dedup.release_caches())
+        lr = dsir.fit_logratio_e6_tagged(d, "source = 'src1'")
+        raw = d.filter("source <> 'src1'")
+        scored = dsir.score_e6(raw, lr).select(
+            "doc_id", "score_e6").persist()
+        dedup._PERSISTED.append(scored)
 
         def dsir_arm(mode, name):
-            return (dsir.dsir_select(d.filter("source <> 'src1'"),
-                                     lr, 50, mode=mode)
+            return (dsir.dsir_select(raw, lr, 50, mode=mode,
+                                     scored=scored)
                     .select(F.lit(name).alias("arm"), "doc_id",
                             (F.col("score_e6").cast("double")
                              / F.lit(1e6)).alias("score"),

@@ -129,6 +129,62 @@ def bucket_counts(df: DataFrame, text_col: str = "text",
     return counts, total
 
 
+def bucket_counts_tagged(docs: DataFrame, target_expr: str,
+                         text_col: str = "text", n_buckets: int = 512,
+                         hash_fn: str = "md5"
+                         ) -> tuple[list[int], int, list[int], int]:
+    """Target AND raw per-bucket counts from ONE scan: when both
+    sides are predicates over the same table (the common DSIR setup —
+    'this source is the target, the rest is raw'), tagging rows with
+    the predicate and grouping by (tag, bucket) halves the fit's jobs
+    — one scan, one ≤2·n_buckets-key shuffle, one bounded collect
+    instead of two of each. Counts are exactly ``bucket_counts`` of
+    the two filtered frames. Rows matching neither side are excluded
+    by construction (the predicate is boolean, so every row lands in
+    target or raw — pre-filter the frame if some rows belong to
+    neither)."""
+    if not 2 <= n_buckets <= 65536:
+        raise ValueError("n_buckets must be in [2, 65536] — the fit "
+                         "is a driver-side collect of that many rows")
+    tagged = docs.select(F.expr(target_expr).alias("_tgt"),
+                         F.col(text_col))
+    rows = (_with_buckets(tagged, text_col, n_buckets, hash_fn,
+                          keep=["_tgt"])
+            .select("_tgt", F.explode_outer("_bks").alias("bk"))
+            .filter(F.col("bk").isNotNull())
+            .groupBy("_tgt", "bk").count().collect())
+    t, r = [0] * n_buckets, [0] * n_buckets
+    tt = rr = 0
+    for row in rows:
+        if row["_tgt"]:
+            t[row["bk"]] = row["count"]
+            tt += row["count"]
+        else:
+            r[row["bk"]] = row["count"]
+            rr += row["count"]
+    return t, tt, r, rr
+
+
+def _logratio_e6(t, tt, r, rr, n_buckets: int) -> list[int]:
+    b = float(n_buckets)
+    return [
+        math.floor((math.log((t[i] + 1.0) / (tt + b))
+                    - math.log((r[i] + 1.0) / (rr + b))) * 1e6 + 0.5)
+        for i in range(n_buckets)]
+
+
+def fit_logratio_e6_tagged(docs: DataFrame, target_expr: str,
+                           text_col: str = "text",
+                           n_buckets: int = 512,
+                           hash_fn: str = "md5") -> list[int]:
+    """``fit_logratio_e6`` when target and raw are predicate halves of
+    one table: identical integers, one scan/shuffle/collect instead of
+    two (see :func:`bucket_counts_tagged`)."""
+    t, tt, r, rr = bucket_counts_tagged(docs, target_expr, text_col,
+                                        n_buckets, hash_fn)
+    return _logratio_e6(t, tt, r, rr, n_buckets)
+
+
 def fit_logratio_e6(target: DataFrame, raw: DataFrame,
                     text_col: str = "text", n_buckets: int = 512,
                     hash_fn: str = "md5") -> list[int]:
@@ -144,11 +200,7 @@ def fit_logratio_e6(target: DataFrame, raw: DataFrame,
     docstring)."""
     t, tt = bucket_counts(target, text_col, n_buckets, hash_fn)
     r, rr = bucket_counts(raw, text_col, n_buckets, hash_fn)
-    b = float(n_buckets)
-    return [
-        math.floor((math.log((t[i] + 1.0) / (tt + b))
-                    - math.log((r[i] + 1.0) / (rr + b))) * 1e6 + 0.5)
-        for i in range(n_buckets)]
+    return _logratio_e6(t, tt, r, rr, n_buckets)
 
 
 def score_e6(docs: DataFrame, lr_e6: list[int],
@@ -239,7 +291,8 @@ def gumbel_e6_expr(seed: str = "dsir-v1", key: str = "doc_id") -> str:
 def dsir_select(docs: DataFrame, lr_e6: list[int], k: int,
                 text_col: str = "text", hash_fn: str = "md5",
                 mode: str = "topk",
-                seed: str = "dsir-v1") -> DataFrame:
+                seed: str = "dsir-v1",
+                scored: DataFrame | None = None) -> DataFrame:
     """Top-``k`` selection by importance weight. ``mode='topk'``:
     highest logw (the paper's deterministic variant). ``mode=
     'gumbel'``: highest logw + Gumbel noise — a without-replacement
@@ -258,13 +311,19 @@ def dsir_select(docs: DataFrame, lr_e6: list[int], k: int,
     B=65536 is 512 KiB/doc and does not scale (a far smaller inline
     array already measured 0.9 s → 28 s at sf0.1). Both scorers are
     bit-equal under the same hash_fn, so the switch is invisible to
-    the selection."""
+    the selection.
+
+    ``scored``: a precomputed (and typically persisted) frame already
+    carrying ``score_e6`` — lets a caller running several selection
+    modes over the same corpus score it once instead of once per
+    mode."""
     if mode not in ("topk", "gumbel"):
         raise ValueError(f"mode must be topk|gumbel, got {mode!r}")
-    if len(lr_e6) <= 1024:
-        scored = score_e6(docs, lr_e6, text_col, hash_fn)
-    else:
-        scored = score_np(docs, lr_e6, text_col, hash_fn)
+    if scored is None:
+        if len(lr_e6) <= 1024:
+            scored = score_e6(docs, lr_e6, text_col, hash_fn)
+        else:
+            scored = score_np(docs, lr_e6, text_col, hash_fn)
     key = (F.col("score_e6") if mode == "topk"
            else F.col("score_e6") + F.expr(gumbel_e6_expr(seed)))
     return (scored

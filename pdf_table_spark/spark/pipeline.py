@@ -6,22 +6,29 @@ Plan shape (and why it scales):
       → explode(spans)                            -- narrow: 1 row per span;
                                                      a 500-page doc becomes
                                                      500 independent work units
-      → repartition(doc_id, offset)               -- shuffle #1: breaks the
-                                                     "one giant doc in one file
-                                                     split" skew BEFORE the
-                                                     expensive stage, so every
-                                                     core gets an even page mix
+      → [repartition(doc_id, offset)]             -- ADAPTIVE (r6): inserted
+                                                     only when the scan yields
+                                                     fewer partitions than the
+                                                     session parallelism. At
+                                                     scale the byte-balanced
+                                                     file splits balance the
+                                                     per-page map too, and
+                                                     this shuffle is a full
+                                                     pass of the corpus text;
+                                                     force it via
+                                                     balance_partitions for
+                                                     skew-concentrated layouts
       → mapInArrow(extract)                       -- the only Python stage;
                                                      raw Arrow batches, numpy
                                                      inside; trivial kinds
                                                      (text/image) are a cheap
                                                      fast path within it
-      → groupBy(doc_id).collect_list + array_sort -- shuffle #2: reassemble
+      → groupBy(doc_id).collect_list + array_sort -- shuffle #1: reassemble
                                                      ordered span sequences;
                                                      payloads here are small
                                                      output strings
 
-One scan, two shuffles, one Python boundary. A kind-routing split
+One scan, one unconditional shuffle, one Python boundary. A kind-routing split
 (trivial kinds as a JVM-side projection unioned around the Python
 stage) was tried and reverted: Catalyst pushes each branch's kind
 filter below the shared repartition, so the branches cannot share the
@@ -99,9 +106,18 @@ def extract_documents(docs: DataFrame,
                       metrics=None, flavor: str = "auto") -> DataFrame:
     """Full pipeline: documents(doc_id, spans) → (doc_id, out_spans).
 
-    ``balance_partitions``: width of the pre-stage repartition. Default
-    2x the session's shuffle parallelism. Pass 0 to skip rebalancing
-    (only sensible for tiny unit tests).
+    ``balance_partitions``: width of the pre-stage repartition.
+    Default (None) is ADAPTIVE: the exchange is inserted only when
+    the source scan yields fewer partitions than the session's
+    shuffle parallelism (a tiny local file, one row group). When the
+    scan already splits at-or-above the parallelism, its byte-
+    balanced file splits balance the per-page map work too (page
+    decode cost tracks payload bytes), and the pre-stage shuffle is
+    a full pass of the corpus text over the network — measured 2.1x
+    the whole pipeline wall at sf0.1/local[32] for zero balance
+    gain. Pass an explicit width to force the rebalance for corpora
+    whose layout concentrates expensive docs into few splits (the
+    one-giant-doc-per-split shape), or 0 to skip it always.
     ``metrics``: optional ``stages.ExtractionMetrics`` — executor-side
     span/fragment/error/wall counters, readable after any action.
     ``flavor``: pdf_page table decoder — 'auto' | 'lattice' | 'stream'
@@ -115,10 +131,19 @@ def extract_documents(docs: DataFrame,
         raise ValueError(f"unknown flavor {flavor!r}; one of {FLAVORS}")
     spark = docs.sparkSession
     sp = explode_spans(docs)
-    if balance_partitions != 0:
-        n = balance_partitions or int(
-            spark.conf.get("spark.sql.shuffle.partitions"))
-        sp = sp.repartition(n, "doc_id", "offset")
+    if balance_partitions:
+        sp = sp.repartition(balance_partitions, "doc_id", "offset")
+    elif balance_partitions is None:
+        # adaptive trigger: the scan under-parallelizes the cluster
+        # (fewer splits than cores). Width = the session's shuffle
+        # parallelism as before; the threshold is the CORE count —
+        # a scan already yielding >= cores byte-balanced splits
+        # keeps the map stage busy without paying a corpus-wide
+        # text shuffle.
+        if (sp.rdd.getNumPartitions()
+                < spark.sparkContext.defaultParallelism):
+            n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            sp = sp.repartition(n, "doc_id", "offset")
     frags = run_extract_stage(sp, metrics, flavor)
     # Every doc survives reassembly: both routes emit a sentinel
     # fragment for fragment-less spans (and explode_outer emits a null
