@@ -192,9 +192,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, sf_dir, "exists(spans, s -> s.kind = 'html_page')"
         ).select("doc_id", "offset", "kind", "text", "media_ref")
 
+    def _extract_frags(spark, sf_dir):
+        # pre-reassembly fragment stream: same rows as _extract_flat
+        # on every column except the dense offset — consumers that
+        # aggregate per kind/doc skip the reassembly shuffle
+        import sys
+        sys.path.insert(0, REPO)
+        from pdf_table_spark.spark.pipeline import extract_fragments
+        return extract_fragments(_spans_df(spark, sf_dir))
+
     def q_extract_kind_stats(spark, sf_dir):
+        # per-kind counts/char totals are dense-offset-free: computed
+        # on the fragment stream (one shuffle instead of two)
         return (
-            _extract_flat(spark, sf_dir)
+            _extract_frags(spark, sf_dir)
             .groupBy("kind").agg(
                 F.count("*").alias("n_spans"),
                 F.sum(F.length("text")).alias("total_chars"))
@@ -598,11 +609,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- §2 operator families exposed on the extraction output ----
     def q_doc_metrics(spark, sf_dir):
-        # A9/A10 metrics rollup over the pipeline output
+        # A9/A10 metrics rollup over the pipeline output — every agg
+        # is an order-independent count/sum per doc, so it runs on the
+        # fragment stream (one shuffle instead of two)
         import sys
         sys.path.insert(0, REPO)
         from pdf_table_spark.spark.metrics import doc_metrics
-        return doc_metrics(_extract_flat(spark, sf_dir))
+        return doc_metrics(_extract_frags(spark, sf_dir))
 
     def q_paragraph_rank(spark, sf_dir):
         # W-family window: rank paragraphs by length within a doc

@@ -539,31 +539,24 @@ def c4_span_dedup(docs: DataFrame, window: int = 3) -> DataFrame:
     Returns (doc_id, n_sentences, n_dropped, clean_text) with
     clean_text = surviving sentences in order, joined by ' '.
 
-    Scale shape: explode to sentences O(corpus), window spans O(corpus)
-    keyed by an md5 span hash (uniform, skew-free), one groupBy for the
-    canonical pick, one anti-join back — never all-pairs. The classic
-    C4 job at web scale, as three keyed shuffles.
+    Scale shape: window spans O(corpus) keyed by an md5 span hash
+    (uniform, skew-free), one groupBy for the canonical pick + the
+    join back, one keyed groupBy collecting each doc's drop-index
+    set, then ONE JVM projection over a left join applies the drops —
+    the sorted drop indexes split the sentence array into gap slices
+    whose concatenation is the clean text, O(n_sentences + |drops|)
+    per doc (the ExactSubstr gap-slice shape; the previous
+    sentence-explode → anti-join → collect_list → re-join chain spent
+    four more exchanges rebuilding per-doc order that the sentence
+    array already had). Never all-pairs.
     """
-    sents = (
-        docs.select(
-            "doc_id",
-            F.expr(
-                "filter(transform(split(text, '[.!?]'), s -> trim(s)),"
-                " s -> s <> '')").alias("ss"))
-        .select("doc_id", F.expr(
-            "transform(ss, (s, i) -> struct(i as idx, s as s))"
-        ).alias("ss"))
-        .select("doc_id", F.explode("ss").alias("e"))
-        .select("doc_id", F.col("e.idx").alias("idx"),
-                F.col("e.s").alias("s"))
-    )
+    ss = docs.select(
+        "doc_id",
+        F.expr(
+            "filter(transform(split(text, '[.!?]'), s -> trim(s)),"
+            " s -> s <> '')").alias("ss"))
     spans = (
-        docs.select(
-            "doc_id",
-            F.expr(
-                "filter(transform(split(text, '[.!?]'), s -> trim(s)),"
-                " s -> s <> '')").alias("ss"))
-        .select("doc_id", F.expr(
+        ss.select("doc_id", F.expr(
             # sequence(0, n) runs DESCENDING when n < 0 (docs with
             # fewer than `window` sentences), hence the explicit guard:
             # such docs contribute no spans
@@ -586,28 +579,31 @@ def c4_span_dedup(docs: DataFrame, window: int = 3) -> DataFrame:
         .filter((F.col("doc_id") != F.col("canon.doc_id"))
                 | (F.col("start") != F.col("canon.start")))
     )
-    dropped = (
+    drops = (
         dup_occurrences.select(
             "doc_id", F.explode(F.expr(
                 f"sequence(start, start + {window - 1})")).alias("idx"))
         .distinct()
+        .groupBy("doc_id").agg(F.collect_set("idx").alias("drop_idx"))
     )
-    kept = sents.join(dropped, ["doc_id", "idx"], "left_anti")
-    per_doc = kept.groupBy("doc_id").agg(
-        F.expr("array_join(transform(array_sort(collect_list("
-               "struct(idx, s))), x -> x.s), ' ')").alias("clean_text"),
-        F.count("*").alias("n_kept"))
-    totals = sents.groupBy("doc_id").agg(
-        F.count("*").alias("n_sentences"))
+    gaps = (
+        "transform(sequence(1, size(cs) + 1), j -> "
+        "slice(ss, "
+        "if(j = 1, 1, element_at(cs, j - 1) + 2), "
+        "greatest(if(j = size(cs) + 1, size(ss), element_at(cs, j)) "
+        "- if(j = 1, 0, element_at(cs, j - 1) + 1), 0)))"
+    )
     return (
-        docs.select("doc_id").join(totals, "doc_id", "left")
-        .join(per_doc, "doc_id", "left")
+        ss.join(drops, "doc_id", "left")
+        .select("doc_id", "ss", F.expr(
+            "array_sort(coalesce(drop_idx, cast(array() as array<int>)))"
+        ).alias("cs"))
         .select(
             "doc_id",
-            F.coalesce("n_sentences", F.lit(0)).alias("n_sentences"),
-            (F.coalesce("n_sentences", F.lit(0))
-             - F.coalesce("n_kept", F.lit(0))).alias("n_dropped"),
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.size("ss").cast("long").alias("n_sentences"),
+            F.size("cs").cast("long").alias("n_dropped"),
+            F.expr(f"concat_ws(' ', flatten({gaps}))")
+            .alias("clean_text"),
         )
     )
 

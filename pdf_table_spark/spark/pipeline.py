@@ -101,6 +101,27 @@ def reassemble(frags: DataFrame) -> DataFrame:
 PYTHON_KINDS = ("pdf_page", "html_table")
 
 
+def _prepared_spans(docs: DataFrame,
+                    balance_partitions: int | None) -> DataFrame:
+    """explode + the adaptive pre-stage rebalance (see
+    extract_documents): an explicit width forces the exchange, None
+    inserts it only when the scan under-parallelizes the cluster
+    (fewer splits than cores — width then = the session's shuffle
+    parallelism), 0 skips it always. A scan already yielding >= cores
+    byte-balanced splits keeps the map stage busy without paying a
+    corpus-wide text shuffle."""
+    spark = docs.sparkSession
+    sp = explode_spans(docs)
+    if balance_partitions:
+        sp = sp.repartition(balance_partitions, "doc_id", "offset")
+    elif balance_partitions is None:
+        if (sp.rdd.getNumPartitions()
+                < spark.sparkContext.defaultParallelism):
+            n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            sp = sp.repartition(n, "doc_id", "offset")
+    return sp
+
+
 def extract_documents(docs: DataFrame,
                       balance_partitions: int | None = None,
                       metrics=None, flavor: str = "auto") -> DataFrame:
@@ -129,27 +150,36 @@ def extract_documents(docs: DataFrame,
         # would be swallowed by per-span poison containment, silently
         # quarantining the entire corpus as 'error' rows
         raise ValueError(f"unknown flavor {flavor!r}; one of {FLAVORS}")
-    spark = docs.sparkSession
-    sp = explode_spans(docs)
-    if balance_partitions:
-        sp = sp.repartition(balance_partitions, "doc_id", "offset")
-    elif balance_partitions is None:
-        # adaptive trigger: the scan under-parallelizes the cluster
-        # (fewer splits than cores). Width = the session's shuffle
-        # parallelism as before; the threshold is the CORE count —
-        # a scan already yielding >= cores byte-balanced splits
-        # keeps the map stage busy without paying a corpus-wide
-        # text shuffle.
-        if (sp.rdd.getNumPartitions()
-                < spark.sparkContext.defaultParallelism):
-            n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-            sp = sp.repartition(n, "doc_id", "offset")
-    frags = run_extract_stage(sp, metrics, flavor)
+    frags = run_extract_stage(
+        _prepared_spans(docs, balance_partitions), metrics, flavor)
     # Every doc survives reassembly: both routes emit a sentinel
     # fragment for fragment-less spans (and explode_outer emits a null
     # span for zero-span docs), so no join back to the doc_id universe
     # is needed — at 10^12 docs that join would be the bottleneck.
     return reassemble(frags)
+
+
+def extract_fragments(docs: DataFrame,
+                      balance_partitions: int | None = None,
+                      metrics=None, flavor: str = "auto") -> DataFrame:
+    """The pre-reassembly fragment stream, sentinels dropped:
+    (doc_id, offset, frag_idx, kind, text, media_ref, accuracy,
+    whitespace) where ``offset`` is the SOURCE span offset.
+
+    The row multiset equals ``flatten_output(extract_documents(...))``
+    on every column except the dense output offset (flatten's
+    ``offset`` is the re-indexed rank; ``src_offset`` is this frame's
+    ``offset``). Consumers that aggregate per kind or per doc without
+    needing dense offsets (kind statistics, per-doc rollups) read
+    this instead and skip the reassembly shuffle + per-doc array
+    build entirely — at any scale that is one full pass of the output
+    strings over the network saved."""
+    from ..core.page import FLAVORS
+    if flavor not in FLAVORS:
+        raise ValueError(f"unknown flavor {flavor!r}; one of {FLAVORS}")
+    frags = run_extract_stage(
+        _prepared_spans(docs, balance_partitions), metrics, flavor)
+    return frags.filter(F.col("kind") != "__empty__")
 
 
 def flatten_output(out: DataFrame) -> DataFrame:

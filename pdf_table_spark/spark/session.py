@@ -57,6 +57,13 @@ def build_session(app: str = "pdf_table_spark", master: str | None = None,
         # don't coalesce the reassembly/write stage below the core
         # count — the default 64 MB advisory serializes the output tail
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        # let the planner pick shuffled-hash over sort-merge when its
+        # size conditions hold (guide §3.1): the keyed joins here are
+        # uniform small-key joins (hashes, doc ids) where the sort adds
+        # nothing; sort-merge remains the fallback when sizes are
+        # unknown. Scale-independent (a per-partition build-side
+        # decision), not a local[32] tune.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                 str(ARROW_BATCH_ROWS))

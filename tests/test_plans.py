@@ -118,12 +118,16 @@ class TestPlans:
         assert "WindowGroupLimit" in plan    # rank<=k pushed down
         assert "CartesianProduct" not in plan
 
-    def test_ocr_table_match_broadcast_semijoin(self, spark, queries):
-        """The imaged-doc id list is tiny — it must broadcast, and the
-        extraction keeps its single Python boundary."""
+    def test_ocr_table_match_prefilters_below_extraction(self, spark,
+                                                         queries):
+        """The imaged-doc predicate is per-document, so it must sit
+        BELOW the extraction (r6): the documents scan is filtered
+        before the Python stage — no join of any kind remains, only
+        matching docs are decoded, and the extraction keeps its
+        single Python boundary."""
         plan = plan_of(queries["ocr_table_match"](spark, SF_DIR))
-        assert "BroadcastHashJoin" in plan
-        assert "SortMergeJoin" not in plan
+        assert "Join" not in plan
+        assert "exists" in plan.lower()
         assert n_nodes(plan, "MapInArrow") == 1
 
     def test_table_quality_single_scan_single_python(self, spark,
