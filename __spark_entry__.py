@@ -487,10 +487,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_decontaminate(spark, sf_dir):
         # src0 plays the benchmark/eval suite; every other source is
         # the training corpus. Flag train docs sharing any 13-gram.
+        # broadcast_bench=True: the eval side is an eval suite (small
+        # by construction), so the auto-decide's eager count job is
+        # skipped. xxhash64 internally: the oracle compares OUTPUT
+        # rows, and the gram hash only decides equality (n_hits is
+        # hash-independent — the same narrow-production-key argument
+        # as span_dedup's ExactSubstr arm).
         docs = _t(spark, sf_dir, "documents", fan=False)
         return textfilters.decontaminate(
             docs.filter("source <> 'src0'"),
-            docs.filter("source = 'src0'"))["contaminated"]
+            docs.filter("source = 'src0'"),
+            broadcast_bench=True, hash_fn="xxhash64")["contaminated"]
 
     # ---- the capped production dedup pipeline, oracle-checked ----
     # hash_fn='md5' swaps the shingle hash for the DuckDB-replicable

@@ -283,6 +283,13 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
         .select(F.col("a.doc_id").alias("doc_a"),
                 F.col("b.doc_id").alias("doc_b"))
         .distinct())
+    if cache:
+        # the verify references cand three times (both cd projections
+        # + the n_inter join); unpersisted, each reference re-ran the
+        # whole prefix self-join — measured 3/4 of the query wall.
+        # The pair set is tiny by construction (prefix-filtered).
+        cand = cand.persist()
+        _PERSISTED.append(cand)
 
     # exact verify: per-candidate-pair array_intersect over the
     # compact per-doc arrays (linear in candidates, no shingle-row

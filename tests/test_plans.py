@@ -118,6 +118,36 @@ class TestPlans:
         assert "WindowGroupLimit" in plan    # rank<=k pushed down
         assert "CartesianProduct" not in plan
 
+    def test_extraction_repartition_is_adaptive(self, spark):
+        """The pre-stage rebalance (r6): a source already split
+        at-or-above the core count goes straight into the Python
+        stage (no hash exchange below MapInArrow); an
+        under-parallelized source still gets the rebalance."""
+        from pdf_table_spark.spark.pipeline import (extract_documents,
+                                                    flatten_output)
+        par = spark.sparkContext.defaultParallelism
+        docs = spark.read.parquet(
+            os.path.join(SF_DIR, "..", "sf0.01", "documents.parquet"))
+        import __spark_entry__ as e
+        spans = e._spans_df(spark, SF_DIR)
+        wide = spans.repartition(par + 1)
+
+        def pre_python_hash_exchanges(plan: str) -> int:
+            # hash exchanges BELOW the MapInArrow node: formatted
+            # explain numbers nodes leaf-first, so details BEFORE the
+            # '(k) MapInArrow' header belong to the subtree under it
+            # (the reassembly exchange above it details LATER)
+            m = re.search(r"^\(\d+\) MapInArrow", plan, re.MULTILINE)
+            assert m, plan
+            return len(re.findall(
+                r"Arguments: hashpartitioning", plan[:m.start()]))
+
+        wide_plan = plan_of(flatten_output(extract_documents(wide)))
+        assert pre_python_hash_exchanges(wide_plan) == 0
+        narrow = spans.coalesce(1)
+        narrow_plan = plan_of(flatten_output(extract_documents(narrow)))
+        assert pre_python_hash_exchanges(narrow_plan) == 1
+
     def test_ocr_table_match_prefilters_below_extraction(self, spark,
                                                          queries):
         """The imaged-doc predicate is per-document, so it must sit
