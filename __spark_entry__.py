@@ -114,11 +114,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _extract_flat(spark, sf_dir)
 
     def q_table_quality(spark, sf_dir):
-        # A9 quality metrics ride every table fragment
+        # A9 quality metrics ride every table fragment. The dense
+        # output offset is the fragment's rank in the doc's
+        # (src_offset, frag_idx) order — identical to reassembly's
+        # array_sort index — so it is computed by a window over the
+        # fragment stream with the text column PROJECTED AWAY before
+        # the exchange: the one shuffle here moves six narrow columns
+        # instead of every output string (guide §2.3, project before
+        # the exchange), and no per-doc array is built.
+        import sys
+        sys.path.insert(0, REPO)
+        from pdf_table_spark.spark.pipeline import extract_fragments
+        from pyspark.sql.window import Window
+        frags = extract_fragments(_spans_df(spark, sf_dir)).select(
+            "doc_id", "offset", "frag_idx", "kind",
+            "accuracy", "whitespace")
+        w = Window.partitionBy("doc_id").orderBy("offset", "frag_idx")
         return (
-            _extract_flat(spark, sf_dir)
+            frags
+            .withColumn("dense",
+                        (F.row_number().over(w) - 1).cast("int"))
             .filter(F.col("kind") == "table_html")
-            .select("doc_id", "offset", "accuracy", "whitespace")
+            .select("doc_id", F.col("dense").alias("offset"),
+                    "accuracy", "whitespace")
         )
 
     def q_extract_spans_lattice(spark, sf_dir):

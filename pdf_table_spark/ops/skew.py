@@ -37,9 +37,19 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
         "__salt", F.pmod(F.xxhash64(*big.columns), F.lit(salt)))
     # replicate via explode — narrow, whole-stage-codegen'd; the
     # crossJoin(range(salt)) alternative plans a (cheap but alarming)
-    # BroadcastNestedLoopJoin node for the same rows
+    # BroadcastNestedLoopJoin node for the same rows.
+    # SHUFFLE_HASH hint: salting presupposes the SHUFFLED join regime
+    # (the whole point is spreading a hot key over `salt` reduce
+    # tasks); left to its own devices the planner happily BROADCASTS
+    # the replicated small side, which builds `salt` copies of it
+    # into one hash relation on every executor — the skew splitting
+    # becomes a no-op and the broadcast build dominates (measured 2x
+    # the whole query at sf0.1). The hint pins the per-partition hash
+    # build salting is designed around; each build is 1/salt-th of
+    # the replicated side, strictly smaller than the broadcast the
+    # planner would have built.
     replicated_small = small.withColumn(
         "__salt", F.explode(F.expr(
-            f"sequence(0L, {int(salt) - 1}L)")))
+            f"sequence(0L, {int(salt) - 1}L)"))).hint("shuffle_hash")
     out = salted_big.join(replicated_small, [key, "__salt"], how)
     return out.drop("__salt")
