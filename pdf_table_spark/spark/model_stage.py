@@ -630,16 +630,19 @@ def _make_neural_stage(weights_bc, version: str, mat_counter=None):
 def score_neural_decoders(docs_spans: DataFrame,
                           weights_path: str | None = None,
                           _mat_counter=None) -> DataFrame:
-    """The four round-5 deterministic postprocess decoders over the
+    """The six round-5 deterministic postprocess decoders over the
     model seam, one scan and ONE Python boundary: DBNet probability
     map → text boxes (``core.dbnet``, M3's postprocess half — NO
     planted det_cells anywhere on this path), CTC greedy label decode
     (``core.ctchead``, M5), SLANet structure-token decode
-    (``core.slanethead``, M7), and the Cycle-CenterNet paired-keypoint
+    (``core.slanethead``, M7), the Cycle-CenterNet paired-keypoint
     TSR decode — heatmap peaks → cell polygons with corner snapping
-    (``core.centernet``, M6). Each ocr_page span emits ``db_box`` /
-    ``rec_text`` / ``slanet`` / ``cn_poly`` rows for whichever
-    contracts its payload carries.
+    (``core.centernet``, M6), the PicoDet DFL layout decode
+    (``core.picodet``, M2), and the TableMaster structure+bbox decode
+    with the deal_bb repair passes (``core.masterhead``, M10). Each
+    ocr_page span emits ``db_box`` / ``rec_text`` / ``slanet`` /
+    ``cn_poly`` / ``layout_box`` / ``master_html`` / ``master_box``
+    rows for whichever contracts its payload carries.
 
     Same seam as every other head: ``weights_path`` loads the
     DBPostProcess parameter vector from ``.npz`` once on the driver,
