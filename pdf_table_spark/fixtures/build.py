@@ -28,6 +28,17 @@ from .generator import gen_corpus
 
 DOC_COUNTS = {"0.001": 50, "0.01": 500, "0.1": 5000}
 
+
+def _doc_count(sf: str) -> int:
+    """Docs for a scale factor: the committed table for the known
+    SFs (their goldens are committed), 50,000 x sf for anything else
+    (the same linear rule the table encodes) — so a driver-chosen
+    larger SF generates a proportionally larger corpus instead of
+    KeyError-ing the whole bench."""
+    if sf in DOC_COUNTS:
+        return DOC_COUNTS[sf]
+    return max(int(round(50_000 * float(sf))), 1)
+
 # documents_spans.parquet is a DIRECTORY of part files: a 100 TB corpus
 # is thousands of files, and Spark's scan parallelism comes from file
 # splits — a single small file caps the scan at one task no matter the
@@ -110,7 +121,7 @@ def build_sf(root: str, sf: str, force: bool = False) -> dict:
         os.remove(docs_path)
     os.makedirs(out_dir, exist_ok=True)
 
-    n_docs = DOC_COUNTS[sf]
+    n_docs = _doc_count(sf)
     doc_ids, span_lists = [], []
     g_doc, g_off, g_kind, g_text, g_ref = [], [], [], [], []
     g_src, g_acc, g_ws = [], [], []
@@ -129,7 +140,9 @@ def build_sf(root: str, sf: str, force: bool = False) -> dict:
             g_acc.append(o["accuracy"])
             g_ws.append(o["whitespace"])
 
-    n_shards = N_SHARDS[sf]
+    # unknown SFs shard by the same ~78-docs-per-shard density the
+    # committed table encodes (0.1 -> 64), clamped to [8, 256]
+    n_shards = N_SHARDS.get(sf, min(max(n_docs // 78, 8), 256))
     os.makedirs(docs_path, exist_ok=True)
     per = (n_docs + n_shards - 1) // n_shards
     for shard in range(n_shards):
