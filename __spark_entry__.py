@@ -1022,30 +1022,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # + page orientation (M1/M4's PULC classifier half)
         from pdf_table_spark.spark.model_stage import (
             score_doc_quality, score_page_layout, score_page_orientation)
-        nd = F.lit(None).cast("double")
-        lay = score_page_layout(_spans_df(spark, sf_dir)).select(
-            F.lit("layout").alias("head"), "doc_id", "offset",
-            F.col("score_table").alias("score_a"),
-            F.col("score_text").alias("score_b"),
-            F.col("score_figure").alias("score_c"),
-            nd.alias("score_d"),
-            F.col("layout_class").alias("label"))
-        qu = score_doc_quality(_t(spark, sf_dir, "documents")).select(
-            F.lit("quality").alias("head"),
-            F.col("doc_id").cast("string").alias("doc_id"),
-            F.lit(-1).cast("int").alias("offset"),
-            F.col("score_keep").alias("score_a"),
-            F.col("score_drop").alias("score_b"),
-            nd.alias("score_c"), nd.alias("score_d"),
-            F.col("pred").alias("label"))
-        ori = score_page_orientation(_spans_df(spark, sf_dir)).select(
-            F.lit("orient").alias("head"), "doc_id", "offset",
-            F.col("score_rot0").alias("score_a"),
-            F.col("score_rot90").alias("score_b"),
-            F.col("score_rot180").alias("score_c"),
-            F.col("score_rot270").alias("score_d"),
-            F.concat_ws(":", F.col("pred_rot"), F.col("declared_rot"))
-            .alias("label"))
+        # selectExpr strings: each arm's ~9-column Column-object select
+        # cost ~20 py4j round trips of driver chatter per build —
+        # ONE parsed string per arm is plan-identical
+        lay = score_page_layout(_spans_df(spark, sf_dir)).selectExpr(
+            "'layout' as head", "doc_id", "offset",
+            "score_table as score_a", "score_text as score_b",
+            "score_figure as score_c",
+            "cast(null as double) as score_d",
+            "layout_class as label")
+        qu = score_doc_quality(_t(spark, sf_dir, "documents")).selectExpr(
+            "'quality' as head",
+            "cast(doc_id as string) as doc_id",
+            "cast(-1 as int) as offset",
+            "score_keep as score_a", "score_drop as score_b",
+            "cast(null as double) as score_c",
+            "cast(null as double) as score_d",
+            "pred as label")
+        ori = score_page_orientation(_spans_df(spark, sf_dir)).selectExpr(
+            "'orient' as head", "doc_id", "offset",
+            "score_rot0 as score_a", "score_rot90 as score_b",
+            "score_rot180 as score_c", "score_rot270 as score_d",
+            "concat_ws(':', pred_rot, declared_rot) as label")
         # orient-CNN arm (round 5c): REAL image-based vote — rotate
         # the scan 4 ways, det+rec forward each, argmax of decoded
         # confidence mass. The oracle's pred_rot column is the PLANTED
@@ -1058,15 +1056,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             os.path.join(fx, "orient_scan_pages.parquet"))
         ocnn = score_orient_cnn(
             oscans, weights_path=os.path.join(fx, "ocr_cnn.npz")
-        ).select(
-            F.lit("orient_cnn").alias("head"),
-            F.col("media_ref").alias("doc_id"),
-            F.lit(-1).cast("int").alias("offset"),
-            F.col("score_rot0").alias("score_a"),
-            F.col("score_rot90").alias("score_b"),
-            F.col("score_rot180").alias("score_c"),
-            F.col("score_rot270").alias("score_d"),
-            F.col("pred_rot").cast("string").alias("label"))
+        ).selectExpr(
+            "'orient_cnn' as head", "media_ref as doc_id",
+            "cast(-1 as int) as offset",
+            "score_rot0 as score_a", "score_rot90 as score_b",
+            "score_rot180 as score_c", "score_rot270 as score_d",
+            "cast(pred_rot as string) as label")
         # layout-CNN arm (round 5c): REAL image-based layout analysis
         # — coarse-ink region proposals classified table/text/figure
         # from conv-derived features via a broadcast linear head. The
@@ -1077,14 +1072,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             os.path.join(fx, "layout_scan_pages.parquet"))
         lcnn = score_layout_cnn(
             lscans, weights_path=os.path.join(fx, "ocr_cnn.npz")
-        ).select(
-            F.lit("layout_cnn").alias("head"),
-            F.col("media_ref").alias("doc_id"), "offset",
-            F.col("score_table").alias("score_a"),
-            F.col("score_text").alias("score_b"),
-            F.col("score_figure").alias("score_c"),
-            F.lit(None).cast("double").alias("score_d"),
-            "label")
+        ).selectExpr(
+            "'layout_cnn' as head", "media_ref as doc_id", "offset",
+            "score_table as score_a", "score_text as score_b",
+            "score_figure as score_c",
+            "cast(null as double) as score_d", "label")
         return (lay.unionByName(qu).unionByName(ori)
                 .unionByName(ocnn).unionByName(lcnn))
 

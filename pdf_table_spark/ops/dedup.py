@@ -327,8 +327,11 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.expr(H60_SPARK.format(s="shingle")).alias("h"))
     sh = sh.select("doc_id", (F.col("h") % P).alias("h"))
+    # one parsed SQL string per agg: the Column-arithmetic form built
+    # each of the 64 perms from ~5 py4j round trips (≈0.4 s of pure
+    # driver chatter per query BUILD — measured, plan identical)
     aggs = [
-        F.min(((F.lit(a) * F.col("h")) % P + F.lit(b)) % P).alias(f"s{i}")
+        F.expr(f"min(({a}L * h % {P} + {b}L) % {P}) as s{i}")
         for i, (a, b) in enumerate(PERM_CONSTS)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
@@ -359,7 +362,7 @@ def minhash_signatures_from_hashes(sh: DataFrame) -> DataFrame:
     before the universal-hash perms."""
     h = sh.select("doc_id", F.pmod(F.col("sh"), F.lit(P)).alias("h"))
     aggs = [
-        F.min(((F.lit(a) * F.col("h")) % P + F.lit(b)) % P).alias(f"s{i}")
+        F.expr(f"min(({a}L * h % {P} + {b}L) % {P}) as s{i}")
         for i, (a, b) in enumerate(PERM_CONSTS)
     ]
     return h.groupBy("doc_id").agg(*aggs)
@@ -376,16 +379,15 @@ def band_table(sig: DataFrame, band_hash: str = "md5") -> DataFrame:
     width. 'md5' is kept as the DuckDB-replicable oracle contract.
     Shared by the batch pair join below and the streaming incremental
     index (``streaming.neardup``)."""
-    band_cols = []
-    for bidx in range(BANDS):
-        cols = [f"s{bidx * ROWS_PER_BAND + j}" for j in range(ROWS_PER_BAND)]
-        key = (F.xxhash64(F.concat_ws(",", *cols))
-               if band_hash == "xxhash64"
-               else F.md5(F.concat_ws(",", *cols)))
-        band_cols.append(F.struct(
-            F.lit(bidx).alias("band"), key.alias("bh")))
+    hash_fn = "xxhash64" if band_hash == "xxhash64" else "md5"
+    band_structs = ", ".join(
+        "struct({b} as band, {h}(concat_ws(',', {cols})) as bh)".format(
+            b=bidx, h=hash_fn,
+            cols=", ".join(f"s{bidx * ROWS_PER_BAND + j}"
+                           for j in range(ROWS_PER_BAND)))
+        for bidx in range(BANDS))
     return sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("b")
+        "doc_id", F.explode(F.expr(f"array({band_structs})")).alias("b")
     ).select("doc_id", F.col("b.band").alias("band"),
              F.col("b.bh").alias("bh"))
 
@@ -563,9 +565,7 @@ def simhash(docs: DataFrame, n_bits: int = 60) -> DataFrame:
     h = toks.select(
         "doc_id", F.expr(H60_SPARK.format(s="tok")).alias("h"))
     votes = [
-        F.sum(
-            F.when(F.expr(f"(h div {1 << b}) % 2 = 1"), 1).otherwise(-1)
-        ).alias(f"v{b}")
+        F.expr(f"sum(if((h div {1 << b}) % 2 = 1, 1, -1)) as v{b}")
         for b in range(n_bits)
     ]
     agg = h.groupBy("doc_id").agg(*votes)
