@@ -424,13 +424,10 @@ def top_ngrams(docs: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
     token ``n``-grams, with total occurrences and how many docs
     contain each. The dataset-card / contamination-triage query.
 
-    Shape: explode grams (narrow) → two-level aggregation — (gram,
-    doc_id) counts, then per-gram sum + count — → global top-k via
-    TakeOrderedAndProject (no full sort). The two-level form replaces
-    countDistinct's Expand (which doubles every gram row before the
-    shuffle) with a second tiny keyed aggregate; occurrences and
-    n_docs are identical. Ties break on the gram string so the result
-    is total-ordered and rerun-stable.
+    Shape: explode grams (narrow) → ONE partial-aggregating groupBy on
+    the gram string → global top-k via TakeOrderedAndProject (no full
+    sort). Ties break on the gram string so the result is total-
+    ordered and rerun-stable.
     """
     toks = "filter(split(lower(text), '\\\\s+'), t -> t <> '')"
     grams = (docs
@@ -440,11 +437,9 @@ def top_ngrams(docs: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
                  f"transform(sequence(1, size(tk) - {n - 1}), "
                  f"i -> array_join(slice(tk, i, {n}), ' ')))"
              )).alias("gram")))
-    per_doc = grams.groupBy("gram", "doc_id").agg(
-        F.count("*").alias("c"))
-    return (per_doc.groupBy("gram")
-            .agg(F.sum("c").alias("occurrences"),
-                 F.count("*").alias("n_docs"))
+    return (grams.groupBy("gram")
+            .agg(F.count("*").alias("occurrences"),
+                 F.countDistinct("doc_id").alias("n_docs"))
             .orderBy(F.desc("occurrences"), F.asc("gram"))
             .limit(k))
 
