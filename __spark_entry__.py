@@ -843,13 +843,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_lang_id_both(spark, sf_dir):
         # stopword-hit and char-trigram language ID over the 40
         # data-file profiles, tagged by method; each row carries the
-        # winner's score and the confidence margin vs the runner-up
+        # winner's score and the confidence margin vs the runner-up.
+        # Each arm's build is dominated by the JVM parse of its large
+        # constant-profile expression (~0.3 s each); the two parses
+        # are independent, so they run from two driver threads
+        # (guide §2.6 — py4j serves each Python thread on its own
+        # connection, so the parses overlap)
+        from concurrent.futures import ThreadPoolExecutor
         d = _t(spark, sf_dir, "documents")
         cols = ["pred_lang", "top_score", "margin"]
-        sw = text.lang_id(d).select(
-            "doc_id", F.lit("stopword").alias("method"), *cols)
-        ng = text.lang_id_ngram(d).select(
-            "doc_id", F.lit("trigram").alias("method"), *cols)
+
+        def b_sw():
+            return text.lang_id(d).select(
+                "doc_id", F.lit("stopword").alias("method"), *cols)
+
+        def b_ng():
+            return text.lang_id_ngram(d).select(
+                "doc_id", F.lit("trigram").alias("method"), *cols)
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_sw, f_ng = pool.submit(b_sw), pool.submit(b_ng)
+            sw, ng = f_sw.result(), f_ng.result()
         return sw.unionByName(ng)
 
     def q_fingerprint_both(spark, sf_dir):
@@ -975,19 +989,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sig.unionByName(pr)
 
     def q_ann_topk(spark, sf_dir):
-        # exact brute-force baseline + LSH multi-probe + IVF-Flat
+        # exact brute-force baseline + LSH multi-probe + IVF-Flat.
+        # The three arm builders are independent driver work — the IVF
+        # arm runs an eager 16-row centroid TakeOrdered job and parses
+        # two large centroid-literal expressions, the brute/LSH arms
+        # are pure expression construction — so they run from a small
+        # thread pool (guide §2.6) instead of back-to-back; the union
+        # order is fixed by the result list
+        from concurrent.futures import ThreadPoolExecutor
         emb = _t(spark, sf_dir, "embeddings")
-        parts = [
-            similarity.cosine_topk(emb, k=5).select(
+
+        def b_brute():
+            return similarity.cosine_topk(emb, k=5).select(
                 F.lit("brute").alias("method"), "query_id",
-                "neighbor_id", "cosine", "rank"),
-            similarity.ann_topk_lsh(emb, k=5).select(
+                "neighbor_id", "cosine", "rank")
+
+        def b_lsh():
+            return similarity.ann_topk_lsh(emb, k=5).select(
                 F.lit("lsh").alias("method"), "query_id",
-                "neighbor_id", "cosine", "rank"),
-            similarity.ann_topk_ivf(emb, k=5).select(
+                "neighbor_id", "cosine", "rank")
+
+        def b_ivf():
+            return similarity.ann_topk_ivf(emb, k=5).select(
                 F.lit("ivf").alias("method"), "query_id",
-                "neighbor_id", "cosine", "rank"),
-        ]
+                "neighbor_id", "cosine", "rank")
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            parts = [f.result() for f in
+                     [pool.submit(b) for b in (b_brute, b_lsh, b_ivf)]]
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
