@@ -40,8 +40,32 @@ def _fixture_dir(sf_dir: str) -> str:
     return os.path.join(FIXTURE_ROOT, f"sf{sf}")
 
 
+# Session-scoped DataFrame-handle registry. ``spark.read.parquet`` on
+# a bare path re-lists the directory and re-reads a footer for schema
+# inference on EVERY call (~70 ms here); unlike catalog tables, bare
+# paths get no metadata caching from Spark. One full query-build pass
+# makes 44 such reads over ~10 distinct paths (~3 s of pure repeated
+# driver I/O). This memoizes the unexecuted *DataFrame definition*
+# per (session, path[, fan]) — the same class of metadata cache the
+# optimization guide §6 describes for file listings. No data or
+# results are cached: every action still computes from the parquet
+# files, and the key includes applicationId so a stopped session's
+# handles are never reused.
+_DF_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _read_pq(spark: SparkSession, path: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, path)
+    df = _DF_MEMO.get(key)
+    if df is None:
+        df = spark.read.parquet(path)
+        _DF_MEMO[key] = df
+    return df
+
+
 def _spans_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(
+    return _read_pq(
+        spark,
         os.path.join(_fixture_dir(sf_dir), "documents_spans.parquet"))
 
 
@@ -61,12 +85,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str,
     # float-association-sensitive to row order, so reordering would
     # shift the last ulps vs the oracle.
     path = os.path.join(sf_dir, f"{name}.parquet")
-    df = spark.read.parquet(path)
-    if fan and name in ("documents", "embeddings"):
+    do_fan = (fan and name in ("documents", "embeddings")
+              and not os.environ.get("SPARK_GRAFT_NO_FAN"))
+    key = (spark.sparkContext.applicationId, path, do_fan)
+    memo = _DF_MEMO.get(key)
+    if memo is not None:
+        return memo
+    df = _read_pq(spark, path)
+    if do_fan:
         import sys
         sys.path.insert(0, REPO)
         from pdf_table_spark.sources.corpus import fan_small_scan
         df = fan_small_scan(spark, df, path)
+    _DF_MEMO[key] = df
     return df
 
 
@@ -1055,7 +1086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             describe_media, media_refs_with_payloads)
         refs = media_refs_with_payloads(_spans_df(spark, sf_dir))
         fake = describe_media(refs)
-        planted = spark.read.parquet(os.path.join(
+        planted = _read_pq(spark, os.path.join(
             _fixture_dir(sf_dir), "media_payloads.parquet")).filter(
             F.col("media_ref").startswith("media://img/"))
         real = describe_media(planted)
@@ -1111,8 +1142,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         fx = _fixture_dir(sf_dir)
 
         def b_ocnn():
-            oscans = spark.read.parquet(
-                os.path.join(fx, "orient_scan_pages.parquet"))
+            oscans = _read_pq(
+                spark, os.path.join(fx, "orient_scan_pages.parquet"))
             return score_orient_cnn(
                 oscans, weights_path=os.path.join(fx, "ocr_cnn.npz")
             ).selectExpr(
@@ -1128,8 +1159,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle's label column (class + tight bbox) is the PLANTED
         # truth; scores are the single-process same-artifact twin.
         def b_lcnn():
-            lscans = spark.read.parquet(
-                os.path.join(fx, "layout_scan_pages.parquet"))
+            lscans = _read_pq(
+                spark, os.path.join(fx, "layout_scan_pages.parquet"))
             return score_layout_cnn(
                 lscans, weights_path=os.path.join(fx, "ocr_cnn.npz")
             ).selectExpr(
@@ -1247,16 +1278,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 sp_df, weights_path=os.path.join(fx, "neural_head.npz"))
 
         def b_cnn():
-            scans = spark.read.parquet(
-                os.path.join(fx, "scan_pages.parquet"))
+            scans = _read_pq(
+                spark, os.path.join(fx, "scan_pages.parquet"))
             return score_det_cnn(
                 scans, weights_path=os.path.join(fx, "det_cnn.npz")
             ).select(F.col("media_ref").alias("doc_id"),
                      F.col("box_idx").alias("offset"), "kind", "text")
 
         def b_ocr():
-            ocr_scans = spark.read.parquet(
-                os.path.join(fx, "ocr_scan_pages.parquet"))
+            ocr_scans = _read_pq(
+                spark, os.path.join(fx, "ocr_scan_pages.parquet"))
             return score_ocr_cnn(
                 ocr_scans, weights_path=os.path.join(fx, "ocr_cnn.npz")
             ).select(F.col("media_ref").alias("doc_id"), "offset",
